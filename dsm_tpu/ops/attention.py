@@ -1,0 +1,213 @@
+"""Streaming attention with fixed ring-buffer KV caches.
+
+TPU-native redesign of the reference's two cache flavours
+(moshi-core/src/kv_cache.rs: RotatingKvCache wrapper :297-331 and
+ScatteredKvCache/ScatteredCacheBuilder :20-295): one implementation, a static
+``(B, H, context, Dh)`` ring per layer with a per-slot position counter.
+
+Where the reference builds scatter indices and additive masks on the host
+(kv_cache.rs:119-237, with CPU round-trips in the slow paths), here both are
+pure on-device arithmetic from the position counter, so the whole step stays
+inside one compiled program:
+
+  write index   w   = pos % C
+  key position  kpos[j] = p_last - ((w_last - j) mod C)   (ring unwind)
+  validity      kpos >= 0  &&  kpos <= q_pos
+
+Per-slot reset = zeroing that slot's ``pos`` (stale ring entries then resolve
+to kpos < 0 and mask out — no cache zeroing needed), which is the reference's
+``reset_batch_index`` (kv_cache.rs:111-117) without the host sync.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+# ---------------------------------------------------------------------------
+# Rotary embeddings (interleaved pairs, = candle rope_i; transformer.rs:366-403)
+# ---------------------------------------------------------------------------
+
+
+def rope_cos_sin(
+    positions: jax.Array, head_dim: int, max_period: float
+) -> Tuple[jax.Array, jax.Array]:
+    """positions (B, T) int -> cos, sin (B, T, Dh/2) f32."""
+    half = head_dim // 2
+    idx = jnp.arange(half, dtype=jnp.float32)
+    inv_freq = 1.0 / (max_period ** (2.0 * idx / head_dim))
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x (B, H, T, Dh) with interleaved rotary pairs (x0,x1),(x2,x3),..."""
+    b, h, t, d = x.shape
+    xf = x.astype(jnp.float32).reshape(b, h, t, d // 2, 2)
+    x1, x2 = xf[..., 0], xf[..., 1]
+    c = cos[:, None, :, :]
+    s = sin[:, None, :, :]
+    o1 = x1 * c - x2 * s
+    o2 = x1 * s + x2 * c
+    return jnp.stack([o1, o2], axis=-1).reshape(b, h, t, d).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Ring-buffer KV cache
+# ---------------------------------------------------------------------------
+
+
+def kv_init(
+    batch: int, heads: int, context: int, head_dim: int, dtype=jnp.bfloat16
+) -> dict:
+    return {
+        "k": jnp.zeros((batch, heads, context, head_dim), dtype),
+        "v": jnp.zeros((batch, heads, context, head_dim), dtype),
+        "pos": jnp.zeros((batch,), jnp.int32),
+    }
+
+
+def ring_plan(
+    pos: jax.Array, context: int, t_new: int, mask: Optional[jax.Array] = None
+) -> dict:
+    """Compute the write/read plan for appending ``t_new`` frames.
+
+    The plan is shared by every layer of a transformer (all layers append in
+    lock-step), so it is computed once per step:
+      * ``w (B, T)``      ring write indices
+      * ``q_pos (B, T)``  absolute positions of the queries
+      * ``k_pos (B, C)``  absolute position stored at each ring slot *after*
+                          the append (< 0 = never written since reset)
+      * ``new_pos (B,)``  advanced position counters (mask-aware)
+    """
+    b = pos.shape[0]
+    t_idx = jnp.arange(t_new, dtype=jnp.int32)
+    w = (pos[:, None] + t_idx[None, :]) % context
+    q_pos = pos[:, None] + t_idx[None, :]
+    p_last = pos + t_new - 1
+    w_last = p_last % context
+    j = jnp.arange(context, dtype=jnp.int32)[None, :]
+    dist = (w_last[:, None] - j) % context
+    k_pos = p_last[:, None] - dist
+    if mask is None:
+        new_pos = pos + t_new
+    else:
+        new_pos = pos + jnp.where(mask, t_new, 0).astype(pos.dtype)
+    return {"w": w, "q_pos": q_pos, "k_pos": k_pos, "new_pos": new_pos}
+
+
+def ring_write(
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    plan: dict,
+    mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Scatter T new K/V frames into the ring (caches (B, H, C, Dh)).
+
+    Slots with ``mask == False`` rewrite their current contents (a (B,H,1,Dh)
+    gather + select), avoiding a full-cache ``where`` — the HBM-cheap
+    equivalent of the reference's inactive-slot scatter
+    (kv_cache.rs:28-42 + batched mask logic).
+    """
+    b = k_cache.shape[0]
+    b_idx = jnp.arange(b)
+    t_new = k_new.shape[2]
+    for t in range(t_new):  # static and small (1-2)
+        w = plan["w"][:, t]
+        kt = k_new[:, :, t, :].astype(k_cache.dtype)
+        vt = v_new[:, :, t, :].astype(v_cache.dtype)
+        if mask is not None:
+            m = mask[:, None, None]
+            kt = jnp.where(m, kt, k_cache[b_idx, :, w, :])
+            vt = jnp.where(m, vt, v_cache[b_idx, :, w, :])
+        k_cache = k_cache.at[b_idx, :, w, :].set(kt)
+        v_cache = v_cache.at[b_idx, :, w, :].set(vt)
+    return k_cache, v_cache
+
+
+def attend_kv(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    q_pos: jax.Array,
+    k_pos: jax.Array,
+    window: Optional[int] = None,
+) -> jax.Array:
+    """Causal windowed attention of ``q (B,H,T,Dh)`` over the ring cache.
+
+    ``window`` is the sliding attention context (number of most recent
+    positions visible).  The ring capacity may exceed it by step_t - 1 so
+    that multi-frame appends don't evict keys still inside the window of the
+    step's first query (the reference keeps ``context + t`` entries for the
+    same reason; transformer.rs:497-506).
+    """
+    head_dim = q.shape[-1]
+    scale = 1.0 / math.sqrt(head_dim)
+    scores = jnp.einsum(
+        "bhtd,bhcd->bhtc",
+        q,
+        k_cache.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores * scale
+    valid = (k_pos[:, None, :] >= 0) & (k_pos[:, None, :] <= q_pos[:, :, None])
+    if window is not None:
+        valid = valid & (q_pos[:, :, None] - k_pos[:, None, :] < window)
+    scores = jnp.where(valid[:, None, :, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhtc,bhcd->bhtd",
+        probs.astype(v_cache.dtype),
+        v_cache,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+# Convenience single-layer API (used by unit tests).
+
+
+def kv_append(
+    cache: dict,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    mask: Optional[jax.Array] = None,
+) -> Tuple[dict, dict]:
+    context = cache["k"].shape[2]
+    plan = ring_plan(cache["pos"], context, k_new.shape[2], mask)
+    k_cache, v_cache = ring_write(cache["k"], cache["v"], k_new, v_new, plan, mask)
+    return {"k": k_cache, "v": v_cache, "pos": plan["new_pos"]}, plan
+
+
+def attend(q: jax.Array, cache: dict, plan: dict) -> jax.Array:
+    return attend_kv(q, cache["k"], cache["v"], plan["q_pos"], plan["k_pos"])
+
+
+# ---------------------------------------------------------------------------
+# Cross attention (precomputed KV; transformer.rs:204-364)
+# ---------------------------------------------------------------------------
+
+
+def cross_attend(q: jax.Array, ca_k: jax.Array, ca_v: jax.Array) -> jax.Array:
+    """q (B,H,T,Dh) over static source K/V (B,H,S,Dh); no mask (full vision)."""
+    head_dim = q.shape[-1]
+    scale = 1.0 / math.sqrt(head_dim)
+    scores = jnp.einsum(
+        "bhtd,bhsd->bhts", q, ca_k.astype(q.dtype), preferred_element_type=jnp.float32
+    )
+    probs = jax.nn.softmax(scores * scale, axis=-1)
+    out = jnp.einsum(
+        "bhts,bhsd->bhtd",
+        probs.astype(ca_v.dtype),
+        ca_v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)

@@ -1,0 +1,323 @@
+"""Streaming decoder transformer, TPU-native.
+
+Functional rebuild of the reference StreamingTransformer
+(moshi-core/src/transformer.rs:816-1031) and its batched variant
+(batched_transformer.rs): pre-norm blocks with RoPE/Sin/no positional
+embedding, sliding-window self-attention over a fixed ring KV cache, optional
+cross-attention with gating, gated (SiLU-GLU) or GELU MLP, optional layer
+scale.
+
+TPU-first choices:
+  * Layers are homogeneous → per-layer params are stacked on a leading axis
+    and the step scans over them with ``lax.scan`` (one compiled layer body,
+    compile time O(1) in depth — the reference loops over layer objects).
+  * The ring write/read plan (positions, scatter indices, validity window) is
+    computed once per step and shared by all layers.
+  * Per-slot stream masking and reset are ``jnp.where`` arithmetic on the
+    position counters; nothing ever changes shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import attention as attn
+from . import mlp as mlp_mod
+from . import norm as norm_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    d_model: int
+    num_heads: int
+    num_layers: int
+    dim_feedforward: int
+    context: int
+    gating: bool = True  # SiLU GLU if True else GELU MLP
+    norm: str = "rms_norm"  # "rms_norm" | "layer_norm"
+    positional_embedding: str = "rope"  # "rope" | "sin" | "none"
+    max_period: float = 10_000.0
+    bias_ff: bool = False
+    bias_attn: bool = False
+    layer_scale: Optional[float] = None
+    head_dim: Optional[int] = None
+    cross_attention: bool = False
+    ca_gating: str = "normal"  # "normal" | "constant_tanh" | "conditional_*"
+    ca_dim: Optional[int] = None  # source dim for cross-attn KV proj
+    max_seq_len: int = 4096
+
+    @property
+    def hd(self) -> int:
+        return self.head_dim or self.d_model // self.num_heads
+
+    @property
+    def norm_kind(self) -> str:
+        return self.norm
+
+
+def _linear_init(key, in_d, out_d, dtype):
+    scale = 1.0 / math.sqrt(in_d)
+    return jax.random.uniform(key, (out_d, in_d), dtype, -scale, scale)
+
+
+def init(cfg: TransformerConfig, key: jax.Array, dtype=jnp.float32) -> dict:
+    """Init stacked layer params: every leaf has leading axis num_layers."""
+
+    def one_layer(k):
+        ks = jax.random.split(k, 8)
+        d, h, hd = cfg.d_model, cfg.num_heads, cfg.hd
+        p = {
+            "in_proj_w": _linear_init(ks[0], d, 3 * h * hd, dtype),
+            "out_proj_w": _linear_init(ks[1], h * hd, d, dtype),
+            "norm1": norm_mod.norm_init(cfg.norm_kind, d, dtype),
+            "norm2": norm_mod.norm_init(cfg.norm_kind, d, dtype),
+            "mlp": mlp_mod.init(ks[2], d, cfg.dim_feedforward, cfg.gating, dtype),
+        }
+        if cfg.bias_attn:
+            p["in_proj_b"] = jnp.zeros((3 * h * hd,), dtype)
+            p["out_proj_b"] = jnp.zeros((d,), dtype)
+        if cfg.layer_scale is not None:
+            p["layer_scale_1"] = jnp.full((d,), cfg.layer_scale, dtype)
+            p["layer_scale_2"] = jnp.full((d,), cfg.layer_scale, dtype)
+        if cfg.cross_attention:
+            ca_dim = cfg.ca_dim or d
+            p["norm_cross"] = norm_mod.norm_init(cfg.norm_kind, d, dtype)
+            p["ca_q_w"] = _linear_init(ks[3], d, h * hd, dtype)
+            p["ca_kv_w"] = _linear_init(ks[4], ca_dim, 2 * h * hd, dtype)
+            p["ca_out_w"] = _linear_init(ks[5], h * hd, d, dtype)
+            if cfg.ca_gating.startswith("constant"):
+                p["ca_gate_alpha"] = jnp.zeros((1,), dtype)
+            elif cfg.ca_gating.startswith("conditional"):
+                hidden = int(0.125 * d)
+                p["ca_gate_in_w"] = _linear_init(ks[6], d, hidden, dtype)
+                p["ca_gate_out_w"] = _linear_init(ks[7], hidden, d, dtype)
+        return p
+
+    keys = jax.random.split(key, cfg.num_layers)
+    return jax.vmap(one_layer)(keys)
+
+
+def init_state(
+    cfg: TransformerConfig, batch: int, cache_dtype=jnp.bfloat16, step_t: int = 1
+) -> dict:
+    """Ring caches sized ``context + step_t - 1`` so a step_t-frame append
+    never evicts keys still visible to the step's first query."""
+    l, h, hd = cfg.num_layers, cfg.num_heads, cfg.hd
+    cap = cfg.context + step_t - 1
+    return {
+        "k": jnp.zeros((l, batch, h, cap, hd), cache_dtype),
+        "v": jnp.zeros((l, batch, h, cap, hd), cache_dtype),
+        "pos": jnp.zeros((batch,), jnp.int32),
+    }
+
+
+def _qkv(cfg, lp, x):
+    b, t, _ = x.shape
+    h, hd = cfg.num_heads, cfg.hd
+    qkv = x @ lp["in_proj_w"].astype(x.dtype).T
+    if "in_proj_b" in lp:
+        qkv = qkv + lp["in_proj_b"].astype(x.dtype)
+    qkv = qkv.reshape(b, t, 3, h, hd)
+    q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+    k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+    return q, k, v
+
+
+def _proj_out(cfg, lp, y, b, t):
+    y = y.transpose(0, 2, 1, 3).reshape(b, t, cfg.num_heads * cfg.hd)
+    y = y @ lp["out_proj_w"].astype(y.dtype).T
+    if "out_proj_b" in lp:
+        y = y + lp["out_proj_b"].astype(y.dtype)
+    return y
+
+
+def _ca_gate(cfg, lp, x_normed, y):
+    if cfg.ca_gating == "normal":
+        return y
+    if cfg.ca_gating.startswith("constant"):
+        a = lp["ca_gate_alpha"].astype(jnp.float32)
+        a = jnp.tanh(a) if "tanh" in cfg.ca_gating else jax.nn.sigmoid(a - 4.0)
+        return y * a.astype(y.dtype)
+    h = jax.nn.relu(x_normed @ lp["ca_gate_in_w"].astype(y.dtype).T)
+    a = h @ lp["ca_gate_out_w"].astype(y.dtype).T
+    if "tanh" in cfg.ca_gating:
+        a = jnp.tanh(a)
+    elif "learnable_bias" in cfg.ca_gating:
+        a = jax.nn.sigmoid(a)
+    else:
+        a = jax.nn.sigmoid(a - 4.0)
+    return y * a
+
+
+def _cross_block(cfg, lp, x, ca_k, ca_v):
+    b, t, _ = x.shape
+    xn = norm_mod.apply_norm(cfg.norm_kind, lp["norm_cross"], x)
+    q = xn @ lp["ca_q_w"].astype(x.dtype).T
+    q = q.reshape(b, t, cfg.num_heads, cfg.hd).transpose(0, 2, 1, 3)
+    y = attn.cross_attend(q, ca_k, ca_v)
+    y = y.transpose(0, 2, 1, 3).reshape(b, t, cfg.num_heads * cfg.hd)
+    y = y @ lp["ca_out_w"].astype(x.dtype).T
+    return x + _ca_gate(cfg, lp, xn, y)
+
+
+def _mlp_block(cfg, lp, x):
+    y = norm_mod.apply_norm(cfg.norm_kind, lp["norm2"], x)
+    y = mlp_mod.apply(lp["mlp"], y)
+    if "layer_scale_2" in lp:
+        y = y * lp["layer_scale_2"].astype(y.dtype)
+    return x + y
+
+
+def precompute_ca_kv(
+    cfg: TransformerConfig, params: dict, ca_tokens: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Project a cross-attention source once per session.
+
+    ``ca_tokens (B, S, ca_dim)`` -> stacked per-layer K/V ``(L, B, H, S, Dh)``
+    (the reference caches this as CaSrc::KeysValues; transformer.rs:961-980).
+    """
+    b, s, _ = ca_tokens.shape
+    h, hd = cfg.num_heads, cfg.hd
+
+    def proj(ca_kv_w):
+        kv = ca_tokens @ ca_kv_w.astype(ca_tokens.dtype).T
+        kv = kv.reshape(b, s, 2, h, hd)
+        return kv[:, :, 0].transpose(0, 2, 1, 3), kv[:, :, 1].transpose(0, 2, 1, 3)
+
+    return jax.vmap(proj)(params["ca_kv_w"])
+
+
+def _pos_embed_sin(cfg, x, positions):
+    # PositionalEmbedding::Sin (transformer.rs:940-953): concat(cos, sin).
+    c = x.shape[-1]
+    half = c // 2
+    idx = jnp.arange(half, dtype=jnp.float32)
+    inv_freq = 1.0 / (cfg.max_period ** (idx / (half - 1)))
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq
+    emb = jnp.concatenate([jnp.cos(freqs), jnp.sin(freqs)], axis=-1)
+    return x + emb.astype(x.dtype)
+
+
+def step(
+    cfg: TransformerConfig,
+    params: dict,
+    state: dict,
+    x: jax.Array,
+    mask: Optional[jax.Array] = None,
+    ca_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
+):
+    """One streaming step: ``x (B, T, D)`` -> ``(y (B, T, D), state')``.
+
+    T is the (static) number of new frames this step (1 for the LM, 2 for the
+    Mimi codec transformer).  ``ca_kv`` is the stacked per-layer
+    cross-attention KV from :func:`precompute_ca_kv`.
+    """
+    b, t, _ = x.shape
+    pos = state["pos"]
+    capacity = state["k"].shape[3]
+    plan = attn.ring_plan(pos, capacity, t, mask)
+
+    rope = None
+    if cfg.positional_embedding == "rope":
+        rope = attn.rope_cos_sin(plan["q_pos"], cfg.hd, cfg.max_period)
+    elif cfg.positional_embedding == "sin":
+        x = _pos_embed_sin(cfg, x, plan["q_pos"])
+
+    def body(xc, per_layer):
+        if ca_kv is None:
+            lp, k_l, v_l = per_layer
+            ca_k = ca_v = None
+        else:
+            lp, k_l, v_l, ca_k, ca_v = per_layer
+        xn = norm_mod.apply_norm(cfg.norm_kind, lp["norm1"], xc)
+        q, k, v = _qkv(cfg, lp, xn)
+        if rope is not None:
+            q = attn.apply_rope(q, *rope)
+            k = attn.apply_rope(k, *rope)
+        k_l, v_l = attn.ring_write(k_l, v_l, k, v, plan, mask)
+        y = attn.attend_kv(
+            q, k_l, v_l, plan["q_pos"], plan["k_pos"], window=cfg.context
+        )
+        y = _proj_out(cfg, lp, y, b, t)
+        if "layer_scale_1" in lp:
+            y = y * lp["layer_scale_1"].astype(y.dtype)
+        xc = xc + y
+        if ca_k is not None:
+            xc = _cross_block(cfg, lp, xc, ca_k, ca_v)
+        xc = _mlp_block(cfg, lp, xc)
+        return xc, (k_l, v_l)
+
+    xs = (params, state["k"], state["v"])
+    if ca_kv is not None:
+        xs = xs + ca_kv
+    y, (k_new, v_new) = jax.lax.scan(body, x, xs)
+    return y, {"k": k_new, "v": v_new, "pos": plan["new_pos"]}
+
+
+def forward(
+    cfg: TransformerConfig,
+    params: dict,
+    x: jax.Array,
+    ca_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> jax.Array:
+    """Full-sequence forward (fresh state), causal with sliding window.
+
+    Matches step-by-step streaming exactly (window = `context` most recent
+    positions).  Used for offline paths and the streaming-equivalence tests.
+    """
+    b, t, _ = x.shape
+    positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
+
+    rope = None
+    if cfg.positional_embedding == "rope":
+        rope = attn.rope_cos_sin(positions, cfg.hd, cfg.max_period)
+    elif cfg.positional_embedding == "sin":
+        x = _pos_embed_sin(cfg, x, positions)
+
+    q_idx = jnp.arange(t)[:, None]
+    k_idx = jnp.arange(t)[None, :]
+    valid = (k_idx <= q_idx) & (q_idx - k_idx < cfg.context)
+    bias = jnp.where(valid, 0.0, attn.NEG_INF)[None, None]
+
+    def body(xc, per_layer):
+        if ca_kv is None:
+            (lp,) = per_layer
+            ca_k = ca_v = None
+        else:
+            lp, ca_k, ca_v = per_layer
+        xn = norm_mod.apply_norm(cfg.norm_kind, lp["norm1"], xc)
+        q, k, v = _qkv(cfg, lp, xn)
+        if rope is not None:
+            q = attn.apply_rope(q, *rope)
+            k = attn.apply_rope(k, *rope)
+        scale = 1.0 / math.sqrt(cfg.hd)
+        scores = (
+            jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32)
+            * scale
+            + bias
+        )
+        probs = jax.nn.softmax(scores, axis=-1)
+        y = jnp.einsum(
+            "bhts,bhsd->bhtd",
+            probs.astype(v.dtype),
+            v,
+            preferred_element_type=jnp.float32,
+        ).astype(xc.dtype)
+        y = _proj_out(cfg, lp, y, b, t)
+        if "layer_scale_1" in lp:
+            y = y * lp["layer_scale_1"].astype(y.dtype)
+        xc = xc + y
+        if ca_k is not None:
+            xc = _cross_block(cfg, lp, xc, ca_k, ca_v)
+        xc = _mlp_block(cfg, lp, xc)
+        return xc, None
+
+    xs = (params,) if ca_kv is None else (params,) + ca_kv
+    y, _ = jax.lax.scan(body, x, xs)
+    return y
