@@ -1,1 +1,1 @@
-from . import mimi, lm
+from . import mimi

@@ -361,6 +361,34 @@ def init_decode_state(cfg: MimiConfig, batch: int, cache_dtype=jnp.float32) -> d
     }
 
 
+def _tree_conv_reset(state, reset_mask):
+    """Recursively reset every conv carry dict in a SeaNet state tree."""
+    if isinstance(state, dict) and "buf" in state:
+        return C.reset_state(state, reset_mask)
+    if isinstance(state, dict):
+        return {k: _tree_conv_reset(v, reset_mask) for k, v in state.items()}
+    if isinstance(state, list):
+        return [_tree_conv_reset(v, reset_mask) for v in state]
+    return state
+
+
+def reset_encode_state(state: dict, reset_mask) -> dict:
+    """Per-slot reset (mimi.rs:236-244) without touching KV buffers."""
+    return {
+        "enc": _tree_conv_reset(state["enc"], reset_mask),
+        "enc_t": T.reset_state(state["enc_t"], reset_mask),
+        "down": C.reset_state(state["down"], reset_mask),
+    }
+
+
+def reset_decode_state(state: dict, reset_mask) -> dict:
+    return {
+        "up": C.reset_state(state["up"], reset_mask),
+        "dec_t": T.reset_state(state["dec_t"], reset_mask),
+        "dec": _tree_conv_reset(state["dec"], reset_mask),
+    }
+
+
 def encode_step(cfg: MimiConfig, params, state, pcm, mask=None):
     """One 80 ms codec step: ``pcm (B, 1, 1920)`` -> ``codes (B, n_q, 1)``."""
     x, s_enc = encoder_step(cfg.seanet, params["encoder"], state["enc"], pcm, mask)

@@ -102,6 +102,14 @@ def forward(cfg: ConvConfig, params: dict, x: jax.Array) -> jax.Array:
     return _conv(cfg, params, x)
 
 
+def reset_state(state: dict, reset_mask: jax.Array) -> dict:
+    """Per-slot reset of the conv carry (zeros + replicate-pad flag)."""
+    out = {"buf": where_mask(reset_mask, jnp.zeros_like(state["buf"]), state["buf"])}
+    if "first" in state:
+        out["first"] = jnp.logical_or(state["first"], reset_mask)
+    return out
+
+
 def init_state(cfg: ConvConfig, batch: int, dtype=jnp.float32) -> dict:
     state = {"buf": jnp.zeros((batch, cfg.in_c, cfg.padding_total), dtype)}
     if cfg.pad_mode == "replicate" and cfg.padding_total > 0:

@@ -49,6 +49,7 @@ class TransformerConfig:
     cross_attention: bool = False
     ca_gating: str = "normal"  # "normal" | "constant_tanh" | "conditional_*"
     ca_dim: Optional[int] = None  # source dim for cross-attn KV proj
+    ca_norm: Optional[str] = None  # norm_cross kind; None -> same as `norm`
     max_seq_len: int = 4096
 
     @property
@@ -86,7 +87,7 @@ def init(cfg: TransformerConfig, key: jax.Array, dtype=jnp.float32) -> dict:
             p["layer_scale_2"] = jnp.full((d,), cfg.layer_scale, dtype)
         if cfg.cross_attention:
             ca_dim = cfg.ca_dim or d
-            p["norm_cross"] = norm_mod.norm_init(cfg.norm_kind, d, dtype)
+            p["norm_cross"] = norm_mod.norm_init(cfg.ca_norm or cfg.norm_kind, d, dtype)
             p["ca_q_w"] = _linear_init(ks[3], d, h * hd, dtype)
             p["ca_kv_w"] = _linear_init(ks[4], ca_dim, 2 * h * hd, dtype)
             p["ca_out_w"] = _linear_init(ks[5], h * hd, d, dtype)
@@ -113,6 +114,20 @@ def init_state(
         "k": jnp.zeros((l, batch, h, cap, hd), cache_dtype),
         "v": jnp.zeros((l, batch, h, cap, hd), cache_dtype),
         "pos": jnp.zeros((batch,), jnp.int32),
+    }
+
+
+def reset_state(state: dict, reset_mask: jax.Array) -> dict:
+    """Per-slot reset: zero the position counter only.
+
+    Stale ring entries resolve to k_pos < 0 (or > q_pos) and are masked out,
+    so the K/V buffers themselves never need clearing — this is the
+    reference's reset_batch_idx (kv_cache.rs:111-117) at zero HBM cost.
+    """
+    return {
+        "k": state["k"],
+        "v": state["v"],
+        "pos": jnp.where(reset_mask, 0, state["pos"]),
     }
 
 
@@ -157,7 +172,7 @@ def _ca_gate(cfg, lp, x_normed, y):
 
 def _cross_block(cfg, lp, x, ca_k, ca_v):
     b, t, _ = x.shape
-    xn = norm_mod.apply_norm(cfg.norm_kind, lp["norm_cross"], x)
+    xn = norm_mod.apply_norm(cfg.ca_norm or cfg.norm_kind, lp["norm_cross"], x)
     q = xn @ lp["ca_q_w"].astype(x.dtype).T
     q = q.reshape(b, t, cfg.num_heads, cfg.hd).transpose(0, 2, 1, 3)
     y = attn.cross_attend(q, ca_k, ca_v)
