@@ -73,6 +73,107 @@ def kv_init(
     }
 
 
+def global_ring_plan(pos: jax.Array, context: int, t_new: int) -> dict:
+    """Ring plan with a single *global* position shared by every slot.
+
+    This is the TPU-native cache design: because every slot writes at the
+    same ring index each tick, the KV write is a ``dynamic_update_slice`` at
+    a scalar index (in-place, no scatter), and per-slot stream lifecycle is
+    carried by a (B, C) validity bitmap instead of per-slot positions — the
+    same trick as the reference's global-cache + ``last_reset_pos`` masking
+    (transformer.rs:862-959), generalised to arbitrary per-slot resets.
+
+    ``pos`` is a scalar int32 tick counter.  Returns ``w (T,)`` write
+    indices, ``q_pos (T,)``, ``k_pos (C,)`` and ``new_pos`` scalar.
+    """
+    t_idx = jnp.arange(t_new, dtype=jnp.int32)
+    w = (pos + t_idx) % context
+    q_pos = pos + t_idx
+    p_last = pos + t_new - 1
+    w_last = p_last % context
+    j = jnp.arange(context, dtype=jnp.int32)
+    k_pos = p_last - ((w_last - j) % context)
+    return {"w": w, "q_pos": q_pos, "k_pos": k_pos, "new_pos": pos + t_new}
+
+
+def ring_write_global(
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    plan: dict,
+) -> Tuple[jax.Array, jax.Array]:
+    """In-place KV append at the global ring index (caches (B, H, C, Dh)).
+
+    One dynamic_update_slice per new frame — XLA keeps this in place on the
+    donated/carried buffer, unlike a per-slot scatter (which costs ~50 ms at
+    production shapes on v5e).
+    """
+    t_new = k_new.shape[2]
+    for t in range(t_new):
+        k_cache = jax.lax.dynamic_update_slice_in_dim(
+            k_cache, k_new[:, :, t : t + 1, :].astype(k_cache.dtype),
+            plan["w"][t], axis=2,
+        )
+        v_cache = jax.lax.dynamic_update_slice_in_dim(
+            v_cache, v_new[:, :, t : t + 1, :].astype(v_cache.dtype),
+            plan["w"][t], axis=2,
+        )
+    return k_cache, v_cache
+
+
+def update_valid_bitmap(
+    valid: jax.Array, plan: dict, mask: Optional[jax.Array]
+) -> jax.Array:
+    """Mark the rows written this step valid per slot (False for inactive
+    slots — their ring rows hold garbage and stay masked)."""
+    b, _ = valid.shape
+    m = mask if mask is not None else jnp.ones((b,), bool)
+    t_new = plan["w"].shape[0]
+    for t in range(t_new):
+        valid = jax.lax.dynamic_update_slice_in_dim(
+            valid, m[:, None], plan["w"][t], axis=1
+        )
+    return valid
+
+
+def attend_global(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    plan: dict,
+    valid: jax.Array,
+    window: int,
+) -> jax.Array:
+    """Causal windowed attention with the global-ring plan + validity bitmap."""
+    head_dim = q.shape[-1]
+    scale = 1.0 / math.sqrt(head_dim)
+    scores = jnp.einsum(
+        "bhtd,bhcd->bhtc",
+        q,
+        k_cache.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores * scale
+    k_pos = plan["k_pos"][None, :]  # (1, C)
+    q_pos = plan["q_pos"][None, :]  # (1, T)
+    ok = (
+        (k_pos[:, None, :] >= 0)
+        & (k_pos[:, None, :] <= q_pos[:, :, None])
+        & (q_pos[:, :, None] - k_pos[:, None, :] < window)
+    )  # (1, T, C)
+    ok = ok & valid[:, None, :]  # (B, T, C)
+    scores = jnp.where(ok[:, None, :, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhtc,bhcd->bhtd",
+        probs.astype(v_cache.dtype),
+        v_cache,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
 def ring_plan(
     pos: jax.Array, context: int, t_new: int, mask: Optional[jax.Array] = None
 ) -> dict:

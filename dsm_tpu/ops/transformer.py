@@ -106,28 +106,43 @@ def init(cfg: TransformerConfig, key: jax.Array, dtype=jnp.float32) -> dict:
 def init_state(
     cfg: TransformerConfig, batch: int, cache_dtype=jnp.bfloat16, step_t: int = 1
 ) -> dict:
-    """Ring caches sized ``context + step_t - 1`` so a step_t-frame append
-    never evicts keys still visible to the step's first query."""
-    l, h, hd = cfg.num_layers, cfg.num_heads, cfg.hd
+    """Streaming state: per-layer KV rings + global tick + validity bitmap.
+
+    * Rings are sized ``context + step_t - 1`` so a step_t-frame append never
+      evicts keys still visible to the step's first query (the reference
+      keeps ``context + t`` entries; transformer.rs:497-506).
+    * ``pos`` is a single global tick counter shared by all slots; per-slot
+      lifecycle lives in the ``valid (B, cap)`` bitmap.  KV writes are then
+      scalar-indexed dynamic_update_slices (in-place), never scatters.
+    * Per-layer caches are separate arrays (not stacked) so XLA can alias
+      every update without copying the stack.
+    """
+    h, hd = cfg.num_heads, cfg.hd
     cap = cfg.context + step_t - 1
     return {
-        "k": jnp.zeros((l, batch, h, cap, hd), cache_dtype),
-        "v": jnp.zeros((l, batch, h, cap, hd), cache_dtype),
-        "pos": jnp.zeros((batch,), jnp.int32),
+        "layers": [
+            {
+                "k": jnp.zeros((batch, h, cap, hd), cache_dtype),
+                "v": jnp.zeros((batch, h, cap, hd), cache_dtype),
+            }
+            for _ in range(cfg.num_layers)
+        ],
+        "pos": jnp.zeros((), jnp.int32),
+        "valid": jnp.zeros((batch, cap), bool),
     }
 
 
 def reset_state(state: dict, reset_mask: jax.Array) -> dict:
-    """Per-slot reset: zero the position counter only.
+    """Per-slot reset: clear the slot's validity bitmap row.
 
-    Stale ring entries resolve to k_pos < 0 (or > q_pos) and are masked out,
-    so the K/V buffers themselves never need clearing — this is the
-    reference's reset_batch_idx (kv_cache.rs:111-117) at zero HBM cost.
+    The KV buffers and the global tick are untouched — stale entries stay
+    masked until overwritten.  This is the reference's reset_batch_idx
+    (kv_cache.rs:111-117) at (B, C)-bool HBM cost.
     """
     return {
-        "k": state["k"],
-        "v": state["v"],
-        "pos": jnp.where(reset_mask, 0, state["pos"]),
+        "layers": state["layers"],
+        "pos": state["pos"],
+        "valid": jnp.where(reset_mask[:, None], False, state["valid"]),
     }
 
 
@@ -232,47 +247,46 @@ def step(
     T is the (static) number of new frames this step (1 for the LM, 2 for the
     Mimi codec transformer).  ``ca_kv`` is the stacked per-layer
     cross-attention KV from :func:`precompute_ca_kv`.
+
+    Layers are unrolled in Python over per-layer cache dicts: every KV
+    append is a scalar-indexed in-place update on its own buffer, which XLA
+    aliases without copies (a scan carrying the stacked caches would
+    materialise the whole multi-GB stack every step).
     """
     b, t, _ = x.shape
-    pos = state["pos"]
-    capacity = state["k"].shape[3]
-    plan = attn.ring_plan(pos, capacity, t, mask)
+    capacity = state["layers"][0]["k"].shape[2]
+    plan = attn.global_ring_plan(state["pos"], capacity, t)
+    valid = attn.update_valid_bitmap(state["valid"], plan, mask)
 
+    q_pos_b = jnp.broadcast_to(plan["q_pos"][None, :], (b, t))
     rope = None
     if cfg.positional_embedding == "rope":
-        rope = attn.rope_cos_sin(plan["q_pos"], cfg.hd, cfg.max_period)
+        rope = attn.rope_cos_sin(q_pos_b, cfg.hd, cfg.max_period)
     elif cfg.positional_embedding == "sin":
-        x = _pos_embed_sin(cfg, x, plan["q_pos"])
+        x = _pos_embed_sin(cfg, x, q_pos_b)
 
-    def body(xc, per_layer):
-        if ca_kv is None:
-            lp, k_l, v_l = per_layer
-            ca_k = ca_v = None
-        else:
-            lp, k_l, v_l, ca_k, ca_v = per_layer
-        xn = norm_mod.apply_norm(cfg.norm_kind, lp["norm1"], xc)
+    new_layers = []
+    for l in range(cfg.num_layers):
+        lp = jax.tree_util.tree_map(lambda a: a[l], params)
+        k_l = state["layers"][l]["k"]
+        v_l = state["layers"][l]["v"]
+        xn = norm_mod.apply_norm(cfg.norm_kind, lp["norm1"], x)
         q, k, v = _qkv(cfg, lp, xn)
         if rope is not None:
             q = attn.apply_rope(q, *rope)
             k = attn.apply_rope(k, *rope)
-        k_l, v_l = attn.ring_write(k_l, v_l, k, v, plan, mask)
-        y = attn.attend_kv(
-            q, k_l, v_l, plan["q_pos"], plan["k_pos"], window=cfg.context
-        )
+        k_l, v_l = attn.ring_write_global(k_l, v_l, k, v, plan)
+        y = attn.attend_global(q, k_l, v_l, plan, valid, window=cfg.context)
         y = _proj_out(cfg, lp, y, b, t)
         if "layer_scale_1" in lp:
             y = y * lp["layer_scale_1"].astype(y.dtype)
-        xc = xc + y
-        if ca_k is not None:
-            xc = _cross_block(cfg, lp, xc, ca_k, ca_v)
-        xc = _mlp_block(cfg, lp, xc)
-        return xc, (k_l, v_l)
+        x = x + y
+        if ca_kv is not None:
+            x = _cross_block(cfg, lp, x, ca_kv[0][l], ca_kv[1][l])
+        x = _mlp_block(cfg, lp, x)
+        new_layers.append({"k": k_l, "v": v_l})
 
-    xs = (params, state["k"], state["v"])
-    if ca_kv is not None:
-        xs = xs + ca_kv
-    y, (k_new, v_new) = jax.lax.scan(body, x, xs)
-    return y, {"k": k_new, "v": v_new, "pos": plan["new_pos"]}
+    return x, {"layers": new_layers, "pos": plan["new_pos"], "valid": valid}
 
 
 def forward(

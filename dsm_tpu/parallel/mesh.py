@@ -1,0 +1,104 @@
+"""Device mesh + sharding rules for multi-chip serving.
+
+The reference is single-GPU (SURVEY.md §5: no distributed backend; batch
+parallelism only).  The TPU-native analogue: shard the continuous batch
+across chips over ICI with ``jax.sharding`` (pure data parallel, weights
+replicated — these models are <= 2.6B), with optional tensor parallelism over
+attention heads / MLP hidden for the larger presets.  XLA/GSPMD inserts the
+collectives; nothing here hand-schedules communication.
+
+Mesh axes:
+  * ``dp`` — continuous-batch slots (each chip owns B/dp streams' state)
+  * ``tp`` — attention heads + MLP hidden (all-reduce over ICI per block)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp is None:
+        dp = n // tp
+    if dp * tp != n:
+        raise ValueError(f"dp*tp = {dp}*{tp} != {n} devices")
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def _spec_for_param(path: str, leaf) -> P:
+    """TP sharding rules for stacked transformer layer params.
+
+    Leaves have a leading num_layers axis.  Column-parallel for the input
+    projections (shard the fused output dim), row-parallel for the output
+    projections (shard the input dim) — the standard Megatron split, which
+    GSPMD turns into one psum per attention/MLP block over ICI.
+    """
+    if path.endswith("in_proj_w") or path.endswith("ca_q_w") or path.endswith("ca_kv_w"):
+        return P(None, "tp", None)
+    if path.endswith("out_proj_w") or path.endswith("ca_out_w"):
+        return P(None, None, "tp")
+    if path.endswith("mlp/linear_in") or path.endswith("mlp/linear1"):
+        return P(None, "tp", None)
+    if path.endswith("mlp/linear_out") or path.endswith("mlp/linear2"):
+        return P(None, None, "tp")
+    return P()  # replicated
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+    return "/".join(parts)
+
+
+def shard_transformer_params(mesh: Mesh, params, tp: bool = True):
+    """Place stacked transformer params on the mesh (TP-sharded or replicated)."""
+
+    def place(path, leaf):
+        spec = _spec_for_param(_path_str(path), leaf) if tp else P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())), tree
+    )
+
+
+def _batch_spec(leaf, known_batch: int) -> P:
+    """Shard the batch axis of a state leaf on dp.
+
+    Per-layer KV rings are (B, H, C, Dh): batch over dp, heads over tp.
+    Everything else in session state is batch-leading (conv carries,
+    validity bitmaps, token buffers) or a replicated scalar (global tick).
+    """
+    if leaf.ndim == 4 and leaf.shape[0] == known_batch:
+        return P("dp", "tp", None, None)
+    if leaf.ndim >= 1 and leaf.shape[0] == known_batch:
+        return P(*(("dp",) + (None,) * (leaf.ndim - 1)))
+    return P()
+
+
+def shard_batched_state(mesh: Mesh, state, batch: int):
+    """Place a session state pytree: batch over dp, KV heads over tp."""
+
+    def place(leaf):
+        return jax.device_put(leaf, NamedSharding(mesh, _batch_spec(leaf, batch)))
+
+    return jax.tree_util.tree_map(place, state)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("dp"))

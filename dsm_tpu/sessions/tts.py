@@ -1,0 +1,287 @@
+"""Streaming TTS session state machine.
+
+Reference: moshi-core/src/tts_streaming.rs.  Per 80 ms frame:
+
+  * build the delayed audio-token inputs (semantic codebook delay 0,
+    acoustic codebooks delay ``acoustic_delay``; during the initial
+    ``text_audio_delay_in_tokens`` window the non-pad tokens are *absent*,
+    i.e. contribute no embedding — tts_streaming.rs:126-149),
+  * run the LM (voice conditioning through cross-attention, optional
+    classifier-free guidance as a doubled batch),
+  * pick the text token under the host's constraint (the model never
+    free-runs text in TTS: words are teacher-forced, the model only chooses
+    pad vs end-of-word — tts_streaming.rs:179-199),
+  * sample the audio codebooks with the DepFormer and write them at their
+    delayed buffer positions.
+
+TPU-native design: the whole step — including the delayed-buffer reads and
+writes, which the reference does with host Vec<Vec<u32>> bookkeeping — is
+one jitted program over static buffers, with the step index as a traced
+scalar so no step ever recompiles.  The host only decides *which* constraint
+applies (it owns the word queue) and reads back completed audio frames.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import lm as LM
+from ..ops import sampling as S
+
+UNGENERATED = -1  # buffer slots not yet written (reference uses u32::MAX)
+
+# Constraint modes for the text token (AllowedTokens; tts_streaming.rs:61-66).
+ALLOW_TEXT = 0  # force a given token id (the next word-piece)
+ALLOW_PAD = 1  # force pad
+ALLOW_PAD_OR_EPAD = 2  # model chooses pad, anything else becomes eop
+
+
+@dataclasses.dataclass(frozen=True)
+class TtsConfig:
+    """Generation constants (tts_streaming.rs:12-45, Config::v202501)."""
+
+    lm: LM.LmConfig
+    acoustic_delay: int = 2
+    text_pad_token: int = 3
+    text_bos_token: int = 1
+    text_eos_token: int = 2
+    text_eop_token: int = 0
+    text_start_token: int = 8000
+    text_audio_delay_in_tokens: int = 25  # 2 s at 12.5 Hz
+    max_consecutive_pads: int = 10
+    extra_steps: int = 5
+    max_steps: int = 4096
+    speaker_cond_duration_s: float = 10.0
+    speaker_cond_dim: int = 2048
+    speaker_cond_n_speakers: int = 5
+    temperature: float = 0.8
+    top_k: int = 250
+    text_temperature: float = 0.6
+    text_top_k: int = 25
+    cfg_alpha: Optional[float] = None
+
+    @property
+    def n_codebooks(self) -> int:
+        return self.lm.generated_codebooks
+
+
+def init_state(cfg: TtsConfig, batch: int, cache_dtype=jnp.bfloat16) -> dict:
+    k = cfg.n_codebooks
+    cap = cfg.max_steps + cfg.acoustic_delay
+    return {
+        "lm": LM.init_state(cfg.lm, batch, cache_dtype),
+        # Generated audio tokens per step (B, cap, K); UNGENERATED until the
+        # delayed write lands (tts_streaming.rs audio_tokens buffer).
+        "audio_tokens": jnp.full((batch, cap, k), UNGENERATED, jnp.int32),
+        "text_tokens": jnp.full((batch, cap), UNGENERATED, jnp.int32),
+        "consecutive_pads": jnp.zeros((batch,), jnp.int32),
+        "prev_text": jnp.full((batch,), cfg.text_start_token, jnp.int32),
+        "step_idx": jnp.zeros((), jnp.int32),
+    }
+
+
+def _delayed_input_tokens(cfg: TtsConfig, state: dict) -> jax.Array:
+    """Audio-token inputs for this step, (B, K) with -1 = absent.
+
+    Implements tts_streaming.rs:126-149 as pure arithmetic over the step
+    index: pad during the per-codebook delay, absent ("literal zeros")
+    during the text-audio window, otherwise the delayed buffer read.
+    """
+    s = state["step_idx"]
+    buf = state["audio_tokens"]
+    b, _, k = buf.shape
+    pad = jnp.int32(cfg.lm.audio_pad_token)
+
+    delays = jnp.where(jnp.arange(k) == 0, 0, cfg.acoustic_delay)  # (K,)
+    read_pos = jnp.maximum(s - 1 - delays, 0)  # (K,)
+    read = jnp.take_along_axis(
+        buf, jnp.broadcast_to(read_pos[None, :, None], (b, k, 1)).transpose(0, 2, 1),
+        axis=1,
+    )[:, 0, :]  # (B, K) -- buf[b, s-1-delay_k, k]
+
+    in_delay = s <= delays  # pad window
+    in_zero = (~in_delay) & (s <= cfg.text_audio_delay_in_tokens + delays)
+    tok = jnp.where(in_delay[None, :], pad, read)
+    tok = jnp.where(in_zero[None, :], UNGENERATED, tok)
+    return tok
+
+
+def step(
+    cfg: TtsConfig,
+    params: dict,
+    state: dict,
+    allowed_mode: jax.Array,  # (B,) in {ALLOW_TEXT, ALLOW_PAD, ALLOW_PAD_OR_EPAD}
+    allowed_token: jax.Array,  # (B,) token id when mode == ALLOW_TEXT
+    rng: jax.Array,
+    ca_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
+    condition: Optional[jax.Array] = None,
+):
+    """One TTS frame step.  Returns ``(out, state')`` where out carries the
+    chosen text token and the completed (delay-resolved) audio frame, with
+    ``frame_valid`` false while the acoustic delay hasn't elapsed.
+
+    With classifier-free guidance (cfg.cfg_alpha), the batch is layout
+    [cond rows..., uncond rows...]; the uncond half runs without the voice
+    ca_kv and both halves receive identical tokens.
+    """
+    s = state["step_idx"]
+    lm_cfg = cfg.lm
+    b = allowed_mode.shape[0]
+
+    audio_in = _delayed_input_tokens(cfg, state)
+    text_in = state["prev_text"]
+
+    text_logits, hidden, lm_state = LM.step(
+        lm_cfg, params["lm"], state["lm"], text_in, audio_in,
+        ca_kv=ca_kv, condition=condition,
+    )
+
+    rng, k_text, k_dep = jax.random.split(rng, 3)
+    if cfg.cfg_alpha is not None:
+        half = b // 2
+        lc = text_logits[:half].astype(jnp.float32)
+        lu = text_logits[half:].astype(jnp.float32)
+        mixed = cfg.cfg_alpha * lc - (cfg.cfg_alpha - 1.0) * lu
+        text_logits_eff = jnp.concatenate([mixed, mixed], axis=0)
+    else:
+        text_logits_eff = text_logits.astype(jnp.float32)
+
+    sampled = S.sample(
+        S.SamplingConfig(cfg.text_temperature, cfg.text_top_k),
+        text_logits_eff, k_text,
+    )
+    # PadOrEpad: model output collapses to {pad, eop}; too many pads force
+    # eop (tts_streaming.rs:179-199).
+    pad_or_epad = jnp.where(
+        state["consecutive_pads"] > cfg.max_consecutive_pads,
+        jnp.int32(cfg.text_eop_token),
+        jnp.where(
+            sampled == cfg.text_pad_token,
+            jnp.int32(cfg.text_pad_token),
+            jnp.int32(cfg.text_eop_token),
+        ),
+    )
+    text_token = jnp.where(
+        allowed_mode == ALLOW_TEXT,
+        allowed_token,
+        jnp.where(
+            allowed_mode == ALLOW_PAD, jnp.int32(cfg.text_pad_token), pad_or_epad
+        ),
+    )
+    consecutive_pads = jnp.where(
+        text_token == cfg.text_pad_token, state["consecutive_pads"] + 1, 0
+    )
+
+    # DepFormer: skipped entirely during the text-audio delay window
+    # (tts_streaming.rs:201-219); pads are written instead.
+    forced = jnp.where(
+        jnp.logical_and(s < cfg.acoustic_delay, jnp.arange(cfg.n_codebooks) > 0),
+        jnp.int32(lm_cfg.audio_pad_token),
+        -1,
+    )
+
+    def run_dep(k_dep):
+        return LM.depformer_sample(
+            lm_cfg, params["lm"], hidden, text_token, forced, k_dep,
+            S.SamplingConfig(cfg.temperature, cfg.top_k),
+            cfg_alpha=cfg.cfg_alpha,
+        )
+
+    def skip_dep(k_dep):
+        return jnp.full((b, cfg.n_codebooks), lm_cfg.audio_pad_token, jnp.int32)
+
+    audio_tokens = jax.lax.cond(
+        s < cfg.text_audio_delay_in_tokens, skip_dep, run_dep, k_dep
+    )
+
+    # Write tokens at their delayed positions: codebook 0 at step s, others
+    # at s - acoustic_delay (only if still UNGENERATED;
+    # tts_streaming.rs:220-236).
+    buf = state["audio_tokens"]
+    k_arr = jnp.arange(cfg.n_codebooks)
+    delays = jnp.where(k_arr == 0, 0, cfg.acoustic_delay)
+    write_pos = jnp.maximum(s - delays, 0)  # (K,)
+    cur = jnp.take_along_axis(
+        buf,
+        jnp.broadcast_to(write_pos[None, :, None], (b, cfg.n_codebooks, 1)).transpose(0, 2, 1),
+        axis=1,
+    )[:, 0, :]
+    newval = jnp.where(cur == UNGENERATED, audio_tokens, cur)
+    # Scatter back one element per codebook (host batch is small for TTS).
+    b_idx = jnp.arange(b)[:, None]
+    k_idx = jnp.arange(cfg.n_codebooks)[None, :]
+    buf = buf.at[b_idx, write_pos[None, :], k_idx].set(newval)
+
+    text_buf = jax.lax.dynamic_update_slice_in_dim(
+        state["text_tokens"], text_token[:, None], s, axis=1
+    )
+
+    # Completed frame at s - acoustic_delay (post-increment convention:
+    # valid once step_idx+1 > acoustic_delay; tts_streaming.rs:275-287).
+    frame_pos = jnp.maximum(s - cfg.acoustic_delay, 0)
+    frame = jax.lax.dynamic_slice_in_dim(buf, frame_pos, 1, axis=1)[:, 0, :]
+    frame_complete = jnp.logical_and(
+        s >= cfg.acoustic_delay, jnp.all(frame != UNGENERATED, axis=1)
+    )
+    frame_audio_valid = jnp.logical_and(
+        frame_complete, jnp.all(frame < lm_cfg.audio_pad_token, axis=1)
+    )
+
+    out = {
+        "text_token": text_token,
+        "frame": frame,
+        "frame_valid": frame_audio_valid,
+        "step_idx": s + 1,
+    }
+    new_state = {
+        "lm": lm_state,
+        "audio_tokens": buf,
+        "text_tokens": text_buf,
+        "consecutive_pads": consecutive_pads,
+        "prev_text": text_token,
+        "step_idx": s + 1,
+    }
+    return out, new_state
+
+
+def overwrite_last_text_token(state: dict, token: int) -> dict:
+    """Host-side fixup used when the word queue catches up
+    (tts_streaming.rs:244-253)."""
+    s = state["step_idx"] - 1
+    text_buf = jax.lax.dynamic_update_slice_in_dim(
+        state["text_tokens"],
+        jnp.full((state["text_tokens"].shape[0], 1), token, jnp.int32),
+        s, axis=1,
+    )
+    out = dict(state)
+    out["text_tokens"] = text_buf
+    out["prev_text"] = jnp.full_like(state["prev_text"], token)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Prompt tokenization (tts_streaming.rs:308-332)
+# ---------------------------------------------------------------------------
+
+
+def tokenize_prompt(turns, bos: int, eos: int, encode) -> list:
+    """Multi-speaker turn tokenization: returns [(word_tokens, is_main)].
+
+    Even turns are the main speaker (bos inserted before their first word),
+    odd turns the other speaker.
+    """
+    prompt = []
+    for turn_idx, turn in enumerate(turns):
+        main = turn_idx % 2 == 0
+        token = bos if main else eos
+        for word_idx, word in enumerate(turn.split(" ")):
+            ids = list(encode(word))
+            if word_idx == 0 and main:
+                ids.insert(0, token)
+            if ids:
+                prompt.append((ids, main))
+    return prompt

@@ -124,9 +124,8 @@ def test_per_slot_reset_via_pos():
     xs = jax.random.normal(jax.random.PRNGKey(1), (5, b, 1, 16)) * 0.1
     for i in range(3):
         _, state = tfm.step(cfg, params, state, xs[i])
-    # Reset slot 1 (the TPU-native reset_batch_idx: pos -> 0).
-    state = dict(state)
-    state["pos"] = state["pos"].at[1].set(0)
+    # Reset slot 1 (the TPU-native reset_batch_idx: clear validity bitmap).
+    state = tfm.reset_state(state, jnp.array([False, True]))
     y4, state = tfm.step(cfg, params, state, xs[3])
 
     fresh = tfm.init_state(cfg, b, cache_dtype=jnp.float32)

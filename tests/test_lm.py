@@ -40,7 +40,7 @@ def test_lm_step_shapes_and_state():
     logits, hidden, state = lm.step(cfg, params, state, text, audio)
     assert logits.shape == (2, 10)
     assert hidden.shape == (2, 32)
-    assert state["t"]["pos"].tolist() == [1, 1]
+    assert int(state["t"]["pos"]) == 1  # global tick counter
     prs = lm.extra_heads_probs(cfg, params, hidden)
     assert prs.shape == (2, 2)
     assert jnp.all((prs >= 0) & (prs <= 1))
