@@ -1,0 +1,330 @@
+"""HTTP/WebSocket server (aiohttp) — the moshi-server equivalent.
+
+Routes (moshi-server/src/main.rs:989-1009, 1148-1686):
+  GET  /api/asr-streaming   msgpack WS, continuous-batched STT
+  GET  /api/tts_streaming   words in (text frames), msgpack audio out
+  POST /api/tts             offline synthesis -> WAV or JSON
+  GET  /api/status          capacity/uptime JSON
+  GET  /api/health          200 ok
+  GET  /metrics             prometheus text
+  GET  /api/build_info      build metadata
+  GET  /api/modules_info    configured modules
+
+Close codes, auth sources and message schemas are wire-compatible with the
+reference so its Rust clients (kyutai-cli stt/tts) connect unmodified over
+the PCM paths.  Timeouts mirror the reference: 120 s receive timeout
+(ClientTimeout), 360 s session hard cap (SessionTimeout)
+(batched_asr.rs:899-917, asr.rs:334-345).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import base64
+import json
+import time
+from typing import Optional
+
+import numpy as np
+from aiohttp import WSMsgType, web
+
+from . import auth as auth_mod
+from . import metrics
+from . import protocol as proto
+from .batched_asr import BatchedAsrEngine, Events
+
+RECV_TIMEOUT_S = 120.0
+SESSION_TIMEOUT_S = 360.0
+PING_INTERVAL_S = 10.0
+
+START_TIME = time.time()
+
+
+def build_info() -> dict:
+    import jax
+
+    from .. import __version__
+
+    return {
+        "version": __version__,
+        "framework": "dsm-tpu (jax/xla/pallas)",
+        "jax_version": jax.__version__,
+        "backend": jax.default_backend(),
+    }
+
+
+class App:
+    def __init__(
+        self,
+        asr_engine: Optional[BatchedAsrEngine] = None,
+        tts_engine=None,
+        auth_ctx: Optional[auth_mod.AuthContext] = None,
+        instance_name: str = "dsm-tpu",
+        asr_path: str = "/api/asr-streaming",
+        tts_path: str = "/api/tts",
+        tts_streaming_path: str = "/api/tts_streaming",
+    ):
+        self.asr_engine = asr_engine
+        self.tts_engine = tts_engine
+        self.auth = auth_ctx or auth_mod.AuthContext(enabled=False)
+        self.instance_name = instance_name
+        self.web_app = web.Application()
+        r = self.web_app.router
+        if asr_engine is not None:
+            r.add_get(asr_path, self.handle_asr_ws)
+        if tts_engine is not None:
+            r.add_post(tts_path, self.handle_tts_post)
+            r.add_get(tts_streaming_path, self.handle_tts_ws)
+        r.add_get("/api/status", self.handle_status)
+        r.add_get("/api/health", self.handle_health)
+        r.add_get("/metrics", self.handle_metrics)
+        r.add_get("/api/build_info", self.handle_build_info)
+        r.add_get("/api/modules_info", self.handle_modules_info)
+
+    # -- helpers --
+
+    def _check_auth(self, request) -> Optional[web.Response]:
+        try:
+            self.auth.check(request.headers, dict(request.query), request.cookies)
+            return None
+        except auth_mod.AuthError as e:
+            metrics.AUTH_ERRORS.labels(code=e.code).inc()
+            return web.json_response(e.to_json(), status=e.status)
+
+    # -- plain endpoints --
+
+    async def handle_health(self, request):
+        return web.json_response({"status": "ok"})
+
+    async def handle_status(self, request):
+        used = self.asr_engine.used_slots() if self.asr_engine else 0
+        cap = self.asr_engine.batch_size if self.asr_engine else 0
+        return web.json_response(
+            {
+                "instance_name": self.instance_name,
+                "uptime_s": round(time.time() - START_TIME, 1),
+                "capacity": {"total": cap, "used": used, "available": cap - used},
+                "modules": self._modules(),
+            }
+        )
+
+    async def handle_metrics(self, request):
+        metrics.update_device_memory()
+        return web.Response(
+            body=metrics.render(), content_type="text/plain", charset="utf-8"
+        )
+
+    async def handle_build_info(self, request):
+        return web.json_response(build_info())
+
+    def _modules(self):
+        mods = []
+        if self.asr_engine is not None:
+            mods.append({"type": "BatchedAsr", "batch_size": self.asr_engine.batch_size})
+        if self.tts_engine is not None:
+            mods.append({"type": "Tts"})
+        return mods
+
+    async def handle_modules_info(self, request):
+        return web.json_response({"modules": self._modules()})
+
+    # -- ASR websocket --
+
+    async def handle_asr_ws(self, request):
+        err = self._check_auth(request)
+        if err is not None:
+            return err
+        ws = web.WebSocketResponse(heartbeat=PING_INTERVAL_S)
+        await ws.prepare(request)
+        metrics.ASR_CONNECT.inc()
+
+        loop = asyncio.get_running_loop()
+        out_q: asyncio.Queue = asyncio.Queue()
+
+        def deliver(ev: Events):
+            loop.call_soon_threadsafe(out_q.put_nowait, ev)
+
+        ch = self.asr_engine.open_channel(deliver)
+        if ch is None:
+            metrics.WS_CLOSE_ERRORS.labels(
+                code=str(int(proto.CloseCode.SERVER_AT_CAPACITY))
+            ).inc()
+            await ws.close(
+                code=int(proto.CloseCode.SERVER_AT_CAPACITY),
+                message=proto.CloseCode.SERVER_AT_CAPACITY.reason.encode(),
+            )
+            return ws
+
+        await ws.send_bytes(proto.asr_ready())
+        session_deadline = time.time() + SESSION_TIMEOUT_S
+        close_code = proto.CloseCode.NORMAL
+
+        async def sender():
+            while True:
+                ev: Events = await out_q.get()
+                if ev is None:
+                    return
+                for w in ev.words:
+                    from ..sessions.asr import EndWordEvent, WordEvent
+
+                    if isinstance(w, WordEvent):
+                        text = self.asr_engine_tokenizer_decode(w.tokens)
+                        await ws.send_bytes(proto.asr_word(text, w.start_time))
+                    elif isinstance(w, EndWordEvent):
+                        await ws.send_bytes(proto.asr_end_word(w.stop_time))
+                if ev.prs is not None:
+                    await ws.send_bytes(
+                        proto.asr_step(
+                            ev.step_idx,
+                            [float(p) for p in ev.prs],
+                            ch.buffered_samples(),
+                        )
+                    )
+                for mid in ev.markers:
+                    await ws.send_bytes(proto.asr_marker(mid))
+
+        send_task = asyncio.create_task(sender())
+        try:
+            while True:
+                timeout = min(RECV_TIMEOUT_S, session_deadline - time.time())
+                if timeout <= 0:
+                    close_code = proto.CloseCode.SESSION_TIMEOUT
+                    break
+                try:
+                    msg = await ws.receive(timeout=timeout)
+                except asyncio.TimeoutError:
+                    close_code = proto.CloseCode.CLIENT_TIMEOUT
+                    break
+                if msg.type in (WSMsgType.CLOSE, WSMsgType.CLOSING, WSMsgType.CLOSED, WSMsgType.ERROR):
+                    break
+                if msg.type != WSMsgType.BINARY:
+                    continue
+                if metrics.stream_metrics_enabled():
+                    metrics.STREAM_IN_MESSAGES.labels(module="asr").inc()
+                    metrics.STREAM_IN_BYTES.labels(module="asr").inc(len(msg.data))
+                try:
+                    m = proto.asr_in_msg(msg.data)
+                except Exception:
+                    close_code = proto.CloseCode.INVALID_MESSAGE
+                    break
+                t = m["type"]
+                if t == "Audio":
+                    ch.push_pcm(np.asarray(m["pcm"], np.float32))
+                elif t == "Marker":
+                    self.asr_engine.add_marker(ch, int(m["id"]))
+                elif t == "OggOpus":
+                    await ws.send_bytes(
+                        proto.asr_error("opus decode not available; send pcm")
+                    )
+                elif t in ("Init", "Ping"):
+                    pass
+        finally:
+            self.asr_engine.close_channel(ch)
+            send_task.cancel()
+            if close_code != proto.CloseCode.NORMAL:
+                metrics.WS_CLOSE_ERRORS.labels(code=str(int(close_code))).inc()
+            if not ws.closed:
+                await ws.close(
+                    code=int(close_code), message=close_code.reason.encode()
+                )
+        return ws
+
+    def asr_engine_tokenizer_decode(self, tokens):
+        tok = getattr(self.asr_engine, "tokenizer", None)
+        if tok is None:
+            return " ".join(str(t) for t in tokens)
+        return tok.decode(list(tokens))
+
+    # -- TTS --
+
+    async def handle_tts_post(self, request):
+        err = self._check_auth(request)
+        if err is not None:
+            return err
+        body = await request.json()
+        text = body.get("text", "")
+        seed = int(body.get("seed", 0))
+        loop = asyncio.get_running_loop()
+        pcm, transcript = await loop.run_in_executor(
+            None, lambda: self.tts_engine.synthesize(text, seed=seed)
+        )
+        from ..utils.audio import wav_bytes
+
+        accept = request.headers.get("accept", "")
+        wav = wav_bytes(pcm, 24_000)
+        if "application/json" in accept:
+            return web.json_response(
+                {
+                    "audio_base64": base64.b64encode(wav).decode(),
+                    "transcript": [
+                        {"text": w.text, "start_s": w.start_s, "stop_s": w.stop_s}
+                        for w in transcript
+                    ],
+                }
+            )
+        return web.Response(body=wav, content_type="audio/wav")
+
+    async def handle_tts_ws(self, request):
+        err = self._check_auth(request)
+        if err is not None:
+            return err
+        ws = web.WebSocketResponse(heartbeat=PING_INTERVAL_S)
+        await ws.prepare(request)
+        await ws.send_bytes(proto.tts_ready())
+
+        from .tts_module import AudioEvent, TtsSession, WordEvent
+
+        loop = asyncio.get_running_loop()
+        out_q: asyncio.Queue = asyncio.Queue()
+        session = TtsSession(self.tts_engine)
+        inserted_bos = False
+
+        def on_event(ev):
+            loop.call_soon_threadsafe(out_q.put_nowait, ev)
+
+        def run_session():
+            try:
+                # Single-inference mutex like the reference (tts.rs:31,374).
+                with self.tts_engine.lock:
+                    session.run(on_event, word_timeout=RECV_TIMEOUT_S)
+            finally:
+                loop.call_soon_threadsafe(out_q.put_nowait, None)
+
+        run_task = loop.run_in_executor(None, run_session)
+
+        async def sender():
+            while True:
+                ev = await out_q.get()
+                if ev is None:
+                    return
+                if isinstance(ev, AudioEvent):
+                    await ws.send_bytes(proto.tts_audio([float(x) for x in ev.pcm]))
+                elif isinstance(ev, WordEvent):
+                    await ws.send_bytes(proto.tts_text(ev.text, ev.start_s, ev.stop_s))
+
+        send_task = asyncio.create_task(sender())
+        try:
+            while not session.done:
+                msg = await ws.receive(timeout=RECV_TIMEOUT_S)
+                if msg.type == WSMsgType.TEXT:
+                    words, inserted_bos = self.tts_engine.encode_words(
+                        msg.data, inserted_bos
+                    )
+                    session.feed_words(words)
+                elif msg.type == WSMsgType.BINARY:
+                    if msg.data == proto.TTS_EOS:
+                        session.end_input()
+                elif msg.type in (WSMsgType.CLOSE, WSMsgType.CLOSING, WSMsgType.CLOSED, WSMsgType.ERROR):
+                    break
+        except asyncio.TimeoutError:
+            pass
+        finally:
+            session.end_input()
+            await run_task
+            await send_task
+            if not ws.closed:
+                await ws.close()
+        return ws
+
+    def run(self, host: str = "0.0.0.0", port: int = 8080):
+        web.run_app(self.web_app, host=host, port=port)

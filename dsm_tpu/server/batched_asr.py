@@ -1,0 +1,279 @@
+"""Continuous-batching streaming ASR engine.
+
+Reference: moshi-server/src/batched_asr.rs — a fixed slot pool with free/
+active tracking, per-connection pcm mailboxes, a persistent model loop that
+packs one (B, 1, 1920) frame per tick, markers flushed at the right step,
+and per-slot reset on reuse.
+
+TPU-native split: the reference runs three pipeline threads (mimi encode /
+LM step / post-process) because those are separate GPU calls; here Mimi +
+delay logic + LM + sampling are ONE fused jitted step (sessions/asr.step),
+so the engine needs a single device thread: gather mailboxes -> step ->
+scatter events.  Slot lifecycle (mask/reset vectors) is data, not control
+flow — no recompilation ever happens after warmup.
+
+The engine is transport-agnostic: WebSocket wiring lives in app.py, and
+tests drive the engine directly (the reference has no equivalent test; its
+batching is only exercised in production).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import heapq
+import itertools
+import threading
+import time
+from collections import deque
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..sessions import asr as ASR
+from . import metrics
+
+FRAME_SIZE = 1920  # 80 ms at 24 kHz (batched_asr.rs:26)
+
+
+@dataclasses.dataclass
+class Events:
+    """Per-tick events for one slot, delivered to its connection."""
+
+    slot: int
+    channel_id: int
+    words: List[object]
+    markers: List[int]
+    step_idx: int
+    prs: Optional[np.ndarray]
+
+
+class Channel:
+    """Per-connection mailbox (batched_asr.rs Channel :70-124)."""
+
+    _ids = itertools.count(1)
+
+    def __init__(self, slot: int, deliver: Callable[[Events], None]):
+        self.slot = slot
+        self.channel_id = next(Channel._ids)
+        self.pcm = deque()  # float chunks
+        self.pcm_samples = 0
+        self.markers: List[tuple] = []  # (due_step, marker_id) heap
+        self.deliver = deliver
+        self.lock = threading.Lock()
+        self.closed = False
+        self.steps = 0
+        self.created = time.time()
+        self.last_data = time.time()
+
+    def push_pcm(self, pcm: np.ndarray) -> None:
+        with self.lock:
+            self.pcm.append(np.asarray(pcm, np.float32))
+            self.pcm_samples += len(pcm)
+            self.last_data = time.time()
+
+    def buffered_samples(self) -> int:
+        return self.pcm_samples
+
+    def take_frame(self) -> Optional[np.ndarray]:
+        with self.lock:
+            if self.pcm_samples < FRAME_SIZE:
+                return None
+            out = np.empty(FRAME_SIZE, np.float32)
+            need = FRAME_SIZE
+            pos = 0
+            while need > 0:
+                chunk = self.pcm[0]
+                if len(chunk) <= need:
+                    out[pos : pos + len(chunk)] = chunk
+                    pos += len(chunk)
+                    need -= len(chunk)
+                    self.pcm.popleft()
+                else:
+                    out[pos:] = chunk[:need]
+                    self.pcm[0] = chunk[need:]
+                    pos += need
+                    need = 0
+            self.pcm_samples -= FRAME_SIZE
+            return out
+
+
+class BatchedAsrEngine:
+    """Slot pool + device loop.  One instance per ASR module."""
+
+    def __init__(
+        self,
+        cfg: ASR.AsrConfig,
+        params,
+        batch_size: int,
+        condition=None,
+        step_fn=None,
+        tick_sleep: float = 0.002,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.params = params
+        self.condition = condition
+        self.tick_sleep = tick_sleep
+
+        if step_fn is None:
+            def _step(params, state, pcm, mask, reset, rng):
+                return ASR.step(cfg, params, state, pcm, mask, reset, rng, condition)
+
+            step_fn = jax.jit(_step, donate_argnums=(1,))
+        self.step_fn = step_fn
+        self.cache_dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+        self.state = ASR.init_state(cfg, batch_size, self.cache_dtype)
+        self.word_state = ASR.WordState(cfg, batch_size)
+        self.rng = jax.random.PRNGKey(int(time.time()))
+
+        self.slots: List[Optional[Channel]] = [None] * batch_size
+        self.free: deque = deque(range(batch_size))
+        self.pending_resets = np.zeros(batch_size, bool)
+        self.slot_lock = threading.Lock()
+        self.running = False
+        self.thread: Optional[threading.Thread] = None
+        self.step_count = 0
+        self._pcm_buf = np.zeros((batch_size, 1, FRAME_SIZE), np.float32)
+
+    # -- slot lifecycle (batched_asr.rs channels() :795-808) --
+
+    def used_slots(self) -> int:
+        with self.slot_lock:
+            return self.batch_size - len(self.free)
+
+    def open_channel(self, deliver: Callable[[Events], None]) -> Optional[Channel]:
+        with self.slot_lock:
+            if not self.free:
+                return None
+            slot = self.free.popleft()
+            ch = Channel(slot, deliver)
+            self.slots[slot] = ch
+            self.pending_resets[slot] = True
+            self.word_state.reset_slot(slot)
+        metrics.ASR_OPEN_CHANNELS.set(self.used_slots())
+        return ch
+
+    def close_channel(self, ch: Channel) -> None:
+        with self.slot_lock:
+            ch.closed = True
+            if self.slots[ch.slot] is ch:
+                self.slots[ch.slot] = None
+                self.free.append(ch.slot)
+        metrics.ASR_OPEN_CHANNELS.set(self.used_slots())
+        metrics.ASR_STEPS_PER_CONNECTION.observe(max(ch.steps, 0))
+
+    def add_marker(self, ch: Channel, marker_id: int) -> None:
+        """Marker is due once all audio buffered *before* it has been decoded
+        plus the ASR delay (batched_asr.rs marker heap :405-430)."""
+        with ch.lock:
+            frames_ahead = ch.pcm_samples // FRAME_SIZE
+        due = ch.steps + frames_ahead + self.cfg.asr_delay_in_tokens
+        heapq.heappush(ch.markers, (due, marker_id))
+
+    # -- device loop --
+
+    def start(self) -> None:
+        self.running = True
+        self.thread = threading.Thread(target=self._loop, name="asr-model-loop", daemon=True)
+        self.thread.start()
+
+    def stop(self) -> None:
+        self.running = False
+        if self.thread:
+            self.thread.join(timeout=5)
+
+    def warmup(self, steps: int = 2) -> None:
+        """Run zero-frames through the full stack (batched_asr.rs:227-240)."""
+        import jax
+
+        zeros = np.zeros((self.batch_size, 1, FRAME_SIZE), np.float32)
+        mask = np.zeros(self.batch_size, bool)
+        reset = np.zeros(self.batch_size, bool)
+        try:
+            for _ in range(steps):
+                self.rng, sub = jax.random.split(self.rng)
+                out, self.state = self.step_fn(
+                    self.params, self.state, zeros, mask, reset, sub
+                )
+            jax.block_until_ready(out["text_token"])
+            metrics.WARMUP_SUCCESS.inc()
+        except Exception:
+            metrics.WARMUP_FAILURE.inc()
+            raise
+
+    def tick(self) -> bool:
+        """One engine tick; returns True if any slot stepped."""
+        import jax
+
+        mask = np.zeros(self.batch_size, bool)
+        reset = np.zeros(self.batch_size, bool)
+        chans: List[Optional[Channel]] = [None] * self.batch_size
+
+        with self.slot_lock:
+            reset[:] = self.pending_resets
+            self.pending_resets[:] = False
+            for slot, ch in enumerate(self.slots):
+                if ch is None or ch.closed:
+                    continue
+                frame = ch.take_frame()
+                if frame is not None:
+                    self._pcm_buf[slot, 0, :] = frame
+                    mask[slot] = True
+                    chans[slot] = ch
+
+        if not mask.any() and not reset.any():
+            return False
+
+        t0 = time.perf_counter()
+        self.rng, sub = jax.random.split(self.rng)
+        out, self.state = self.step_fn(
+            self.params, self.state, self._pcm_buf, mask, reset, sub
+        )
+        text_tokens = np.asarray(out["text_token"])
+        step_idx = np.asarray(out["step_idx"])
+        prs = np.asarray(out["prs"]) if out["prs"].shape[-1] else None
+        dt = time.perf_counter() - t0
+        metrics.ASR_MODEL_STEP_DURATION.observe(dt)
+        metrics.LM_BATCH_UTILIZATION.set(float(mask.mean()))
+        self.step_count += 1
+
+        events = self.word_state.process(text_tokens, step_idx, mask)
+        by_slot: Dict[int, List[object]] = {}
+        for ev in events:
+            by_slot.setdefault(ev.batch_idx, []).append(ev)
+
+        for slot, ch in enumerate(chans):
+            if ch is None:
+                continue
+            ch.steps = int(step_idx[slot])
+            due_markers = []
+            while ch.markers and ch.markers[0][0] <= ch.steps:
+                due_markers.append(heapq.heappop(ch.markers)[1])
+            ev = Events(
+                slot=slot,
+                channel_id=ch.channel_id,
+                words=by_slot.get(slot, []),
+                markers=due_markers,
+                step_idx=ch.steps,
+                prs=prs[slot] if prs is not None else None,
+            )
+            # Generation check against stale sends (batched_asr.rs:115-123):
+            # deliver only if the slot still belongs to this channel.
+            if not ch.closed and self.slots[slot] is ch:
+                ch.deliver(ev)
+        return True
+
+    def _loop(self) -> None:
+        while self.running:
+            try:
+                if not self.tick():
+                    time.sleep(self.tick_sleep)
+            except Exception:
+                metrics.CONNECTION_ERRORS.inc()
+                import traceback
+
+                traceback.print_exc()
+                time.sleep(0.1)

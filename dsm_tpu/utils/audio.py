@@ -1,0 +1,96 @@
+"""Audio I/O: WAV read/write, resampling, mono downmix.
+
+Covers the reference's kaudio/symphonia usage for the PCM paths
+(moshi-core/src/wav.rs write_pcm_as_wav; moshi-server/src/utils.rs:263-305
+pcm_decode; client resamplers in kyutai-client-core/src/audio.rs).
+Compressed formats (mp3/ogg/opus) are gated behind optional backends — this
+environment ships no codec library; the wire protocols all support raw PCM.
+"""
+
+from __future__ import annotations
+
+import struct
+import wave
+from typing import Tuple
+
+import numpy as np
+
+
+def write_wav(path: str, pcm: np.ndarray, sample_rate: int = 24_000) -> None:
+    """Write mono float [-1, 1] pcm as 16-bit WAV (wav.rs write_pcm_as_wav)."""
+    pcm = np.asarray(pcm, np.float32).reshape(-1)
+    data = np.clip(pcm * 32768.0, -32768, 32767).astype("<i2").tobytes()
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(data)
+
+
+def wav_bytes(pcm: np.ndarray, sample_rate: int = 24_000) -> bytes:
+    """In-memory 16-bit WAV bytes (for the HTTP TTS response)."""
+    pcm = np.asarray(pcm, np.float32).reshape(-1)
+    data = np.clip(pcm * 32768.0, -32768, 32767).astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                 sample_rate * 2, 2, 16)
+    hdr += b"data" + struct.pack("<I", len(data))
+    return hdr + data
+
+
+def read_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Read a WAV file -> (mono float32 [-1,1], sample_rate)."""
+    with wave.open(path, "rb") as w:
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 2:
+        x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+    elif sw == 1:
+        x = (np.frombuffer(raw, "u1").astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported sample width {sw}")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)  # mono downmix
+    return x, sr
+
+
+def resample(pcm: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
+    """Polyphase resampling (the 'High' quality path of the reference's
+    client resampler)."""
+    if src_rate == dst_rate:
+        return np.asarray(pcm, np.float32)
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    g = gcd(src_rate, dst_rate)
+    return resample_poly(
+        np.asarray(pcm, np.float64), dst_rate // g, src_rate // g
+    ).astype(np.float32)
+
+
+def audio_level_db(pcm: np.ndarray) -> float:
+    """RMS level in dBFS (client-core AudioLevel metering)."""
+    rms = float(np.sqrt(np.mean(np.square(np.asarray(pcm, np.float64))) + 1e-12))
+    return 20.0 * np.log10(max(rms, 1e-9))
+
+
+def decode_audio(path: str, target_rate: int = 24_000) -> np.ndarray:
+    """Decode an audio file to mono float pcm at target_rate.
+
+    WAV natively; other containers via optional backends (none in this
+    image — raise a clear error like the reference does for unsupported
+    formats).
+    """
+    if path.lower().endswith(".wav"):
+        pcm, sr = read_wav(path)
+        return resample(pcm, sr, target_rate)
+    raise NotImplementedError(
+        f"no codec backend available for {path!r}; supply WAV/PCM "
+        "(mp3/ogg decode requires an external decoder not present in this "
+        "environment)"
+    )

@@ -1,0 +1,114 @@
+"""Continuous-batching engine: slot pool, masks/resets, markers, capacity."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dsm_tpu.server import batched_asr as eng
+from dsm_tpu.sessions import asr as ASR
+from tests.test_asr import make_params, small_asr_cfg
+
+
+def small_engine(batch=2):
+    cfg0 = small_asr_cfg()
+    # Engine FRAME_SIZE is the production 1920; the small test mimi uses 48.
+    # Patch the module constant scope-locally via a subclassed engine frame.
+    import jax
+
+    cfg = cfg0
+    params = make_params(cfg, jax.random.PRNGKey(0))
+    e = eng.BatchedAsrEngine(cfg, params, batch_size=batch)
+    # small config frame size
+    e._frame = cfg.mimi.frame_size
+    return e, cfg
+
+
+def test_slot_pool_capacity():
+    e, cfg = small_engine(batch=2)
+    got = []
+    c1 = e.open_channel(got.append)
+    c2 = e.open_channel(got.append)
+    assert c1 is not None and c2 is not None
+    assert e.open_channel(got.append) is None  # ServerAtCapacity
+    e.close_channel(c1)
+    c3 = e.open_channel(got.append)
+    assert c3 is not None and c3.slot == c1.slot
+    # Reused slot got flagged for reset.
+    assert e.pending_resets[c3.slot]
+
+
+def test_channel_frame_assembly():
+    eng.FRAME_SIZE, saved = 48, eng.FRAME_SIZE
+    try:
+        ch = eng.Channel(0, lambda ev: None)
+        ch.push_pcm(np.ones(30, np.float32))
+        assert ch.take_frame() is None
+        ch.push_pcm(np.ones(30, np.float32) * 2)
+        f = ch.take_frame()
+        assert f is not None and len(f) == 48
+        assert f[29] == 1 and f[30] == 2
+        assert ch.buffered_samples() == 12
+    finally:
+        eng.FRAME_SIZE = saved
+
+
+def test_engine_tick_and_markers():
+    saved = eng.FRAME_SIZE
+    try:
+        e, cfg = small_engine(batch=2)
+        eng.FRAME_SIZE = cfg.mimi.frame_size
+        e._pcm_buf = np.zeros((2, 1, cfg.mimi.frame_size), np.float32)
+        events = []
+        ch = e.open_channel(events.append)
+        rng = np.random.default_rng(0)
+        # queue 3 frames + a marker
+        ch.push_pcm(rng.standard_normal(cfg.mimi.frame_size * 3).astype(np.float32))
+        e.add_marker(ch, marker_id=7)
+        # marker due after 3 frames + asr_delay(2) = step 5
+        assert ch.markers[0][0] == 3 + cfg.asr_delay_in_tokens
+
+        n = 0
+        while e.tick():
+            n += 1
+        assert n == 3  # one tick per buffered frame
+        assert len(events) == 3
+        assert events[-1].step_idx == 3
+        assert all(ev.markers == [] for ev in events)
+        assert events[0].prs is not None and events[0].prs.shape == (2,)
+
+        # feed more frames so the marker comes due
+        ch.push_pcm(rng.standard_normal(cfg.mimi.frame_size * 2).astype(np.float32))
+        while e.tick():
+            pass
+        assert events[-1].step_idx == 5
+        assert events[-1].markers == [7]
+    finally:
+        eng.FRAME_SIZE = saved
+
+
+def test_engine_reset_on_reuse_isolates_streams():
+    saved = eng.FRAME_SIZE
+    try:
+        e, cfg = small_engine(batch=1)
+        eng.FRAME_SIZE = cfg.mimi.frame_size
+        e._pcm_buf = np.zeros((1, 1, cfg.mimi.frame_size), np.float32)
+        rng = np.random.default_rng(1)
+        pcm = rng.standard_normal(cfg.mimi.frame_size).astype(np.float32) * 0.1
+
+        evs1 = []
+        ch1 = e.open_channel(evs1.append)
+        ch1.push_pcm(pcm)
+        while e.tick():
+            pass
+        e.close_channel(ch1)
+
+        # Second stream on the same slot with identical audio must see
+        # identical step_idx/prs (fresh state).
+        evs2 = []
+        ch2 = e.open_channel(evs2.append)
+        ch2.push_pcm(pcm)
+        while e.tick():
+            pass
+        assert evs1[0].step_idx == evs2[0].step_idx == 1
+        np.testing.assert_allclose(evs1[0].prs, evs2[0].prs, rtol=2e-4, atol=1e-5)
+    finally:
+        eng.FRAME_SIZE = saved

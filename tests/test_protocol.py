@@ -1,0 +1,157 @@
+"""Protocol golden bytes + auth + config parsing.
+
+The msgpack golden test replicates the reference client's byte-level test
+(kyutai-client/src/stt/protocol.rs:64-110): tagged maps with exact keys.
+"""
+
+import os
+
+import msgpack
+import pytest
+
+from dsm_tpu.server import auth, config, protocol as proto
+
+
+def test_close_codes_and_retryable():
+    assert int(proto.CloseCode.SERVER_AT_CAPACITY) == 4000
+    assert int(proto.CloseCode.CLIENT_TIMEOUT) == 4006
+    assert proto.CloseCode.SERVER_AT_CAPACITY.is_retryable
+    assert proto.CloseCode.RATE_LIMITED.is_retryable
+    assert not proto.CloseCode.AUTHENTICATION_FAILED.is_retryable
+    assert not proto.CloseCode.SESSION_TIMEOUT.is_retryable
+    assert proto.CloseCode.SERVER_AT_CAPACITY.reason == "Server at capacity"
+
+
+def test_msg_type_tags():
+    assert proto.MsgType.HANDSHAKE == 0
+    assert proto.MsgType.AUDIO == 1
+    assert proto.MsgType.CODES == 9
+
+
+def test_asr_msgpack_golden():
+    data = proto.asr_word("hello", 1.5)
+    m = msgpack.unpackb(data, raw=False)
+    assert m == {"type": "Word", "text": "hello", "start_time": 1.5}
+
+    data = proto.asr_step(42, [0.5, 0.25], 1920)
+    m = msgpack.unpackb(data)
+    assert m["type"] == "Step" and m["step_idx"] == 42
+    assert m["buffered_pcm"] == 1920
+
+    # Client -> server messages round-trip.
+    payload = msgpack.packb({"type": "Audio", "pcm": [0.0, 0.5, -0.5]})
+    m = proto.asr_in_msg(payload)
+    assert m["type"] == "Audio" and m["pcm"][1] == 0.5
+
+    payload = msgpack.packb({"type": "Marker", "id": -3})
+    assert proto.asr_in_msg(payload)["id"] == -3
+
+    with pytest.raises(ValueError):
+        proto.asr_in_msg(msgpack.packb([1, 2, 3]))
+
+
+def test_tts_msgpack():
+    m = msgpack.unpackb(proto.tts_text("hi", 0.0, 0.4))
+    assert m == {"type": "Text", "text": "hi", "start_s": 0.0, "stop_s": 0.4}
+    m = msgpack.unpackb(proto.tts_audio([0.1, 0.2]))
+    assert m["type"] == "Audio" and len(m["pcm"]) == 2
+
+
+def test_jwt_roundtrip_and_approval_matrix():
+    secret = "test-secret-123"
+    tok = auth.generate_token("u1", "u@x.com", secret=secret)
+    claims = auth.validate_token(tok, secret=secret)
+    assert claims["user"]["id"] == "u1"
+
+    # Wrong secret refused.
+    with pytest.raises(auth.AuthError) as e:
+        auth.validate_token(tok, secret="other")
+    assert e.value.code == "jwt_validation_failed"
+
+    # Expired refused.
+    tok = auth.generate_token("u1", secret=secret, ttl_s=-10)
+    with pytest.raises(auth.AuthError) as e:
+        auth.validate_token(tok, secret=secret)
+    assert e.value.code == "expired_token"
+
+    # Approval matrix (auth.rs:209-252): approved/absent ok; pending,
+    # rejected and unknown statuses refused.
+    for status, ok, code in [
+        ("approved", True, None),
+        (None, True, None),
+        ("pending", False, "pending_approval"),
+        ("rejected", False, "account_rejected"),
+        ("weird", False, "account_rejected"),
+    ]:
+        claims = {"user": {"email": "e@x", "status": status}}
+        if ok:
+            auth.check_approval_status(claims)
+        else:
+            with pytest.raises(auth.AuthError) as e:
+                auth.check_approval_status(claims)
+            assert e.value.code == code
+
+
+def test_auth_context_sources():
+    secret = "s3"
+    ctx = auth.AuthContext(enabled=True, secret=secret)
+    tok = auth.generate_token("u2", secret=secret)
+    # header
+    ctx.check({"authorization": f"Bearer {tok}"}, {}, {})
+    # query
+    ctx.check({}, {"token": tok}, {})
+    # cookie
+    ctx.check({}, {}, {auth.SESSION_COOKIE: tok})
+    with pytest.raises(auth.AuthError):
+        ctx.check({}, {}, {})
+    # disabled -> passthrough
+    assert auth.AuthContext(enabled=False).check({}, {}, {}) is None
+
+
+REF_STT = "/root/reference/configs/stt/config-stt-en_fr-hf.toml"
+REF_TTS = "/root/reference/configs/tts/config-tts.toml"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_STT), reason="reference not mounted")
+def test_load_reference_stt_config():
+    cfg = config.Config.load(REF_STT)
+    m = cfg.modules["asr"]
+    assert m.type == "BatchedAsr"
+    assert m.path == "/api/asr-streaming"
+    assert m.asr_delay_in_tokens == 6
+    assert m.batch_size == 64
+    assert m.lm.transformer.d_model == 2048
+    assert m.lm.transformer.num_layers == 16
+    assert m.lm.transformer.context == 750
+    assert m.lm.transformer.norm == "rms_norm"
+    assert m.lm.transformer.positional_embedding == "rope"
+    assert m.lm.audio_codebooks == 32
+    assert m.lm.extra_heads == (4, 6)
+    assert m.lm.depformer is None
+
+
+@pytest.mark.skipif(not os.path.exists(REF_TTS), reason="reference not mounted")
+def test_load_reference_tts_config():
+    cfg = config.Config.load(REF_TTS)
+    m = cfg.modules["tts"]
+    assert m.type == "Tts"
+    assert m.lm.depformer is not None
+    assert m.lm.depformer.num_slices == 32
+    assert m.lm.depformer.low_rank_embeddings == 128
+    assert m.lm.transformer.cross_attention
+    assert m.generation["acoustic_delay"] == 2
+    assert m.generation["text_audio_delay_in_tokens"] == 25
+
+
+def test_env_expansion_and_hf_paths(tmp_path, monkeypatch):
+    monkeypatch.setenv("MY_DIR", str(tmp_path))
+    p = tmp_path / "w.safetensors"
+    p.write_bytes(b"x")
+    assert config.resolve_path("$MY_DIR/w.safetensors") == str(p)
+    # hf:// resolves through the local cache only.
+    monkeypatch.setenv("DSM_HF_CACHE", str(tmp_path))
+    (tmp_path / "org" / "repo").mkdir(parents=True)
+    f = tmp_path / "org" / "repo" / "model.safetensors"
+    f.write_bytes(b"y")
+    assert config.resolve_path("hf://org/repo/model.safetensors") == str(f)
+    assert config.resolve_path("hf://org/repo/missing.safetensors") is None

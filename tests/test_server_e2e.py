@@ -1,0 +1,133 @@
+"""End-to-end server tests: real websocket round-trips against the app.
+
+The closest reference analogue is tools/smoke-test + the WS auth scripts;
+here we go further and assert the actual streaming message flow.
+(No pytest-asyncio in this image: tests run their coroutine with
+asyncio.run.)
+"""
+
+import asyncio
+
+import msgpack
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from dsm_tpu.server import auth as auth_mod
+from dsm_tpu.server import batched_asr as eng
+from dsm_tpu.server.app import App
+from tests.test_asr import make_params, small_asr_cfg
+
+
+@pytest.fixture()
+def asr_app():
+    import jax
+
+    cfg = small_asr_cfg()
+    saved = eng.FRAME_SIZE
+    eng.FRAME_SIZE = cfg.mimi.frame_size
+    params = make_params(cfg, jax.random.PRNGKey(0))
+    engine = eng.BatchedAsrEngine(cfg, params, batch_size=2)
+    engine._pcm_buf = np.zeros((2, 1, cfg.mimi.frame_size), np.float32)
+    engine.start()
+    app = App(asr_engine=engine, instance_name="test")
+    yield app, engine, cfg
+    engine.stop()
+    eng.FRAME_SIZE = saved
+
+
+def test_asr_ws_stream_and_marker(asr_app):
+    app, engine, cfg = asr_app
+
+    async def main():
+        async with TestClient(TestServer(app.web_app)) as client:
+            ws = await client.ws_connect("/api/asr-streaming")
+            ready = msgpack.unpackb((await ws.receive()).data)
+            assert ready == {"type": "Ready"}
+
+            pcm = np.random.default_rng(0).standard_normal(
+                cfg.mimi.frame_size * 3
+            ).astype(np.float32) * 0.1
+            await ws.send_bytes(
+                msgpack.packb({"type": "Audio", "pcm": pcm.tolist()})
+            )
+            await ws.send_bytes(msgpack.packb({"type": "Marker", "id": 42}))
+            await ws.send_bytes(
+                msgpack.packb(
+                    {"type": "Audio", "pcm": pcm[: cfg.mimi.frame_size * 2].tolist()}
+                )
+            )
+
+            msgs = []
+            async with asyncio.timeout(60):
+                while True:
+                    m = msgpack.unpackb((await ws.receive()).data, raw=False)
+                    msgs.append(m)
+                    if m["type"] == "Marker":
+                        break
+            steps = [m for m in msgs if m["type"] == "Step"]
+            assert len(steps) >= 3
+            assert steps[0]["step_idx"] >= 1
+            assert len(steps[0]["prs"]) == 2  # extra_heads (2, 6) in test cfg
+            assert msgs[-1] == {"type": "Marker", "id": 42}
+            await ws.close()
+
+    asyncio.run(main())
+
+
+def test_asr_capacity_close_code(asr_app):
+    app, engine, cfg = asr_app
+
+    async def main():
+        async with TestClient(TestServer(app.web_app)) as client:
+            w1 = await client.ws_connect("/api/asr-streaming")
+            w2 = await client.ws_connect("/api/asr-streaming")
+            await w1.receive()  # Ready
+            await w2.receive()
+            w3 = await client.ws_connect("/api/asr-streaming")
+            msg = await w3.receive()
+            assert msg.type.name in ("CLOSE", "CLOSED")
+            assert w3.close_code == 4000  # ServerAtCapacity
+            await w1.close()
+            await w2.close()
+
+    asyncio.run(main())
+
+
+def test_status_health_metrics(asr_app):
+    app, engine, cfg = asr_app
+
+    async def main():
+        async with TestClient(TestServer(app.web_app)) as client:
+            r = await client.get("/api/health")
+            assert (await r.json())["status"] == "ok"
+            r = await client.get("/api/status")
+            body = await r.json()
+            assert body["capacity"]["total"] == 2
+            r = await client.get("/metrics")
+            text = await r.text()
+            assert "asr_open_channels" in text
+            r = await client.get("/api/build_info")
+            assert "jax_version" in await r.json()
+
+    asyncio.run(main())
+
+
+def test_auth_rejects_without_token(asr_app):
+    app, engine, cfg = asr_app
+    app_auth = App(
+        asr_engine=engine,
+        auth_ctx=auth_mod.AuthContext(enabled=True, secret="sek"),
+    )
+
+    async def main():
+        async with TestClient(TestServer(app_auth.web_app)) as client:
+            r = await client.get("/api/asr-streaming")
+            assert r.status == 401
+            tok = auth_mod.generate_token("u", secret="sek")
+            ws = await client.ws_connect(f"/api/asr-streaming?token={tok}")
+            ready = msgpack.unpackb((await ws.receive()).data)
+            assert ready == {"type": "Ready"}
+            await ws.close()
+
+    asyncio.run(main())
