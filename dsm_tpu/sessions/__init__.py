@@ -1,1 +1,1 @@
-from . import asr
+from . import asr, lm_gen, tts

@@ -1,0 +1,204 @@
+"""Full-duplex Moshi dialogue session (user audio in, model audio+text out).
+
+Reference: moshi-core/src/lm_generate_multistream.rs.  Per 80 ms frame the
+LM consumes the *generated* codebook group (model's own voice, with the
+1-frame semantic / acoustic-delay pattern) plus the *input* codebook group
+(user audio tokens from Mimi), samples a text token (with optional pad-mult
+bias and repetition penalty on the text logits) and the generated audio
+codebooks via the DepFormer.
+
+TPU-native: the delayed buffers live on device and the step jits once; the
+repetition penalty is a vectorised scatter over the recent text-token window
+instead of the reference's host HashSet loop (:142-190).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import lm as LM
+from ..ops import sampling as S
+
+UNGENERATED = -1
+
+
+@dataclasses.dataclass(frozen=True)
+class DuplexConfig:
+    """lm_generate_multistream.rs Config (:13-67)."""
+
+    lm: LM.LmConfig
+    generated_audio_codebooks: int = 8
+    input_audio_codebooks: int = 8
+    acoustic_delay: int = 2
+    text_pad_token: int = 3
+    text_eop_token: int = 0
+    text_start_token: int = 32000
+    max_steps: int = 4096
+    audio_temperature: float = 0.8
+    audio_top_k: int = 250
+    text_temperature: float = 0.7
+    text_top_k: int = 25
+    pad_mult: Optional[float] = None
+    repetition_penalty: Optional[Tuple[int, float]] = None  # (context, penalty)
+
+    @property
+    def total_codebooks(self) -> int:
+        return self.generated_audio_codebooks + self.input_audio_codebooks
+
+
+def init_state(cfg: DuplexConfig, batch: int = 1, cache_dtype=jnp.bfloat16) -> dict:
+    cap = cfg.max_steps + cfg.acoustic_delay
+    return {
+        "lm": LM.init_state(cfg.lm, batch, cache_dtype),
+        "audio_tokens": jnp.full((batch, cap, cfg.total_codebooks), UNGENERATED, jnp.int32),
+        "text_tokens": jnp.full((batch, cap), UNGENERATED, jnp.int32),
+        "prev_text": jnp.full((batch,), cfg.text_start_token, jnp.int32),
+        "step_idx": jnp.zeros((), jnp.int32),
+    }
+
+
+def _rep_penalty(cfg: DuplexConfig, logits: jax.Array, text_buf: jax.Array, s) -> jax.Array:
+    """Repetition penalty over the last `context` non-pad text tokens
+    (lm_generate_multistream.rs:142-190), vectorised: build a penalty mask
+    via scatter of the recent window then scale pos/neg logits."""
+    if cfg.repetition_penalty is None:
+        return logits
+    context, penalty = cfg.repetition_penalty
+    if penalty == 1.0:
+        return logits
+    b, v = logits.shape
+    cap = text_buf.shape[1]
+    window = 4 * context  # enough to find `context` non-pad tokens
+    idx = jnp.arange(window)
+    pos = s - 1 - idx  # most recent first
+    valid = pos >= 0
+    toks = jnp.take_along_axis(
+        text_buf, jnp.maximum(pos, 0)[None, :].repeat(b, 0), axis=1
+    )
+    special = (
+        (toks == cfg.text_pad_token)
+        | (toks == cfg.text_eop_token)
+        | (toks == cfg.text_start_token)
+        | (toks == UNGENERATED)
+    )
+    eligible = valid[None, :] & ~special
+    # Rank of each eligible position; keep only the first `context`.
+    rank = jnp.cumsum(eligible.astype(jnp.int32), axis=1)
+    keep = eligible & (rank <= context)
+    safe = jnp.where(keep, toks, 0)
+    seen = jnp.zeros((b, v), bool)
+    seen = seen.at[jnp.arange(b)[:, None], safe].max(keep)
+    scale = jnp.where(logits >= 0, 1.0 / penalty, penalty)
+    return jnp.where(seen, logits * scale, logits)
+
+
+def step(
+    cfg: DuplexConfig,
+    params: dict,
+    state: dict,
+    input_audio_tokens: jax.Array,  # (B, input_codebooks) from Mimi encode
+    rng: jax.Array,
+    force_text_token: Optional[jax.Array] = None,  # (B,) or None
+    ca_kv=None,
+    condition=None,
+    cfg_alpha: Optional[float] = None,
+):
+    """One duplex frame step -> (out, state').
+
+    out: text_token (B,), frame (B, gen_codebooks) with validity flag for
+    the model's speech output (last_audio_tokens semantics :343-355).
+    """
+    s = state["step_idx"]
+    lm_cfg = cfg.lm
+    gen = cfg.generated_audio_codebooks
+    buf = state["audio_tokens"]
+    b = buf.shape[0]
+
+    # Record the user's audio tokens for this step (input group).
+    if cfg.input_audio_codebooks:
+        buf = jax.lax.dynamic_update_slice(
+            buf, input_audio_tokens[:, None, :], (0, s, gen)
+        )
+
+    # Build model inputs with the delay pattern (:208-229): semantic
+    # codebooks (first of each group) have delay 0/1-frame; acoustic have
+    # acoustic_delay.
+    k = cfg.total_codebooks
+    k_arr = jnp.arange(k)
+    is_semantic = (k_arr == 0) | (k_arr == gen)
+    delays = jnp.where(is_semantic, 1, cfg.acoustic_delay + 1)
+    read_pos = jnp.maximum(s - delays + 1 - 1, 0)  # s-1 or s-delay-1
+    read = jnp.take_along_axis(
+        buf, jnp.broadcast_to(read_pos[None, :, None], (b, k, 1)).transpose(0, 2, 1), axis=1
+    )[:, 0, :]
+    pad = jnp.int32(lm_cfg.audio_pad_token)
+    first = jnp.where(is_semantic, s == 0, s <= cfg.acoustic_delay)
+    audio_in = jnp.where(first[None, :], pad, read)
+
+    text_in = state["prev_text"]
+    text_logits, hidden, lm_state = LM.step(
+        lm_cfg, params["lm"], state["lm"], text_in, audio_in,
+        ca_kv=ca_kv, condition=condition,
+    )
+    logits = text_logits.astype(jnp.float32)
+    if cfg_alpha is not None:
+        half = b // 2
+        logits = cfg_alpha * logits[:half] - (cfg_alpha - 1.0) * logits[half:]
+        logits = jnp.concatenate([logits, logits], axis=0)
+    logits = _rep_penalty(cfg, logits, state["text_tokens"], s)
+    if cfg.pad_mult is not None:
+        # Bias towards/away from text pad (:263-267 applies exp(pad_mult)
+        # on probabilities == adding pad_mult to the pad logit).
+        logits = logits.at[:, cfg.text_pad_token].add(cfg.pad_mult)
+
+    rng, k_text, k_dep = jax.random.split(rng, 3)
+    sampled = S.sample(
+        S.SamplingConfig(cfg.text_temperature, cfg.text_top_k), logits, k_text
+    )
+    if force_text_token is not None:
+        text_token = jnp.where(force_text_token >= 0, force_text_token, sampled)
+    else:
+        text_token = sampled
+
+    forced = jnp.where(
+        jnp.logical_and(s < cfg.acoustic_delay, jnp.arange(gen) > 0),
+        pad, -1,
+    )
+    audio_tokens = LM.depformer_sample(
+        lm_cfg, params["lm"], hidden, text_token, forced, k_dep,
+        S.SamplingConfig(cfg.audio_temperature, cfg.audio_top_k),
+        cfg_alpha=cfg_alpha,
+    )
+
+    # Write generated tokens at delayed positions (overwrites allowed for
+    # the saturating first frames; :286-296).
+    g_arr = jnp.arange(gen)
+    wdel = jnp.where(g_arr == 0, 0, cfg.acoustic_delay)
+    write_pos = jnp.maximum(s - wdel, 0)
+    b_idx = jnp.arange(b)[:, None]
+    buf = buf.at[b_idx, write_pos[None, :], g_arr[None, :]].set(audio_tokens)
+
+    text_buf = jax.lax.dynamic_update_slice_in_dim(
+        state["text_tokens"], text_token[:, None], s, axis=1
+    )
+
+    frame_pos = jnp.maximum(s - cfg.acoustic_delay, 0)
+    frame = jax.lax.dynamic_slice_in_dim(buf, frame_pos, 1, axis=1)[:, 0, :gen]
+    frame_valid = jnp.logical_and(
+        s >= cfg.acoustic_delay,
+        jnp.all((frame >= 0) & (frame < lm_cfg.audio_vocab_size - 1), axis=1),
+    )
+
+    out = {"text_token": text_token, "frame": frame, "frame_valid": frame_valid}
+    new_state = {
+        "lm": lm_state,
+        "audio_tokens": buf,
+        "text_tokens": text_buf,
+        "prev_text": text_token,
+        "step_idx": s + 1,
+    }
+    return out, new_state
