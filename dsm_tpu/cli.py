@@ -1,0 +1,158 @@
+"""dsm-tpu command line.
+
+Subcommands mirror the reference binaries:
+  worker     run the server from a TOML config   (moshi-server worker)
+  validate   check a config                      (moshi-server validate)
+  stt        offline file transcription          (kyutai-cli stt file)
+  tts        offline synthesis to WAV            (kyutai-cli tts)
+  token-gen  mint a Better Auth JWT              (tools/token-gen)
+  bench      run the serving benchmark           (bench_perf)
+
+Usage: python -m dsm_tpu.cli <subcommand> [...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+
+def cmd_validate(args) -> int:
+    from .server.config import Config
+
+    cfg = Config.load(args.config)
+    problems = cfg.validate()
+    print(f"instance: {cfg.instance_name}")
+    for name, m in cfg.modules.items():
+        print(f"  module {name}: type={m.type} path={m.path}")
+    if problems:
+        print("problems:")
+        for p in problems:
+            print(f"  - {p}")
+        return 1
+    print("config ok")
+    return 0
+
+
+def cmd_worker(args) -> int:
+    from .server import builder
+    from .server.app import App
+    from .server.auth import AuthContext
+    from .server.config import Config
+    from .utils.logging import setup_logging
+
+    setup_logging(args.log_style)
+    cfg = Config.load(args.config)
+    asr_engine = None
+    tts_engine = None
+    asr_path = "/api/asr-streaming"
+    for name, m in cfg.modules.items():
+        if m.type in ("BatchedAsr", "Asr") and asr_engine is None:
+            asr_engine = builder.build_batched_asr(m)
+            asr_path = m.path
+        elif m.type == "Tts" and tts_engine is None:
+            tts_engine = builder.build_tts(m)
+    if asr_engine is not None:
+        asr_engine.warmup()
+        asr_engine.start()
+    import os
+
+    auth_ctx = AuthContext(enabled=bool(os.environ.get("BETTER_AUTH_SECRET")))
+    from .utils.banner import print_banner
+
+    print_banner(cfg, asr_engine, tts_engine, args.port)
+    app = App(
+        asr_engine=asr_engine,
+        tts_engine=tts_engine,
+        auth_ctx=auth_ctx,
+        instance_name=cfg.instance_name,
+        asr_path=asr_path,
+    )
+    app.run(host=args.host, port=args.port)
+    return 0
+
+
+def cmd_stt(args) -> int:
+    from .offline import transcribe_file
+
+    result = transcribe_file(
+        args.audio,
+        config_path=args.config,
+        vad=args.vad,
+    )
+    if args.json:
+        print(json.dumps(result))
+    else:
+        for w in result["words"]:
+            print(f"[{w['start_s']:7.2f}s] {w['text']}")
+        print(result["text"])
+    return 0
+
+
+def cmd_tts(args) -> int:
+    from .offline import synthesize_file
+
+    out = synthesize_file(args.text, args.out, config_path=args.config)
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_token_gen(args) -> int:
+    from .server.auth import generate_token
+
+    print(generate_token(args.user, args.email, ttl_s=args.ttl))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+
+    return subprocess.call([sys.executable, "bench.py"])
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="dsm-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    w = sub.add_parser("worker", help="run the server")
+    w.add_argument("--config", required=True)
+    w.add_argument("--host", default="0.0.0.0")
+    w.add_argument("--port", type=int, default=8080)
+    w.add_argument("--log-style", default="compact",
+                   choices=["compact", "pretty", "verbose", "json"])
+    w.set_defaults(fn=cmd_worker)
+
+    v = sub.add_parser("validate", help="validate a config")
+    v.add_argument("config")
+    v.set_defaults(fn=cmd_validate)
+
+    s = sub.add_parser("stt", help="offline transcription")
+    s.add_argument("audio")
+    s.add_argument("--config", default=None)
+    s.add_argument("--vad", action="store_true")
+    s.add_argument("--json", action="store_true")
+    s.set_defaults(fn=cmd_stt)
+
+    t = sub.add_parser("tts", help="offline synthesis")
+    t.add_argument("text")
+    t.add_argument("out")
+    t.add_argument("--config", default=None)
+    t.set_defaults(fn=cmd_tts)
+
+    g = sub.add_parser("token-gen", help="mint a JWT")
+    g.add_argument("--user", default="cli-user")
+    g.add_argument("--email", default="cli@localhost")
+    g.add_argument("--ttl", type=int, default=7 * 24 * 3600)
+    g.set_defaults(fn=cmd_token_gen)
+
+    b = sub.add_parser("bench", help="serving benchmark")
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

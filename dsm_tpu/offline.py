@@ -1,0 +1,141 @@
+"""Offline (file-to-file) STT and TTS drivers — the minimum end-to-end slice.
+
+STT: decode audio -> frame-by-frame Mimi encode + LM step -> word events
+with timestamps, exactly the streaming path run at file speed, plus trailing
+silence so the delayed tokens flush (the reference client streams 10 s of
+silence + a marker for the same purpose; kyutai-cli stt.rs:305-433).
+
+Without local model weights (zero-egress dev) the pipeline runs with
+random-init weights: transcripts are then meaningless but the full path —
+codec, delays, word assembly, VAD — is exercised end to end.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import numpy as np
+
+log = logging.getLogger("dsm.offline")
+
+
+def _default_asr_module():
+    from .models import lm as LM
+    from .server.config import ModuleConfig
+
+    return ModuleConfig(
+        name="asr", type="BatchedAsr", path="/api/asr-streaming", raw={},
+        lm=LM.stt_1b_en_fr(),
+        lm_model_file="hf://kyutai/stt-1b-en_fr-candle/model.safetensors",
+        text_tokenizer_file="hf://kyutai/stt-1b-en_fr-candle/tokenizer_en_fr_audio_8000.model",
+        audio_tokenizer_file="hf://kyutai/stt-1b-en_fr-candle/mimi-pytorch-e351c8d8@125.safetensors",
+        asr_delay_in_tokens=6, batch_size=1, temperature=0.0,
+    )
+
+
+def transcribe_file(
+    path: str,
+    config_path: Optional[str] = None,
+    vad: bool = False,
+    module_name: Optional[str] = None,
+    engine=None,
+) -> dict:
+    import jax
+
+    from .sessions import asr as ASR
+    from .server import builder
+    from .server.config import Config
+    from .utils.audio import decode_audio
+
+    if engine is None:
+        if config_path:
+            cfg = Config.load(config_path)
+            mods = [m for m in cfg.modules.values() if m.type in ("BatchedAsr", "Asr")]
+            mod = next((m for m in mods if m.name == module_name), mods[0])
+        else:
+            mod = _default_asr_module()
+        mod.batch_size = 1
+        engine = builder.build_batched_asr(mod)
+    acfg = engine.cfg
+    frame = acfg.mimi.frame_size
+
+    pcm = decode_audio(path, int(acfg.mimi.sample_rate))
+    # Trailing silence so delayed words flush (delay tokens + padding).
+    tail = (acfg.asr_delay_in_tokens + 8) * frame
+    pcm = np.concatenate([pcm, np.zeros(tail, np.float32)])
+    n_frames = len(pcm) // frame
+
+    state = ASR.init_state(acfg, 1, engine.cache_dtype)
+    words_state = ASR.WordState(acfg, 1)
+    step = engine.step_fn
+    rng = jax.random.PRNGKey(0)
+    mask = np.ones(1, bool)
+    reset = np.zeros(1, bool)
+
+    words = []
+    vad_steps = []
+    open_word = None
+    for i in range(n_frames):
+        chunk = pcm[i * frame : (i + 1) * frame][None, None, :]
+        rng, sub = jax.random.split(rng)
+        out, state = step(engine.params, state, chunk, mask, reset, sub)
+        text = np.asarray(out["text_token"])
+        steps = np.asarray(out["step_idx"])
+        if vad and out["prs"].shape[-1]:
+            vad_steps.append(
+                {"step_idx": int(steps[0]), "prs": np.asarray(out["prs"])[0].tolist()}
+            )
+        for ev in words_state.process(text, steps, mask):
+            if isinstance(ev, ASR.WordEvent):
+                open_word = {
+                    "text": engine.tokenizer.decode(ev.tokens),
+                    "start_s": ev.start_time,
+                    "stop_s": None,
+                }
+                words.append(open_word)
+            elif isinstance(ev, ASR.EndWordEvent) and open_word is not None:
+                open_word["stop_s"] = ev.stop_time
+                open_word = None
+
+    result = {
+        "words": [
+            {"text": w["text"], "start_s": w["start_s"], "stop_s": w["stop_s"]}
+            for w in words
+        ],
+        "text": " ".join(w["text"] for w in words),
+    }
+    if vad:
+        result["vad"] = vad_steps
+    return result
+
+
+def synthesize_file(text: str, out_path: str, config_path: Optional[str] = None) -> dict:
+    from .server import builder
+    from .server.config import Config, ModuleConfig
+    from .utils.audio import write_wav
+
+    if config_path:
+        cfg = Config.load(config_path)
+        mod = next(m for m in cfg.modules.values() if m.type == "Tts")
+    else:
+        from .models import lm as LM
+
+        mod = ModuleConfig(
+            name="tts", type="Tts", path="/api/tts", raw={},
+            lm=LM.tts_1_6b_en_fr(),
+            lm_model_file="hf://kyutai/tts-1.6b-en_fr/dsm_tts_1e68beda@240.safetensors",
+            audio_tokenizer_file="hf://kyutai/tts-1.6b-en_fr/tokenizer-e351c8d8-checkpoint125.safetensors",
+            text_tokenizer_file="hf://kyutai/tts-1.6b-en_fr/tokenizer_spm_8k_en_fr_audio.model",
+        )
+    engine = builder.build_tts(mod)
+    pcm, transcript = engine.synthesize(text)
+    write_wav(out_path, pcm, 24_000)
+    return {
+        "out": out_path,
+        "duration_s": round(len(pcm) / 24_000.0, 3),
+        "transcript": [
+            {"text": w.text, "start_s": w.start_s, "stop_s": w.stop_s}
+            for w in transcript
+        ],
+    }

