@@ -1,0 +1,197 @@
+"""Standalone performance benchmark CLI (reference: moshi-server/src/bin/
+bench_perf.rs): component benchmarks with JSON output.
+
+  python -m dsm_tpu.bench_perf --mimi --lm --e2e --batch 64 --steps 30
+  python -m dsm_tpu.bench_perf --sustained 60     # 60 s sustained e2e load
+  python -m dsm_tpu.bench_perf --memory           # HBM accounting
+
+Timings block on device results (utils/bench.device_timed) so numbers are
+honest accelerator latencies, and multi-step runs are fused with lax.scan so
+host->device dispatch overhead (large over the dev tunnel) is excluded from
+per-step figures where noted.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _setup(batch, small=False):
+    import jax.numpy as jnp
+    import __graft_entry__ as ge
+
+    return ge._asr_setup(batch, jnp.bfloat16, jnp.bfloat16, small=small)
+
+
+def bench_mimi(batch: int, steps: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from dsm_tpu.models import mimi as MIMI
+    from dsm_tpu.utils.bench import device_timed
+
+    cfg = MIMI.v0_1(32)
+    params = MIMI.init(cfg, jax.random.PRNGKey(0))
+    enc_state = MIMI.init_encode_state(cfg, batch)
+    dec_state = MIMI.init_decode_state(cfg, batch)
+    pcm = jnp.asarray(
+        np.random.default_rng(0).standard_normal((batch, 1, cfg.frame_size)),
+        jnp.float32,
+    )
+
+    enc = jax.jit(lambda p, s, x: MIMI.encode_step(cfg, p, s, x), donate_argnums=(1,))
+    dec = jax.jit(lambda p, s, c: MIMI.decode_step(cfg, p, s, c), donate_argnums=(1,))
+    (codes, enc_state), _ = device_timed(enc, params, enc_state, pcm)
+    (out, dec_state), _ = device_timed(dec, params, dec_state, codes)
+
+    enc_t, dec_t = [], []
+    for _ in range(steps):
+        (codes, enc_state), dt = device_timed(enc, params, enc_state, pcm)
+        enc_t.append(dt)
+        (out, dec_state), dt = device_timed(dec, params, dec_state, codes)
+        dec_t.append(dt)
+    return {
+        "mimi_encode_p50_ms": round(float(np.percentile(enc_t, 50)) * 1e3, 2),
+        "mimi_decode_p50_ms": round(float(np.percentile(dec_t, 50)) * 1e3, 2),
+        "batch": batch,
+    }
+
+
+def bench_lm(batch: int, steps: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from dsm_tpu.models import lm as LM
+
+    cfg = LM.stt_1b_en_fr()
+    params = LM.init(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    state = LM.init_state(cfg, batch, jnp.bfloat16)
+    text = jnp.zeros((batch,), jnp.int32)
+    audio = jnp.zeros((batch, cfg.audio_codebooks), jnp.int32)
+
+    def multi(p, st):
+        def body(st, _):
+            logits, _h, st = LM.step(cfg, p, st, text, audio)
+            return st, logits.argmax(-1)
+        st, toks = jax.lax.scan(body, st, None, length=steps)
+        return toks, st
+
+    fn = jax.jit(multi, donate_argnums=(1,))
+    toks, state = fn(params, state)
+    np.asarray(toks)
+    t0 = time.perf_counter()
+    toks, state = fn(params, state)
+    np.asarray(toks)
+    dt = (time.perf_counter() - t0) / steps
+    return {"lm_step_ms": round(dt * 1e3, 2), "batch": batch, "fused_steps": steps}
+
+
+def bench_e2e(batch: int, steps: int) -> dict:
+    import jax
+
+    from dsm_tpu.sessions import asr as ASR
+
+    cfg, fn, (params, state, pcm, mask, reset, rng) = _setup(batch)
+
+    def multi(params, state, pcm, mask, reset, rng):
+        def body(carry, _):
+            st, r = carry
+            r, r2 = jax.random.split(r)
+            out, st = ASR.step(cfg, params, st, pcm, mask, reset, r2)
+            return (st, r), out["text_token"]
+        (st, _), toks = jax.lax.scan(body, (state, rng), None, length=steps)
+        return toks, st
+
+    mfn = jax.jit(multi, donate_argnums=(1,))
+    toks, state = mfn(params, state, pcm, mask, reset, rng)
+    np.asarray(toks)
+    t0 = time.perf_counter()
+    toks, state = mfn(params, state, pcm, mask, reset, rng)
+    np.asarray(toks)
+    per_step = (time.perf_counter() - t0) / steps
+    rtf = 0.080 / per_step
+    return {
+        "e2e_step_ms": round(per_step * 1e3, 2),
+        "rtf": round(rtf, 2),
+        "realtime_streams": round(batch * rtf, 1),
+        "batch": batch,
+    }
+
+
+def bench_sustained(batch: int, seconds: float) -> dict:
+    """Real-time-paced zero-audio run with an event timeline, like
+    moshi-backend benchmark (benchmark.rs:57-138)."""
+    import jax
+
+    from dsm_tpu.sessions import asr as ASR
+    from dsm_tpu.utils.bench import recorder
+
+    cfg, fn, (params, state, pcm, mask, reset, rng) = _setup(batch)
+    step = jax.jit(fn, donate_argnums=(1,))
+    out, state = step(params, state, pcm, mask, reset, rng)
+    jax.block_until_ready(out["text_token"])
+
+    rec = recorder("sustained_step")
+    rec.reset()
+    deadline = time.time() + seconds
+    frames = 0
+    late = 0
+    while time.time() < deadline:
+        t0 = time.perf_counter()
+        out, state = step(params, state, pcm, mask, reset, rng)
+        np.asarray(out["text_token"])
+        dt = time.perf_counter() - t0
+        rec.record(dt)
+        frames += 1
+        if dt > 0.080:
+            late += 1
+        sleep = 0.080 - dt
+        if sleep > 0:
+            time.sleep(sleep)
+    s = rec.summary()
+    s.update({"frames": frames, "late_frames": late, "batch": batch})
+    return s
+
+
+def bench_memory() -> dict:
+    import jax
+
+    stats = jax.devices()[0].memory_stats() or {}
+    return {
+        "bytes_in_use": stats.get("bytes_in_use"),
+        "bytes_limit": stats.get("bytes_limit"),
+        "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--mimi", action="store_true")
+    p.add_argument("--lm", action="store_true")
+    p.add_argument("--e2e", action="store_true")
+    p.add_argument("--memory", action="store_true")
+    p.add_argument("--sustained", type=float, default=0.0)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--steps", type=int, default=20)
+    args = p.parse_args(argv)
+
+    results = {}
+    if args.mimi:
+        results["mimi"] = bench_mimi(args.batch, args.steps)
+    if args.lm:
+        results["lm"] = bench_lm(args.batch, args.steps)
+    if args.e2e or not (args.mimi or args.lm or args.memory or args.sustained):
+        results["e2e"] = bench_e2e(args.batch, args.steps)
+    if args.sustained:
+        results["sustained"] = bench_sustained(args.batch, args.sustained)
+    if args.memory:
+        results["memory"] = bench_memory()
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

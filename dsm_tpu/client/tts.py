@@ -1,0 +1,63 @@
+"""Streaming TTS client (reference: kyutai-client tts/*, kyutai-cli tts.rs).
+
+Sends words as WS text frames, b"\\0" as end-of-stream, collects msgpack
+Audio/Text events; reports TTFB and RTF like the reference benchmark output
+(kyutai-cli tts.rs:81-94).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import time
+from typing import List, Optional
+
+import msgpack
+import numpy as np
+
+
+@dataclasses.dataclass
+class TtsResult:
+    pcm: np.ndarray
+    words: List[dict]
+    ttfb_s: Optional[float]
+    rtf: Optional[float]
+    wall_s: float
+
+
+class TtsClient:
+    def __init__(self, url: str, token: Optional[str] = None):
+        self.url = url
+        self.token = token
+
+    async def synthesize(self, text: str) -> TtsResult:
+        import aiohttp
+
+        headers = {"Authorization": f"Bearer {self.token}"} if self.token else {}
+        chunks: List[np.ndarray] = []
+        words: List[dict] = []
+        t0 = time.monotonic()
+        ttfb = None
+        async with aiohttp.ClientSession() as session:
+            async with session.ws_connect(
+                self.url, headers=headers, max_msg_size=64 * 2**20
+            ) as ws:
+                await ws.send_str(text)
+                await ws.send_bytes(b"\0")
+                async for msg in ws:
+                    if msg.type != aiohttp.WSMsgType.BINARY:
+                        continue
+                    m = msgpack.unpackb(msg.data, raw=False)
+                    t = m.get("type")
+                    if t == "Audio":
+                        if ttfb is None:
+                            ttfb = time.monotonic() - t0
+                        chunks.append(np.asarray(m["pcm"], np.float32))
+                    elif t == "Text":
+                        words.append(m)
+                    elif t == "Error":
+                        raise RuntimeError(m.get("message"))
+        wall = time.monotonic() - t0
+        pcm = np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+        rtf = (len(pcm) / 24_000.0) / wall if wall > 0 else None
+        return TtsResult(pcm=pcm, words=words, ttfb_s=ttfb, rtf=rtf, wall_s=wall)
