@@ -58,6 +58,8 @@ class App:
         self,
         asr_engine: Optional[BatchedAsrEngine] = None,
         tts_engine=None,
+        duplex_engine=None,
+        mimi_rooms_engine=None,
         auth_ctx: Optional[auth_mod.AuthContext] = None,
         instance_name: str = "dsm-tpu",
         asr_path: str = "/api/asr-streaming",
@@ -66,6 +68,8 @@ class App:
     ):
         self.asr_engine = asr_engine
         self.tts_engine = tts_engine
+        self.duplex_engine = duplex_engine
+        self.mimi_rooms_engine = mimi_rooms_engine
         self.auth = auth_ctx or auth_mod.AuthContext(enabled=False)
         self.instance_name = instance_name
         self.web_app = web.Application()
@@ -75,6 +79,13 @@ class App:
         if tts_engine is not None:
             r.add_post(tts_path, self.handle_tts_post)
             r.add_get(tts_streaming_path, self.handle_tts_ws)
+        if duplex_engine is not None:
+            # moshi-backend /api/chat + moshi-server /api/lm-streaming.
+            r.add_get("/api/chat", self.handle_duplex_ws)
+            r.add_get("/api/lm-streaming", self.handle_duplex_ws)
+        if mimi_rooms_engine is not None:
+            r.add_get("/api/mimi/send/{room}", self.handle_mimi_send)
+            r.add_get("/api/mimi/recv/{room}", self.handle_mimi_recv)
         r.add_get("/api/status", self.handle_status)
         r.add_get("/api/health", self.handle_health)
         r.add_get("/metrics", self.handle_metrics)
@@ -325,6 +336,119 @@ class App:
             if not ws.closed:
                 await ws.close()
         return ws
+
+    # -- duplex dialogue (byte-tag protocol) --
+
+    async def handle_duplex_ws(self, request):
+        err = self._check_auth(request)
+        if err is not None:
+            return err
+        from .duplex import DuplexSession, audio_frame, parse_frame, text_frame
+        from .protocol import MsgType
+
+        ws = web.WebSocketResponse(heartbeat=PING_INTERVAL_S)
+        await ws.prepare(request)
+        await ws.send_bytes(bytes([MsgType.HANDSHAKE]))
+
+        loop = asyncio.get_running_loop()
+        out_q: asyncio.Queue = asyncio.Queue()
+        session = DuplexSession(self.duplex_engine)
+
+        def on_audio(pcm):
+            loop.call_soon_threadsafe(out_q.put_nowait, audio_frame(pcm))
+
+        def on_text(text):
+            loop.call_soon_threadsafe(out_q.put_nowait, text_frame(text))
+
+        def run_session():
+            try:
+                session.run(on_audio, on_text)
+            finally:
+                loop.call_soon_threadsafe(out_q.put_nowait, None)
+
+        run_task = loop.run_in_executor(None, run_session)
+
+        async def sender():
+            while True:
+                frame = await out_q.get()
+                if frame is None:
+                    return
+                await ws.send_bytes(frame)
+
+        send_task = asyncio.create_task(sender())
+        try:
+            async for msg in ws:
+                if msg.type != WSMsgType.BINARY:
+                    continue
+                tag, payload = parse_frame(msg.data)
+                if tag == MsgType.AUDIO:
+                    session.push_pcm(np.frombuffer(payload, "<f4"))
+                elif tag == MsgType.PING:
+                    await ws.send_bytes(bytes([MsgType.PING]))
+        finally:
+            session.close()
+            await run_task
+            await send_task
+            if not ws.closed:
+                await ws.close()
+        return ws
+
+    # -- mimi broadcast rooms --
+
+    async def handle_mimi_send(self, request):
+        err = self._check_auth(request)
+        if err is not None:
+            return err
+        from .mimi_rooms import audio_message, parse_codes, text_message
+        from .protocol import MsgType
+
+        room = self.mimi_rooms_engine.room(request.match_info["room"])
+        ws = web.WebSocketResponse(heartbeat=5.0)
+        await ws.prepare(request)
+        loop = asyncio.get_running_loop()
+        n_q = self.mimi_rooms_engine.cfg.n_q
+        async for msg in ws:
+            if msg.type != WSMsgType.BINARY or not msg.data:
+                continue
+            tag, payload = msg.data[0], msg.data[1:]
+            if tag == MsgType.CODES:
+                codes = parse_codes(payload, n_q)
+                if codes is None:
+                    continue
+                pcm = await loop.run_in_executor(
+                    None, self.mimi_rooms_engine.decode_frame, room, codes
+                )
+                room.broadcast(audio_message(pcm), loop)
+            elif tag == MsgType.TEXT:
+                room.broadcast(
+                    text_message(payload.decode(errors="replace")), loop
+                )
+        return ws
+
+    async def handle_mimi_recv(self, request):
+        err = self._check_auth(request)
+        if err is not None:
+            return err
+        room = self.mimi_rooms_engine.room(request.match_info["room"])
+        ws = web.WebSocketResponse(heartbeat=5.0)
+        await ws.prepare(request)
+        q = room.subscribe()
+        try:
+            sender = asyncio.create_task(self._room_sender(ws, q))
+            async for msg in ws:
+                if msg.type in (WSMsgType.CLOSE, WSMsgType.ERROR):
+                    break
+            sender.cancel()
+        finally:
+            room.unsubscribe(q)
+            if not ws.closed:
+                await ws.close()
+        return ws
+
+    async def _room_sender(self, ws, q):
+        while True:
+            payload = await q.get()
+            await ws.send_bytes(payload)
 
     def run(self, host: str = "0.0.0.0", port: int = 8080):
         web.run_app(self.web_app, host=host, port=port)
