@@ -48,14 +48,26 @@ class Events:
 
 
 class Channel:
-    """Per-connection mailbox (batched_asr.rs Channel :70-124)."""
+    """Per-connection mailbox (batched_asr.rs Channel :70-124).
+
+    The pcm buffer lives either in the native SPSC ring (native/packer.cpp,
+    GIL-free, preferred) or in a python deque fallback.
+    """
 
     _ids = itertools.count(1)
 
-    def __init__(self, slot: int, deliver: Callable[[Events], None]):
+    def __init__(
+        self,
+        slot: int,
+        deliver: Callable[[Events], None],
+        packer=None,
+        frame_size: Optional[int] = None,
+    ):
         self.slot = slot
         self.channel_id = next(Channel._ids)
-        self.pcm = deque()  # float chunks
+        self.packer = packer
+        self.frame_size = frame_size or FRAME_SIZE
+        self.pcm = deque()  # float chunks (fallback path)
         self.pcm_samples = 0
         self.markers: List[tuple] = []  # (due_step, marker_id) heap
         self.deliver = deliver
@@ -66,20 +78,26 @@ class Channel:
         self.last_data = time.time()
 
     def push_pcm(self, pcm: np.ndarray) -> None:
+        self.last_data = time.time()
+        if self.packer is not None:
+            self.packer.push(self.slot, pcm)
+            return
         with self.lock:
             self.pcm.append(np.asarray(pcm, np.float32))
             self.pcm_samples += len(pcm)
-            self.last_data = time.time()
 
     def buffered_samples(self) -> int:
+        if self.packer is not None:
+            return int(self.packer.available(self.slot))
         return self.pcm_samples
 
     def take_frame(self) -> Optional[np.ndarray]:
+        frame = self.frame_size
         with self.lock:
-            if self.pcm_samples < FRAME_SIZE:
+            if self.pcm_samples < frame:
                 return None
-            out = np.empty(FRAME_SIZE, np.float32)
-            need = FRAME_SIZE
+            out = np.empty(frame, np.float32)
+            need = frame
             pos = 0
             while need > 0:
                 chunk = self.pcm[0]
@@ -93,7 +111,7 @@ class Channel:
                     self.pcm[0] = chunk[need:]
                     pos += need
                     need = 0
-            self.pcm_samples -= FRAME_SIZE
+            self.pcm_samples -= frame
             return out
 
 
@@ -108,6 +126,7 @@ class BatchedAsrEngine:
         condition=None,
         step_fn=None,
         tick_sleep: float = 0.002,
+        use_native_packer: Optional[bool] = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -136,7 +155,18 @@ class BatchedAsrEngine:
         self.running = False
         self.thread: Optional[threading.Thread] = None
         self.step_count = 0
-        self._pcm_buf = np.zeros((batch_size, 1, FRAME_SIZE), np.float32)
+        self.frame_size = cfg.mimi.frame_size
+        self._pcm_buf = np.zeros((batch_size, 1, self.frame_size), np.float32)
+        self.packer = None
+        if use_native_packer or use_native_packer is None:
+            try:
+                from .native import FramePacker
+
+                self.packer = FramePacker(batch_size, self.frame_size)
+            except Exception:
+                if use_native_packer:
+                    raise
+                self.packer = None
 
     # -- slot lifecycle (batched_asr.rs channels() :795-808) --
 
@@ -149,7 +179,10 @@ class BatchedAsrEngine:
             if not self.free:
                 return None
             slot = self.free.popleft()
-            ch = Channel(slot, deliver)
+            if self.packer is not None:
+                self.packer.reset_slot(slot)
+            ch = Channel(slot, deliver, packer=self.packer,
+                         frame_size=self.frame_size)
             self.slots[slot] = ch
             self.pending_resets[slot] = True
             self.word_state.reset_slot(slot)
@@ -168,8 +201,7 @@ class BatchedAsrEngine:
     def add_marker(self, ch: Channel, marker_id: int) -> None:
         """Marker is due once all audio buffered *before* it has been decoded
         plus the ASR delay (batched_asr.rs marker heap :405-430)."""
-        with ch.lock:
-            frames_ahead = ch.pcm_samples // FRAME_SIZE
+        frames_ahead = ch.buffered_samples() // self.frame_size
         due = ch.steps + frames_ahead + self.cfg.asr_delay_in_tokens
         heapq.heappush(ch.markers, (due, marker_id))
 
@@ -189,7 +221,7 @@ class BatchedAsrEngine:
         """Run zero-frames through the full stack (batched_asr.rs:227-240)."""
         import jax
 
-        zeros = np.zeros((self.batch_size, 1, FRAME_SIZE), np.float32)
+        zeros = np.zeros((self.batch_size, 1, self.frame_size), np.float32)
         mask = np.zeros(self.batch_size, bool)
         reset = np.zeros(self.batch_size, bool)
         try:
@@ -215,14 +247,26 @@ class BatchedAsrEngine:
         with self.slot_lock:
             reset[:] = self.pending_resets
             self.pending_resets[:] = False
-            for slot, ch in enumerate(self.slots):
-                if ch is None or ch.closed:
-                    continue
-                frame = ch.take_frame()
-                if frame is not None:
-                    self._pcm_buf[slot, 0, :] = frame
-                    mask[slot] = True
-                    chans[slot] = ch
+            if self.packer is not None:
+                active = np.zeros(self.batch_size, bool)
+                for slot, ch in enumerate(self.slots):
+                    if ch is not None and not ch.closed:
+                        active[slot] = True
+                        chans[slot] = ch
+                out, mask, _n = self.packer.pack(active)
+                self._pcm_buf[:, 0, :] = out
+                chans = [
+                    ch if mask[s] else None for s, ch in enumerate(chans)
+                ]
+            else:
+                for slot, ch in enumerate(self.slots):
+                    if ch is None or ch.closed:
+                        continue
+                    frame = ch.take_frame()
+                    if frame is not None:
+                        self._pcm_buf[slot, 0, :] = frame
+                        mask[slot] = True
+                        chans[slot] = ch
 
         if not mask.any() and not reset.any():
             return False
