@@ -112,7 +112,24 @@ def cmd_bench(args) -> int:
     return subprocess.call([sys.executable, "bench.py"])
 
 
+def _apply_platform_env() -> None:
+    """Honour DSM_PLATFORM=cpu|tpu (the sitecustomize in some environments
+    force-registers a TPU backend, so the JAX_PLATFORMS env var alone is
+    not reliable — the config update is)."""
+    import os
+
+    plat = os.environ.get("DSM_PLATFORM")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
+
 def main(argv=None) -> int:
+    _apply_platform_env()
     p = argparse.ArgumentParser(prog="dsm-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
