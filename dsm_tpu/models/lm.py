@@ -276,8 +276,12 @@ def depformer_init(cfg: LmConfig, key: jax.Array, dtype=jnp.float32) -> dict:
     return params
 
 
-def init_state(cfg: LmConfig, batch: int, cache_dtype=jnp.bfloat16) -> dict:
-    return {"t": T.init_state(cfg.transformer, batch, cache_dtype)}
+def init_state(
+    cfg: LmConfig, batch: int, cache_dtype=jnp.bfloat16, kv_quant: bool = False
+) -> dict:
+    return {
+        "t": T.init_state(cfg.transformer, batch, cache_dtype, kv_quant=kv_quant)
+    }
 
 
 def reset_state(state: dict, reset_mask) -> dict:

@@ -337,27 +337,37 @@ def init(cfg: MimiConfig, key: jax.Array) -> dict:
     }
 
 
-def init_encode_state(cfg: MimiConfig, batch: int, cache_dtype=jnp.float32) -> dict:
+def init_encode_state(cfg: MimiConfig, batch: int, dtype=jnp.float32) -> dict:
+    """``dtype`` sets both the KV caches and the conv carry buffers — the
+    conv compute dtype follows its inputs, so carries must match."""
     return {
-        "enc": encoder_state(cfg.seanet, batch),
+        "enc": jax.tree_util.tree_map(
+            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
+            encoder_state(cfg.seanet, batch),
+        ),
         "enc_t": T.init_state(
-            cfg.transformer, batch, cache_dtype, step_t=cfg.frames_per_step
+            cfg.transformer, batch, dtype, step_t=cfg.frames_per_step
         ),
         "down": C.init_state(
-            C.downsample_cfg(cfg.downsample_stride, cfg.seanet.dimension), batch
+            C.downsample_cfg(cfg.downsample_stride, cfg.seanet.dimension),
+            batch, dtype=dtype,
         ),
     }
 
 
-def init_decode_state(cfg: MimiConfig, batch: int, cache_dtype=jnp.float32) -> dict:
+def init_decode_state(cfg: MimiConfig, batch: int, dtype=jnp.float32) -> dict:
     return {
         "up": C.tr_init_state(
-            C.upsample_cfg(cfg.downsample_stride, cfg.seanet.dimension), batch
+            C.upsample_cfg(cfg.downsample_stride, cfg.seanet.dimension),
+            batch, dtype=dtype,
         ),
         "dec_t": T.init_state(
-            cfg.transformer, batch, cache_dtype, step_t=cfg.frames_per_step
+            cfg.transformer, batch, dtype, step_t=cfg.frames_per_step
         ),
-        "dec": decoder_state(cfg.seanet, batch),
+        "dec": jax.tree_util.tree_map(
+            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
+            decoder_state(cfg.seanet, batch),
+        ),
     }
 
 

@@ -137,6 +137,151 @@ def update_valid_bitmap(
     return valid
 
 
+def quantize_kv_rows(k_new: jax.Array, v_new: jax.Array):
+    """Per-row symmetric int8 quantisation of fresh KV frames.
+
+    Returns (k_q, v_q int8, k_scale, v_scale (B, H, T) f32).  The scales
+    fold into the attention as post-scaling (scores * k_scale per key row;
+    probs * v_scale before the V matmul), so dequantisation costs no extra
+    HBM pass — the cache read halves vs bf16.
+    """
+    def one(x):
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        q = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+        ).astype(jnp.int8)
+        return q, scale
+
+    kq, ks = one(k_new)
+    vq, vs = one(v_new)
+    return kq, vq, ks, vs
+
+
+def attend_global_split_q(
+    q: jax.Array,
+    k_cache_old: jax.Array,  # int8 (B, H, C, Dh)
+    v_cache_old: jax.Array,  # int8
+    k_scale: jax.Array,      # f32 (B, H, C)
+    v_scale: jax.Array,
+    k_new: jax.Array,        # bf16 fresh rows (B, H, T, Dh)
+    v_new: jax.Array,
+    plan: dict,
+    valid_old: jax.Array,
+    window: int,
+) -> jax.Array:
+    """attend_global_split over an int8-quantised ring cache."""
+    head_dim = q.shape[-1]
+    scale = 1.0 / math.sqrt(head_dim)
+    b, h, t, _ = q.shape
+    c = k_cache_old.shape[2]
+
+    scores_c = jnp.einsum(
+        "bhtd,bhcd->bhtc", q, k_cache_old.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    scores_c = scores_c * (k_scale[:, :, None, :] * scale)
+    k_pos = plan["k_pos"][None, :]
+    q_pos = plan["q_pos"][None, :]
+    ok = (
+        (k_pos[:, None, :] >= 0)
+        & (k_pos[:, None, :] <= q_pos[:, :, None])
+        & (q_pos[:, :, None] - k_pos[:, None, :] < window)
+    )
+    j = jnp.arange(c)
+    stale = jnp.zeros((c,), bool)
+    for ti in range(t):
+        stale = stale | (j == plan["w"][ti])
+    ok = ok & ~stale[None, None, :] & valid_old[:, None, :]
+    scores_c = jnp.where(ok[:, None, :, :], scores_c, NEG_INF)
+
+    scores_s = jnp.einsum(
+        "bhtd,bhsd->bhts", q, k_new.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    intra = jnp.tril(jnp.ones((t, t), bool))
+    scores_s = jnp.where(intra[None, None], scores_s, NEG_INF)
+
+    probs = jax.nn.softmax(jnp.concatenate([scores_c, scores_s], -1), axis=-1)
+    pc, ps = probs[..., :c], probs[..., c:]
+    pc = pc * v_scale[:, :, None, :]  # fold V dequant into the probs
+    out = jnp.einsum(
+        "bhtc,bhcd->bhtd", pc.astype(jnp.bfloat16),
+        v_cache_old.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) + jnp.einsum(
+        "bhts,bhsd->bhtd", ps.astype(v_new.dtype), v_new,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def attend_global_split(
+    q: jax.Array,
+    k_cache_old: jax.Array,
+    v_cache_old: jax.Array,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    plan: dict,
+    valid_old: jax.Array,
+    window: int,
+) -> jax.Array:
+    """Attention split into past-cache + this-step's fresh K/V.
+
+    Numerically identical to writing the new rows then attending, but the
+    ring buffers are only *read* here (their update's sole consumer is the
+    state carry), which lets XLA keep the dynamic_update_slice in place —
+    attending over the just-updated buffer forces a full-cache copy per
+    layer (~11 ms/step at stt-1b serving shapes).
+
+    ``valid_old`` is the bitmap *before* this step's update; ring slots
+    being overwritten this step hold stale entries and are masked out.
+    """
+    head_dim = q.shape[-1]
+    scale = 1.0 / math.sqrt(head_dim)
+    b, h, t, _ = q.shape
+    c = k_cache_old.shape[2]
+
+    scores_c = jnp.einsum(
+        "bhtd,bhcd->bhtc", q, k_cache_old.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    k_pos = plan["k_pos"][None, :]
+    q_pos = plan["q_pos"][None, :]
+    ok = (
+        (k_pos[:, None, :] >= 0)
+        & (k_pos[:, None, :] <= q_pos[:, :, None])
+        & (q_pos[:, :, None] - k_pos[:, None, :] < window)
+    )
+    # Mask the slots being overwritten this step (stale in the old cache).
+    j = jnp.arange(c)
+    stale = jnp.zeros((c,), bool)
+    for ti in range(t):
+        stale = stale | (j == plan["w"][ti])
+    ok = ok & ~stale[None, None, :]
+    ok = ok & valid_old[:, None, :]
+    scores_c = jnp.where(ok[:, None, :, :], scores_c, NEG_INF)
+
+    scores_s = jnp.einsum(
+        "bhtd,bhsd->bhts", q, k_new.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    intra = jnp.tril(jnp.ones((t, t), bool))
+    scores_s = jnp.where(intra[None, None], scores_s, NEG_INF)
+
+    scores = jnp.concatenate([scores_c, scores_s], axis=-1)
+    probs = jax.nn.softmax(scores, axis=-1)
+    pc, ps = probs[..., :c], probs[..., c:]
+    out = jnp.einsum(
+        "bhtc,bhcd->bhtd", pc.astype(v_cache_old.dtype), v_cache_old,
+        preferred_element_type=jnp.float32,
+    ) + jnp.einsum(
+        "bhts,bhsd->bhtd", ps.astype(v_new.dtype), v_new,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
 def attend_global(
     q: jax.Array,
     k_cache: jax.Array,

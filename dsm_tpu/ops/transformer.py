@@ -104,7 +104,11 @@ def init(cfg: TransformerConfig, key: jax.Array, dtype=jnp.float32) -> dict:
 
 
 def init_state(
-    cfg: TransformerConfig, batch: int, cache_dtype=jnp.bfloat16, step_t: int = 1
+    cfg: TransformerConfig,
+    batch: int,
+    cache_dtype=jnp.bfloat16,
+    step_t: int = 1,
+    kv_quant: bool = False,
 ) -> dict:
     """Streaming state: per-layer KV rings + global tick + validity bitmap.
 
@@ -116,17 +120,32 @@ def init_state(
       scalar-indexed dynamic_update_slices (in-place), never scatters.
     * Per-layer caches are separate arrays (not stacked) so XLA can alias
       every update without copying the stack.
+    * ``kv_quant`` stores the rings as int8 with per-row f32 scales — half
+      the HBM traffic on the serving hot path; scales fold into the
+      attention post-scaling (ops/attention.attend_global_split_q).
     """
     h, hd = cfg.num_heads, cfg.hd
     cap = cfg.context + step_t - 1
+    layers = []
+    for _ in range(cfg.num_layers):
+        if kv_quant:
+            layers.append(
+                {
+                    "k": jnp.zeros((batch, h, cap, hd), jnp.int8),
+                    "v": jnp.zeros((batch, h, cap, hd), jnp.int8),
+                    "ks": jnp.zeros((batch, h, cap), jnp.float32),
+                    "vs": jnp.zeros((batch, h, cap), jnp.float32),
+                }
+            )
+        else:
+            layers.append(
+                {
+                    "k": jnp.zeros((batch, h, cap, hd), cache_dtype),
+                    "v": jnp.zeros((batch, h, cap, hd), cache_dtype),
+                }
+            )
     return {
-        "layers": [
-            {
-                "k": jnp.zeros((batch, h, cap, hd), cache_dtype),
-                "v": jnp.zeros((batch, h, cap, hd), cache_dtype),
-            }
-            for _ in range(cfg.num_layers)
-        ],
+        "layers": layers,
         "pos": jnp.zeros((), jnp.int32),
         "valid": jnp.zeros((batch, cap), bool),
     }
@@ -256,7 +275,8 @@ def step(
     b, t, _ = x.shape
     capacity = state["layers"][0]["k"].shape[2]
     plan = attn.global_ring_plan(state["pos"], capacity, t)
-    valid = attn.update_valid_bitmap(state["valid"], plan, mask)
+    valid_old = state["valid"]
+    valid = attn.update_valid_bitmap(valid_old, plan, mask)
 
     q_pos_b = jnp.broadcast_to(plan["q_pos"][None, :], (b, t))
     rope = None
@@ -265,18 +285,42 @@ def step(
     elif cfg.positional_embedding == "sin":
         x = _pos_embed_sin(cfg, x, q_pos_b)
 
+    kv_quant = "ks" in state["layers"][0]
     new_layers = []
     for l in range(cfg.num_layers):
         lp = jax.tree_util.tree_map(lambda a: a[l], params)
-        k_l = state["layers"][l]["k"]
-        v_l = state["layers"][l]["v"]
+        layer_st = state["layers"][l]
+        k_l, v_l = layer_st["k"], layer_st["v"]
         xn = norm_mod.apply_norm(cfg.norm_kind, lp["norm1"], x)
         q, k, v = _qkv(cfg, lp, xn)
         if rope is not None:
             q = attn.apply_rope(q, *rope)
             k = attn.apply_rope(k, *rope)
-        k_l, v_l = attn.ring_write_global(k_l, v_l, k, v, plan)
-        y = attn.attend_global(q, k_l, v_l, plan, valid, window=cfg.context)
+        # Split attention: read the OLD ring + fresh K/V; the ring update
+        # below then has the state carry as its only consumer, so XLA keeps
+        # it in place instead of copying the cache (see attend_global_split).
+        if kv_quant:
+            y = attn.attend_global_split_q(
+                q, k_l, v_l, layer_st["ks"], layer_st["vs"], k, v, plan,
+                valid_old, window=cfg.context,
+            )
+            kq, vq, ks_new, vs_new = attn.quantize_kv_rows(k, v)
+            k_l, v_l = attn.ring_write_global(k_l, v_l, kq, vq, plan)
+            ks, vs = layer_st["ks"], layer_st["vs"]
+            for ti in range(t):
+                ks = jax.lax.dynamic_update_slice_in_dim(
+                    ks, ks_new[:, :, ti : ti + 1], plan["w"][ti], axis=2
+                )
+                vs = jax.lax.dynamic_update_slice_in_dim(
+                    vs, vs_new[:, :, ti : ti + 1], plan["w"][ti], axis=2
+                )
+            new_layers.append({"k": k_l, "v": v_l, "ks": ks, "vs": vs})
+        else:
+            y = attn.attend_global_split(
+                q, k_l, v_l, k, v, plan, valid_old, window=cfg.context
+            )
+            k_l, v_l = attn.ring_write_global(k_l, v_l, k, v, plan)
+            new_layers.append({"k": k_l, "v": v_l})
         y = _proj_out(cfg, lp, y, b, t)
         if "layer_scale_1" in lp:
             y = y * lp["layer_scale_1"].astype(y.dtype)
@@ -284,7 +328,6 @@ def step(
         if ca_kv is not None:
             x = _cross_block(cfg, lp, x, ca_kv[0][l], ca_kv[1][l])
         x = _mlp_block(cfg, lp, x)
-        new_layers.append({"k": k_l, "v": v_l})
 
     return x, {"layers": new_layers, "pos": plan["new_pos"], "valid": valid}
 

@@ -40,12 +40,20 @@ class AsrConfig:
     text_sep_token: int = 0
     text_pad_token: int = 3
     frame_rate: float = 12.5
+    # Codec compute dtype: the reference keeps Mimi in f32 even under bf16
+    # LMs (mimi.rs load), but bf16 is the MXU-native type; RVQ distances
+    # stay f32 either way (ops/rvq.py upcasts).
+    mimi_dtype: str = "float32"
+    # int8 KV rings with per-row scales: halves attention HBM traffic,
+    # the serving hot path's dominant cost.
+    kv_quant: bool = False
 
 
 def init_state(cfg: AsrConfig, batch: int, cache_dtype=jnp.bfloat16) -> dict:
+    mimi_dt = jnp.dtype(cfg.mimi_dtype)
     return {
-        "mimi_enc": MIMI.init_encode_state(cfg.mimi, batch, jnp.float32),
-        "lm": LM.init_state(cfg.lm, batch, cache_dtype),
+        "mimi_enc": MIMI.init_encode_state(cfg.mimi, batch, mimi_dt),
+        "lm": LM.init_state(cfg.lm, batch, cache_dtype, kv_quant=cfg.kv_quant),
         # Audio tokens from the previous frame (the 1-frame audio delay the
         # LM was trained with; asr.rs next_codebooks :168-190).
         "next_codebooks": jnp.full(
@@ -74,7 +82,8 @@ def step(
     state = reset_slots(cfg, state, reset)
 
     audio_tokens, mimi_state = MIMI.encode_step(
-        cfg.mimi, params["mimi"], state["mimi_enc"], pcm, mask
+        cfg.mimi, params["mimi"], state["mimi_enc"],
+        pcm.astype(jnp.dtype(cfg.mimi_dtype)), mask,
     )
     audio_tokens = audio_tokens[..., 0].astype(jnp.int32)  # (B, K)
 

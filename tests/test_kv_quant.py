@@ -1,0 +1,62 @@
+"""int8-quantised KV ring: close to the bf16 path, exact state mechanics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsm_tpu.ops import attention as attn
+from dsm_tpu.ops import transformer as tfm
+
+
+def test_quantize_rows_accuracy():
+    k = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 1, 64))
+    v = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 1, 64)) * 3.0
+    kq, vq, ks, vs = attn.quantize_kv_rows(k, v)
+    assert kq.dtype == jnp.int8 and ks.shape == (2, 4, 1)
+    k_back = kq.astype(jnp.float32) * ks[..., None]
+    np.testing.assert_allclose(np.asarray(k_back), np.asarray(k), atol=0.02)
+    v_back = vq.astype(jnp.float32) * vs[..., None]
+    np.testing.assert_allclose(np.asarray(v_back), np.asarray(v), atol=0.06)
+
+
+def test_quantized_stream_matches_forward_approximately():
+    cfg = tfm.TransformerConfig(
+        d_model=32, num_heads=4, num_layers=2, dim_feedforward=64,
+        context=16, positional_embedding="rope",
+    )
+    params = tfm.init(cfg, jax.random.PRNGKey(0))
+    t = 10
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, t, 32)) * 0.1
+    y_full = tfm.forward(cfg, params, x)
+
+    state = tfm.init_state(cfg, 2, kv_quant=True)
+    assert state["layers"][0]["k"].dtype == jnp.int8
+    outs = []
+    for i in range(t):
+        yi, state = tfm.step(cfg, params, state, x[:, i : i + 1])
+        outs.append(yi)
+    y_q = jnp.concatenate(outs, axis=1)
+    # int8 KV: small quantisation error, not exact.
+    err = float(jnp.abs(y_full - y_q).max())
+    assert err < 0.05, err
+    rel = float(jnp.abs(y_full - y_q).mean() / jnp.abs(y_full).mean())
+    assert rel < 0.02, rel
+
+
+def test_quantized_reset_isolation():
+    cfg = tfm.TransformerConfig(
+        d_model=16, num_heads=2, num_layers=1, dim_feedforward=32,
+        context=8, positional_embedding="none",
+    )
+    params = tfm.init(cfg, jax.random.PRNGKey(0))
+    state = tfm.init_state(cfg, 2, kv_quant=True)
+    xs = jax.random.normal(jax.random.PRNGKey(1), (4, 2, 1, 16)) * 0.1
+    for i in range(3):
+        _, state = tfm.step(cfg, params, state, xs[i])
+    state = tfm.reset_state(state, jnp.array([False, True]))
+    y, state = tfm.step(cfg, params, state, xs[3])
+    fresh = tfm.init_state(cfg, 2, kv_quant=True)
+    y_ref, _ = tfm.step(cfg, params, fresh, xs[3])
+    np.testing.assert_allclose(
+        np.asarray(y[1]), np.asarray(y_ref[1]), atol=1e-4, rtol=1e-3
+    )
