@@ -112,6 +112,65 @@ def cmd_bench(args) -> int:
     return subprocess.call([sys.executable, "bench.py"])
 
 
+def cmd_stt_client(args) -> int:
+    """Stream a wav file to a server (kyutai-cli stt file equivalent)."""
+    import asyncio
+
+    from .client.stt import SttClient
+    from .utils.audio import decode_audio
+
+    pcm = decode_audio(args.audio, 24_000)
+    client = SttClient(args.url, token=args.token)
+
+    def on_event(ev):
+        if args.verbose and ev.type == "step":
+            print(f"\rstep {ev.step_idx}", end="", file=sys.stderr)
+
+    transcript = asyncio.run(
+        client.transcribe_pcm(pcm, rtf=args.rtf, on_event=on_event)
+    )
+    if args.json:
+        print(json.dumps({
+            "text": transcript.text,
+            "words": [
+                {"text": w.text, "start_s": w.start_s, "stop_s": w.stop_s}
+                for w in transcript.words
+            ],
+        }))
+    else:
+        print(transcript.text)
+    return 0
+
+
+def cmd_tts_client(args) -> int:
+    """Synthesize via a server, write wav, print TTFB/RTF benchmark JSON
+    (kyutai-cli tts.rs:81-94 output format)."""
+    import asyncio
+
+    from .client.tts import TtsClient
+    from .utils.audio import write_wav
+
+    result = asyncio.run(TtsClient(args.url, token=args.token).synthesize(args.text))
+    write_wav(args.out, result.pcm, 24_000)
+    print(json.dumps({
+        "out": args.out,
+        "duration_s": round(len(result.pcm) / 24_000.0, 3),
+        "ttfb_s": result.ttfb_s,
+        "rtf": result.rtf,
+        "words": result.words,
+    }))
+    return 0
+
+
+def cmd_auth_server(args) -> int:
+    from .server.auth_server import AuthServer
+
+    srv = AuthServer(db_path=args.db)
+    print(f"admin secret: {srv.admin_secret}")
+    srv.run(host=args.host, port=args.port)
+    return 0
+
+
 def _apply_platform_env() -> None:
     """Honour DSM_PLATFORM=cpu|tpu (the sitecustomize in some environments
     force-registers a TPU backend, so the JAX_PLATFORMS env var alone is
@@ -166,6 +225,29 @@ def main(argv=None) -> int:
 
     b = sub.add_parser("bench", help="serving benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    sc = sub.add_parser("stt-client", help="stream a wav to a server")
+    sc.add_argument("audio")
+    sc.add_argument("--url", default="ws://127.0.0.1:8080/api/asr-streaming")
+    sc.add_argument("--token", default=None)
+    sc.add_argument("--rtf", type=float, default=None,
+                    help="pace upload (1.0 = realtime)")
+    sc.add_argument("--json", action="store_true")
+    sc.add_argument("--verbose", action="store_true")
+    sc.set_defaults(fn=cmd_stt_client)
+
+    tc = sub.add_parser("tts-client", help="synthesize via a server")
+    tc.add_argument("text")
+    tc.add_argument("out")
+    tc.add_argument("--url", default="ws://127.0.0.1:8080/api/tts_streaming")
+    tc.add_argument("--token", default=None)
+    tc.set_defaults(fn=cmd_tts_client)
+
+    a = sub.add_parser("auth-server", help="run the JWT issuance service")
+    a.add_argument("--host", default="0.0.0.0")
+    a.add_argument("--port", type=int, default=8081)
+    a.add_argument("--db", default="auth.sqlite3")
+    a.set_defaults(fn=cmd_auth_server)
 
     args = p.parse_args(argv)
     return args.fn(args)
