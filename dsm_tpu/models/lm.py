@@ -390,10 +390,10 @@ def depformer_sample(
     """Sample all audio codebooks for the current frame.
 
     ``hidden (B, D)`` is the temporal transformer output; ``text_token (B,)``
-    the frame's sampled/forced text token; ``forced_next (S,)`` per-slice
-    override for the token fed to the *next* slice (-1 = use the sample) —
-    the ForcedAudioTokens mechanism that teacher-forces audio pads during the
-    acoustic delay (lm.rs:1196-1221).
+    the frame's sampled/forced text token; ``forced_next`` — ``(S,)`` or
+    per-slot ``(B, S)`` — overrides the token fed to the *next* slice
+    (-1 = use the sample), the ForcedAudioTokens mechanism that
+    teacher-forces audio pads during the acoustic delay (lm.rs:1196-1221).
 
     With ``cfg_alpha`` set, rows are [cond..., uncond...] halves and logits
     combine as a*cond - (a-1)*uncond (lm.rs:687-732); every row then receives
@@ -406,6 +406,9 @@ def depformer_sample(
     dcfg = dep.transformer
     b = hidden.shape[0]
     n_slices = dep.num_slices
+    forced_next = jnp.asarray(forced_next)
+    if forced_next.ndim == 1:
+        forced_next = jnp.broadcast_to(forced_next[None, :], (b, n_slices))
 
     kv = T.init_state(dcfg, b, cache_dtype=hidden.dtype)
     keys = jax.random.split(key, n_slices)
@@ -440,7 +443,7 @@ def depformer_sample(
     ).astype(hidden.dtype)
     logits0, kv = slice_logits(p0, kv, x0)
     tok0 = combine_and_sample(logits0, keys[0])
-    last0 = jnp.where(forced_next[0] >= 0, forced_next[0], tok0)
+    last0 = jnp.where(forced_next[:, 0] >= 0, forced_next[:, 0], tok0)
 
     if n_slices == 1:
         return tok0[:, None]
@@ -467,7 +470,7 @@ def depformer_sample(
         return (kv, nxt), tok
 
     (_, _), toks = jax.lax.scan(
-        body, (kv, last0), (rest, forced_next[1:], keys[1:])
+        body, (kv, last0), (rest, forced_next[:, 1:].T, keys[1:])
     )
     return jnp.concatenate([tok0[:, None], toks.T.astype(jnp.int32)], axis=1)
 

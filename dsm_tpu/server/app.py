@@ -279,6 +279,10 @@ class App:
         err = self._check_auth(request)
         if err is not None:
             return err
+        from .tts_batched import BatchedTtsEngine
+
+        if isinstance(self.tts_engine, BatchedTtsEngine):
+            return await self._handle_tts_ws_batched(request)
         ws = web.WebSocketResponse(heartbeat=PING_INTERVAL_S)
         await ws.prepare(request)
         await ws.send_bytes(proto.tts_ready())
@@ -333,6 +337,71 @@ class App:
             session.end_input()
             await run_task
             await send_task
+            if not ws.closed:
+                await ws.close()
+        return ws
+
+    async def _handle_tts_ws_batched(self, request):
+        """Continuously-batched TTS session (server/tts_batched.py)."""
+        from .tts_batched import DoneEvent
+        from .tts_module import AudioEvent, WordEvent
+
+        ws = web.WebSocketResponse(heartbeat=PING_INTERVAL_S)
+        await ws.prepare(request)
+
+        loop = asyncio.get_running_loop()
+        out_q: asyncio.Queue = asyncio.Queue()
+
+        def deliver(ev):
+            loop.call_soon_threadsafe(out_q.put_nowait, ev)
+
+        slot = self.tts_engine.open_session(deliver)
+        if slot is None:
+            metrics.WS_CLOSE_ERRORS.labels(
+                code=str(int(proto.CloseCode.SERVER_AT_CAPACITY))
+            ).inc()
+            await ws.close(
+                code=int(proto.CloseCode.SERVER_AT_CAPACITY),
+                message=proto.CloseCode.SERVER_AT_CAPACITY.reason.encode(),
+            )
+            return ws
+        await ws.send_bytes(proto.tts_ready())
+        inserted_bos = False
+        done = asyncio.Event()
+
+        async def sender():
+            while True:
+                ev = await out_q.get()
+                if isinstance(ev, DoneEvent):
+                    done.set()
+                    return
+                if isinstance(ev, AudioEvent):
+                    await ws.send_bytes(proto.tts_audio([float(x) for x in ev.pcm]))
+                elif isinstance(ev, WordEvent):
+                    await ws.send_bytes(proto.tts_text(ev.text, ev.start_s, ev.stop_s))
+
+        send_task = asyncio.create_task(sender())
+        try:
+            while not done.is_set():
+                try:
+                    msg = await ws.receive(timeout=1.0)
+                except asyncio.TimeoutError:
+                    continue
+                if msg.type == WSMsgType.TEXT:
+                    words, inserted_bos = self.tts_engine.encode_words(
+                        msg.data, inserted_bos
+                    ) if hasattr(self.tts_engine, "encode_words") else ([], inserted_bos)
+                    slot.feed_words(words)
+                elif msg.type == WSMsgType.BINARY and msg.data == proto.TTS_EOS:
+                    slot.end_input()
+                elif msg.type in (WSMsgType.CLOSE, WSMsgType.CLOSING,
+                                  WSMsgType.CLOSED, WSMsgType.ERROR):
+                    break
+            await asyncio.wait_for(send_task, timeout=5)
+        except (asyncio.TimeoutError, asyncio.CancelledError):
+            send_task.cancel()
+        finally:
+            self.tts_engine.close_session(slot)
             if not ws.closed:
                 await ws.close()
         return ws

@@ -120,6 +120,16 @@ def build_tts(mod: CFG.ModuleConfig) -> TtsEngine:
     tok_path = (
         CFG.resolve_path(mod.text_tokenizer_file) if mod.text_tokenizer_file else None
     )
+    tokenizer = load_tokenizer(tok_path)
+    tts_batch = int(mod.raw.get("batch_size", 1))
+    if tts_batch > 1:
+        # Continuous TTS batching (beyond the reference's batch=1 mutex).
+        from .tts_batched import BatchedTtsEngine
+
+        return BatchedTtsEngine(
+            tts_cfg, {"lm": lm_params}, mimi_cfg, mimi_params, tokenizer,
+            batch_size=tts_batch,
+        )
     return TtsEngine(
-        tts_cfg, {"lm": lm_params}, mimi_cfg, mimi_params, load_tokenizer(tok_path)
+        tts_cfg, {"lm": lm_params}, mimi_cfg, mimi_params, tokenizer
     )

@@ -1,0 +1,363 @@
+"""Continuously-batched TTS serving engine.
+
+Goes beyond the reference, which serialises all TTS inference behind a
+batch=1 mutex (tts.rs:31,374): here N independent TTS sessions run
+lock-step in one jitted step (sessions/tts.py carries per-slot step
+counters), sharing the model exactly like the batched ASR path.  Per-slot
+voices work because the cross-attention KV source is batched (L, B, H, S,
+Dh) — opening a session writes its voice into that slot.
+
+Host side per slot: the word-feeding state machine of the reference's
+process_loop (tts.rs:566-628) — Text/Pad/PadOrEpad constraint selection,
+eop timestamps, final-word pad forcing, extra-steps drain — plus a batched
+Mimi decode for completed frames.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+from collections import deque
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from ..models import mimi as MIMI
+from ..ops import transformer as T
+from ..sessions import tts as TTS
+from . import metrics
+from .tts_module import AudioEvent, WordEvent
+
+
+@dataclasses.dataclass
+class DoneEvent:
+    pass
+
+
+class TtsSlot:
+    """Host word-feeding driver for one session (tts.rs process_loop)."""
+
+    def __init__(self, slot: int, deliver: Callable[[object], None]):
+        self.slot = slot
+        self.deliver = deliver
+        self.lock = threading.Lock()
+        self.word_queue: deque = deque()
+        self.eos = False
+        # Empty current word -> await the first real word (tts.rs:578).
+        self.word_tokens: Optional[List[int]] = []
+        self.token_idx = 0
+        self.step_past_last = 0
+        self.last_eop_step = 0
+        self.steps = 0
+        self.finished = False
+        self.closed = False
+        self.pcm_samples = 0
+        self.started = time.time()
+
+    def feed_words(self, words) -> None:
+        with self.lock:
+            for w in words:
+                self.word_queue.append(list(w))
+
+    def end_input(self) -> None:
+        with self.lock:
+            self.eos = True
+
+    def next_constraint(self, cfg: TTS.TtsConfig):
+        """-> (mode, token, stalled): the AllowedTokens decision."""
+        if self.word_tokens is None:
+            self.step_past_last += 1
+            if self.step_past_last > cfg.extra_steps + cfg.text_audio_delay_in_tokens:
+                return None  # session complete
+            return (TTS.ALLOW_PAD, 0, False)
+        if self.token_idx < len(self.word_tokens):
+            return (TTS.ALLOW_TEXT, self.word_tokens[self.token_idx], False)
+        return (TTS.ALLOW_PAD_OR_EPAD, 0, False)
+
+    def on_text_token(self, cfg: TTS.TtsConfig, tok: int, tokenizer):
+        """Advance the driver with the sampled/forced token.  Returns
+        'overwrite_pad' when the final eop must be patched to a pad."""
+        patch = None
+        if tok == cfg.text_eop_token:
+            if self.word_tokens:
+                text = tokenizer.decode(self.word_tokens)
+                self.deliver(
+                    WordEvent(
+                        text=text,
+                        start_s=self.last_eop_step / 12.5,
+                        stop_s=self.steps / 12.5,
+                    )
+                )
+            self.last_eop_step = self.steps
+            with self.lock:
+                if self.word_queue:
+                    self.word_tokens = list(self.word_queue.popleft())
+                elif self.eos:
+                    self.word_tokens = None
+                    patch = "overwrite_pad"
+                else:
+                    # Starved: stay on an empty word -> PadOrEpad again.
+                    self.word_tokens = []
+            self.token_idx = 0
+        elif tok != cfg.text_pad_token:
+            self.token_idx += 1
+        return patch
+
+
+class BatchedTtsEngine:
+    def __init__(
+        self,
+        cfg: TTS.TtsConfig,
+        params: dict,
+        mimi_cfg: MIMI.MimiConfig,
+        mimi_params: dict,
+        tokenizer,
+        batch_size: int = 8,
+        ca_len: Optional[int] = None,
+        tick_sleep: float = 0.002,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        assert cfg.cfg_alpha is None, "CFG unsupported in batched mode"
+        self.cfg = cfg
+        self.mimi_cfg = mimi_cfg
+        self.params = params
+        self.mimi_params = mimi_params
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.tick_sleep = tick_sleep
+        self.cache_dtype = (
+            jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+        )
+
+        tcfg = cfg.lm.transformer
+        self.ca_len = ca_len or (125 * cfg.speaker_cond_n_speakers)
+        self._ca_k = np.zeros(
+            (tcfg.num_layers, batch_size, tcfg.num_heads, self.ca_len, tcfg.hd),
+            np.float32,
+        )
+        self._ca_v = np.zeros_like(self._ca_k)
+        self._ca_dirty = True
+        self._ca_dev = None
+
+        self.state = TTS.init_state(cfg, batch_size, self.cache_dtype)
+        self.mimi_state = MIMI.init_decode_state(mimi_cfg, batch_size)
+        self.rng = jax.random.PRNGKey(int(time.time()))
+
+        self.slots: List[Optional[TtsSlot]] = [None] * batch_size
+        self.free: deque = deque(range(batch_size))
+        self.pending_resets = np.zeros(batch_size, bool)
+        self.slot_lock = threading.Lock()
+        self.running = False
+        self.thread = None
+
+        def _step(params, state, mode, tok, rng, ca_kv, mask, reset):
+            return TTS.step(
+                cfg, params, state, mode, tok, rng, ca_kv=ca_kv,
+                mask=mask, reset=reset,
+            )
+
+        self._step = jax.jit(_step, donate_argnums=(1,))
+
+        def _decode(p, s, codes, mask):
+            return MIMI.decode_step(mimi_cfg, p, s, codes, mask)
+
+        self._decode = jax.jit(_decode, donate_argnums=(1,))
+
+    # -- slots --
+
+    def used_slots(self) -> int:
+        with self.slot_lock:
+            return self.batch_size - len(self.free)
+
+    def open_session(
+        self, deliver: Callable[[object], None], voice_ca=None
+    ) -> Optional[TtsSlot]:
+        """voice_ca: per-layer (L, 1, H, S, Dh) K/V pair or None (no voice)."""
+        with self.slot_lock:
+            if not self.free:
+                return None
+            slot = self.free.popleft()
+            drv = TtsSlot(slot, deliver)
+            self.slots[slot] = drv
+            self.pending_resets[slot] = True
+            if voice_ca is not None:
+                k, v = voice_ca
+                self._ca_k[:, slot] = np.asarray(k[:, 0], np.float32)
+                self._ca_v[:, slot] = np.asarray(v[:, 0], np.float32)
+            else:
+                self._ca_k[:, slot] = 0.0
+                self._ca_v[:, slot] = 0.0
+            self._ca_dirty = True
+        return drv
+
+    def close_session(self, drv: TtsSlot) -> None:
+        with self.slot_lock:
+            drv.closed = True
+            if self.slots[drv.slot] is drv:
+                self.slots[drv.slot] = None
+                self.free.append(drv.slot)
+
+    # -- device loop --
+
+    def start(self) -> None:
+        self.running = True
+        self.thread = threading.Thread(
+            target=self._loop, name="tts-model-loop", daemon=True
+        )
+        self.thread.start()
+
+    def stop(self) -> None:
+        self.running = False
+        if self.thread:
+            self.thread.join(timeout=5)
+
+    def _ca(self):
+        import jax.numpy as jnp
+
+        if self._ca_dirty or self._ca_dev is None:
+            self._ca_dev = (
+                jnp.asarray(self._ca_k, self.cache_dtype),
+                jnp.asarray(self._ca_v, self.cache_dtype),
+            )
+            self._ca_dirty = False
+        return self._ca_dev
+
+    def tick(self) -> bool:
+        import jax
+
+        modes = np.full(self.batch_size, TTS.ALLOW_PAD, np.int32)
+        toks = np.zeros(self.batch_size, np.int32)
+        mask = np.zeros(self.batch_size, bool)
+        reset = np.zeros(self.batch_size, bool)
+        drivers: List[Optional[TtsSlot]] = [None] * self.batch_size
+
+        with self.slot_lock:
+            reset[:] = self.pending_resets
+            self.pending_resets[:] = False
+            for slot, drv in enumerate(self.slots):
+                if drv is None or drv.closed or drv.finished:
+                    continue
+                c = drv.next_constraint(self.cfg)
+                if c is None:
+                    drv.finished = True
+                    drv.deliver(DoneEvent())
+                    continue
+                modes[slot], toks[slot], _ = c
+                mask[slot] = True
+                drivers[slot] = drv
+
+        if not mask.any() and not reset.any():
+            return False
+
+        t0 = time.perf_counter()
+        self.rng, sub = jax.random.split(self.rng)
+        out, self.state = self._step(
+            self.params, self.state, modes, toks, sub, self._ca(), mask, reset
+        )
+        text_tokens = np.asarray(out["text_token"])
+        frame_valid = np.asarray(out["frame_valid"])
+        steps = np.asarray(out["step_idx"])
+        metrics.LM_STEP_DURATION.observe(time.perf_counter() - t0)
+
+        # Batched Mimi decode for slots with completed audio frames that are
+        # past the combined delay.
+        past_delay = steps > (
+            self.cfg.text_audio_delay_in_tokens + self.cfg.acoustic_delay
+        )
+        dec_mask = frame_valid & past_delay & mask
+        if dec_mask.any():
+            codes = np.asarray(out["frame"], np.int32)[:, :, None]
+            pcm, self.mimi_state = self._decode(
+                self.mimi_params, self.mimi_state, codes, dec_mask
+            )
+            pcm = np.asarray(pcm[:, 0, :], np.float32)
+        else:
+            pcm = None
+
+        overwrite_slots = np.zeros(self.batch_size, bool)
+        for slot, drv in enumerate(drivers):
+            if drv is None:
+                continue
+            drv.steps = int(steps[slot])
+            patch = drv.on_text_token(self.cfg, int(text_tokens[slot]), self.tokenizer)
+            if patch == "overwrite_pad":
+                overwrite_slots[slot] = True
+            if pcm is not None and dec_mask[slot]:
+                drv.pcm_samples += pcm.shape[1]
+                drv.deliver(AudioEvent(pcm=pcm[slot]))
+        if overwrite_slots.any():
+            # Teacher-force a pad over the final eop (tts.rs:607-610).
+            self.state = TTS.overwrite_last_text_token(
+                self.state, self.cfg.text_pad_token, overwrite_slots
+            )
+        return True
+
+    def _loop(self) -> None:
+        while self.running:
+            try:
+                if not self.tick():
+                    time.sleep(self.tick_sleep)
+            except Exception:
+                metrics.CONNECTION_ERRORS.inc()
+                import traceback
+
+                traceback.print_exc()
+                time.sleep(0.1)
+
+    # -- compatibility surface shared with the single-session TtsEngine --
+
+    def encode_words(self, text: str, inserted_bos: bool):
+        """Text -> per-word sentencepiece ids with a single leading bos
+        (tts.rs recv_loop :480-494)."""
+        words = []
+        for word in text.split(" "):
+            if not word:
+                continue
+            ids = list(self.tokenizer.encode(word))
+            if not inserted_bos:
+                ids.insert(0, self.cfg.text_bos_token)
+                inserted_bos = True
+            words.append(ids)
+        return words, inserted_bos
+
+    def synthesize(self, text: str, voice_ca=None, seed: int = 0, timeout_s=300.0):
+        """Offline HTTP TTS over the batched engine: occupies one slot."""
+        done = threading.Event()
+        pcm_chunks: List[np.ndarray] = []
+        transcript: List[WordEvent] = []
+
+        def sink(ev):
+            if isinstance(ev, AudioEvent):
+                pcm_chunks.append(ev.pcm)
+            elif isinstance(ev, WordEvent):
+                transcript.append(ev)
+            elif isinstance(ev, DoneEvent):
+                done.set()
+
+        slot = None
+        deadline = time.time() + timeout_s
+        while slot is None and time.time() < deadline:
+            slot = self.open_session(sink, voice_ca=voice_ca)
+            if slot is None:
+                time.sleep(0.05)
+        if slot is None:
+            raise TimeoutError("no free TTS slot")
+        try:
+            words, _ = self.encode_words(text, inserted_bos=False)
+            slot.feed_words(words)
+            slot.end_input()
+            if self.running:
+                done.wait(timeout=timeout_s)
+            else:
+                while not done.is_set() and time.time() < deadline:
+                    if not self.tick():
+                        time.sleep(self.tick_sleep)
+        finally:
+            self.close_session(slot)
+        pcm = (
+            np.concatenate(pcm_chunks) if pcm_chunks else np.zeros(0, np.float32)
+        )
+        return pcm, transcript

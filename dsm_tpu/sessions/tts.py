@@ -16,9 +16,11 @@ Reference: moshi-core/src/tts_streaming.rs.  Per 80 ms frame:
 
 TPU-native design: the whole step — including the delayed-buffer reads and
 writes, which the reference does with host Vec<Vec<u32>> bookkeeping — is
-one jitted program over static buffers, with the step index as a traced
-scalar so no step ever recompiles.  The host only decides *which* constraint
-applies (it owns the word queue) and reads back completed audio frames.
+one jitted program over static buffers with **per-slot step counters**, so
+independent sessions run continuously batched in lock-step (the reference
+serialises TTS behind a batch=1 mutex; tts.rs:31,374).  The host only
+decides which word-feed constraint applies per slot and reads back
+completed audio frames.
 """
 
 from __future__ import annotations
@@ -30,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models import lm as LM
+from ..models import mimi as MIMI
 from ..ops import sampling as S
 
 UNGENERATED = -1  # buffer slots not yet written (reference uses u32::MAX)
@@ -63,6 +66,7 @@ class TtsConfig:
     text_temperature: float = 0.6
     text_top_k: int = 25
     cfg_alpha: Optional[float] = None
+    kv_quant: bool = False
 
     @property
     def n_codebooks(self) -> int:
@@ -73,40 +77,56 @@ def init_state(cfg: TtsConfig, batch: int, cache_dtype=jnp.bfloat16) -> dict:
     k = cfg.n_codebooks
     cap = cfg.max_steps + cfg.acoustic_delay
     return {
-        "lm": LM.init_state(cfg.lm, batch, cache_dtype),
+        "lm": LM.init_state(cfg.lm, batch, cache_dtype, kv_quant=cfg.kv_quant),
         # Generated audio tokens per step (B, cap, K); UNGENERATED until the
         # delayed write lands (tts_streaming.rs audio_tokens buffer).
         "audio_tokens": jnp.full((batch, cap, k), UNGENERATED, jnp.int32),
         "text_tokens": jnp.full((batch, cap), UNGENERATED, jnp.int32),
         "consecutive_pads": jnp.zeros((batch,), jnp.int32),
         "prev_text": jnp.full((batch,), cfg.text_start_token, jnp.int32),
-        "step_idx": jnp.zeros((), jnp.int32),
+        "step_idx": jnp.zeros((batch,), jnp.int32),
+    }
+
+
+def reset_slots(cfg: TtsConfig, state: dict, reset: jax.Array) -> dict:
+    """Per-slot reset for continuous TTS batching (slot reuse)."""
+    r = reset[:, None]
+    return {
+        "lm": LM.reset_state(state["lm"], reset),
+        "audio_tokens": jnp.where(
+            reset[:, None, None], UNGENERATED, state["audio_tokens"]
+        ),
+        "text_tokens": jnp.where(r, UNGENERATED, state["text_tokens"]),
+        "consecutive_pads": jnp.where(reset, 0, state["consecutive_pads"]),
+        "prev_text": jnp.where(
+            reset, jnp.int32(cfg.text_start_token), state["prev_text"]
+        ),
+        "step_idx": jnp.where(reset, 0, state["step_idx"]),
     }
 
 
 def _delayed_input_tokens(cfg: TtsConfig, state: dict) -> jax.Array:
     """Audio-token inputs for this step, (B, K) with -1 = absent.
 
-    Implements tts_streaming.rs:126-149 as pure arithmetic over the step
-    index: pad during the per-codebook delay, absent ("literal zeros")
-    during the text-audio window, otherwise the delayed buffer read.
+    Implements tts_streaming.rs:126-149 as pure arithmetic over *per-slot*
+    step indices: pad during the per-codebook delay, absent ("literal
+    zeros") during the text-audio window, otherwise the delayed buffer read.
     """
-    s = state["step_idx"]
+    s = state["step_idx"][:, None]  # (B, 1)
     buf = state["audio_tokens"]
     b, _, k = buf.shape
     pad = jnp.int32(cfg.lm.audio_pad_token)
 
-    delays = jnp.where(jnp.arange(k) == 0, 0, cfg.acoustic_delay)  # (K,)
-    read_pos = jnp.maximum(s - 1 - delays, 0)  # (K,)
-    read = jnp.take_along_axis(
-        buf, jnp.broadcast_to(read_pos[None, :, None], (b, k, 1)).transpose(0, 2, 1),
-        axis=1,
-    )[:, 0, :]  # (B, K) -- buf[b, s-1-delay_k, k]
+    delays = jnp.where(jnp.arange(k) == 0, 0, cfg.acoustic_delay)[None, :]  # (1,K)
+    read_pos = jnp.maximum(s - 1 - delays, 0)  # (B, K)
+    read = jnp.take_along_axis(buf, read_pos[:, :, None].transpose(0, 2, 1), axis=1)[
+        :, 0, :
+    ]  # buf[b, s_b-1-delay_k, k]
 
-    in_delay = s <= delays  # pad window
+    in_delay = s <= delays
     in_zero = (~in_delay) & (s <= cfg.text_audio_delay_in_tokens + delays)
-    tok = jnp.where(in_delay[None, :], pad, read)
-    tok = jnp.where(in_zero[None, :], UNGENERATED, tok)
+    tok = jnp.where(in_delay, pad, read)
+    tok = jnp.where(in_zero, UNGENERATED, tok)
     return tok
 
 
@@ -119,25 +139,34 @@ def step(
     rng: jax.Array,
     ca_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
     condition: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+    reset: Optional[jax.Array] = None,
 ):
-    """One TTS frame step.  Returns ``(out, state')`` where out carries the
-    chosen text token and the completed (delay-resolved) audio frame, with
-    ``frame_valid`` false while the acoustic delay hasn't elapsed.
+    """One TTS frame step, continuously batched.
+
+    Returns ``(out, state')`` where out carries the chosen text token and
+    the completed (delay-resolved) audio frame, with ``frame_valid`` false
+    while the acoustic delay hasn't elapsed.  ``mask`` freezes inactive
+    slots; ``reset`` re-initialises reused slots before stepping.
 
     With classifier-free guidance (cfg.cfg_alpha), the batch is layout
     [cond rows..., uncond rows...]; the uncond half runs without the voice
     ca_kv and both halves receive identical tokens.
     """
-    s = state["step_idx"]
     lm_cfg = cfg.lm
     b = allowed_mode.shape[0]
+    if mask is None:
+        mask = jnp.ones((b,), bool)
+    if reset is not None:
+        state = reset_slots(cfg, state, reset)
+    s = state["step_idx"]  # (B,)
 
     audio_in = _delayed_input_tokens(cfg, state)
     text_in = state["prev_text"]
 
     text_logits, hidden, lm_state = LM.step(
         lm_cfg, params["lm"], state["lm"], text_in, audio_in,
-        ca_kv=ca_kv, condition=condition,
+        mask=mask, ca_kv=ca_kv, condition=condition,
     )
 
     rng, k_text, k_dep = jax.random.split(rng, 3)
@@ -176,90 +205,93 @@ def step(
         text_token == cfg.text_pad_token, state["consecutive_pads"] + 1, 0
     )
 
-    # DepFormer: skipped entirely during the text-audio delay window
-    # (tts_streaming.rs:201-219); pads are written instead.
+    # DepFormer runs for the whole batch; slots still inside the text-audio
+    # delay window get pads instead (tts_streaming.rs:201-219).  Forced pads
+    # during the acoustic delay are per slot.
+    k_arr = jnp.arange(cfg.n_codebooks)
     forced = jnp.where(
-        jnp.logical_and(s < cfg.acoustic_delay, jnp.arange(cfg.n_codebooks) > 0),
+        (s[:, None] < cfg.acoustic_delay) & (k_arr[None, :] > 0),
         jnp.int32(lm_cfg.audio_pad_token),
         -1,
+    )  # (B, K)
+    dep_tokens = LM.depformer_sample(
+        lm_cfg, params["lm"], hidden, text_token, forced, k_dep,
+        S.SamplingConfig(cfg.temperature, cfg.top_k),
+        cfg_alpha=cfg.cfg_alpha,
     )
-
-    def run_dep(k_dep):
-        return LM.depformer_sample(
-            lm_cfg, params["lm"], hidden, text_token, forced, k_dep,
-            S.SamplingConfig(cfg.temperature, cfg.top_k),
-            cfg_alpha=cfg.cfg_alpha,
-        )
-
-    def skip_dep(k_dep):
-        return jnp.full((b, cfg.n_codebooks), lm_cfg.audio_pad_token, jnp.int32)
-
-    audio_tokens = jax.lax.cond(
-        s < cfg.text_audio_delay_in_tokens, skip_dep, run_dep, k_dep
+    audio_tokens = jnp.where(
+        (s < cfg.text_audio_delay_in_tokens)[:, None],
+        jnp.int32(lm_cfg.audio_pad_token),
+        dep_tokens,
     )
 
     # Write tokens at their delayed positions: codebook 0 at step s, others
     # at s - acoustic_delay (only if still UNGENERATED;
-    # tts_streaming.rs:220-236).
+    # tts_streaming.rs:220-236).  Frozen slots write nothing.
     buf = state["audio_tokens"]
-    k_arr = jnp.arange(cfg.n_codebooks)
-    delays = jnp.where(k_arr == 0, 0, cfg.acoustic_delay)
-    write_pos = jnp.maximum(s - delays, 0)  # (K,)
-    cur = jnp.take_along_axis(
-        buf,
-        jnp.broadcast_to(write_pos[None, :, None], (b, cfg.n_codebooks, 1)).transpose(0, 2, 1),
-        axis=1,
-    )[:, 0, :]
+    delays = jnp.where(k_arr == 0, 0, cfg.acoustic_delay)[None, :]
+    write_pos = jnp.maximum(s[:, None] - delays, 0)  # (B, K)
+    cur = jnp.take_along_axis(buf, write_pos[:, :, None].transpose(0, 2, 1), axis=1)[
+        :, 0, :
+    ]
     newval = jnp.where(cur == UNGENERATED, audio_tokens, cur)
-    # Scatter back one element per codebook (host batch is small for TTS).
+    newval = jnp.where(mask[:, None], newval, cur)
     b_idx = jnp.arange(b)[:, None]
-    k_idx = jnp.arange(cfg.n_codebooks)[None, :]
-    buf = buf.at[b_idx, write_pos[None, :], k_idx].set(newval)
+    k_idx = k_arr[None, :]
+    buf = buf.at[b_idx, write_pos, k_idx].set(newval)
 
-    text_buf = jax.lax.dynamic_update_slice_in_dim(
-        state["text_tokens"], text_token[:, None], s, axis=1
+    text_written = jnp.where(mask, text_token, state["prev_text"])
+    text_buf = state["text_tokens"].at[jnp.arange(b), s].set(
+        jnp.where(
+            mask, text_token, state["text_tokens"][jnp.arange(b), s]
+        )
     )
 
     # Completed frame at s - acoustic_delay (post-increment convention:
     # valid once step_idx+1 > acoustic_delay; tts_streaming.rs:275-287).
-    frame_pos = jnp.maximum(s - cfg.acoustic_delay, 0)
-    frame = jax.lax.dynamic_slice_in_dim(buf, frame_pos, 1, axis=1)[:, 0, :]
+    frame_pos = jnp.maximum(s - cfg.acoustic_delay, 0)  # (B,)
+    frame = jnp.take_along_axis(buf, frame_pos[:, None, None], axis=1)[:, 0, :]
     frame_complete = jnp.logical_and(
         s >= cfg.acoustic_delay, jnp.all(frame != UNGENERATED, axis=1)
     )
-    frame_audio_valid = jnp.logical_and(
-        frame_complete, jnp.all(frame < lm_cfg.audio_pad_token, axis=1)
+    frame_audio_valid = (
+        frame_complete
+        & jnp.all(frame < lm_cfg.audio_pad_token, axis=1)
+        & mask
     )
 
+    new_step = s + jnp.where(mask, 1, 0)
     out = {
-        "text_token": text_token,
+        "text_token": text_written,
         "frame": frame,
         "frame_valid": frame_audio_valid,
-        "step_idx": s + 1,
+        "step_idx": new_step,
     }
     new_state = {
         "lm": lm_state,
         "audio_tokens": buf,
         "text_tokens": text_buf,
-        "consecutive_pads": consecutive_pads,
-        "prev_text": text_token,
-        "step_idx": s + 1,
+        "consecutive_pads": jnp.where(mask, consecutive_pads, state["consecutive_pads"]),
+        "prev_text": text_written,
+        "step_idx": new_step,
     }
     return out, new_state
 
 
-def overwrite_last_text_token(state: dict, token: int) -> dict:
+def overwrite_last_text_token(state: dict, token: int, slots=None) -> dict:
     """Host-side fixup used when the word queue catches up
-    (tts_streaming.rs:244-253)."""
-    s = state["step_idx"] - 1
-    text_buf = jax.lax.dynamic_update_slice_in_dim(
-        state["text_tokens"],
-        jnp.full((state["text_tokens"].shape[0], 1), token, jnp.int32),
-        s, axis=1,
+    (tts_streaming.rs:244-253).  ``slots`` is a (B,) bool mask of sessions
+    to patch (default: all)."""
+    b = state["prev_text"].shape[0]
+    sel = jnp.ones((b,), bool) if slots is None else jnp.asarray(slots)
+    s_prev = jnp.maximum(state["step_idx"] - 1, 0)
+    cur = state["text_tokens"][jnp.arange(b), s_prev]
+    text_buf = state["text_tokens"].at[jnp.arange(b), s_prev].set(
+        jnp.where(sel, jnp.int32(token), cur)
     )
     out = dict(state)
     out["text_tokens"] = text_buf
-    out["prev_text"] = jnp.full_like(state["prev_text"], token)
+    out["prev_text"] = jnp.where(sel, jnp.int32(token), state["prev_text"])
     return out
 
 

@@ -53,17 +53,17 @@ def test_delayed_input_pattern():
 
     state = dict(state)
     # Step 3 (inside text-audio window): cb0 absent, cb>0 absent.
-    state["step_idx"] = jnp.int32(4)
+    state["step_idx"] = jnp.array([4], jnp.int32)
     toks = tts._delayed_input_tokens(cfg, state)
     assert toks.tolist() == [[tts.UNGENERATED] * 4]
 
     # Step 1-2: cb>0 still pad (acoustic delay), cb0 absent.
-    state["step_idx"] = jnp.int32(2)
+    state["step_idx"] = jnp.array([2], jnp.int32)
     toks = tts._delayed_input_tokens(cfg, state)
     assert toks.tolist() == [[tts.UNGENERATED, pad, pad, pad]]
 
     # Past the window: reads the delayed buffer.
-    state["step_idx"] = jnp.int32(10)
+    state["step_idx"] = jnp.array([10], jnp.int32)
     buf = state["audio_tokens"]
     buf = buf.at[0, 9, 0].set(5)  # cb0 reads s-1
     buf = buf.at[0, 7, 1].set(6)  # cb1 reads s-1-2
@@ -110,7 +110,7 @@ def test_tts_generation_loop():
     assert int(frame.max()) < cfg.lm.audio_pad_token
     assert int(frame.min()) >= 0
     # step counter advanced.
-    assert int(state["step_idx"]) == 16
+    assert state["step_idx"].tolist() == [16]
 
 
 def test_max_consecutive_pads_forces_eop():

@@ -1,0 +1,90 @@
+"""Continuously-batched TTS engine: concurrent sessions, slot reuse."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsm_tpu.models import lm as LM
+from dsm_tpu.models import mimi as MIMI
+from dsm_tpu.ops import transformer as T
+from dsm_tpu.server.tts_batched import BatchedTtsEngine, DoneEvent
+from dsm_tpu.server.tts_module import AudioEvent, WordEvent
+from dsm_tpu.utils.tokenizer import FallbackTokenizer
+from tests.test_mimi import small_cfg as small_mimi_cfg
+from tests.test_tts import small_tts_cfg
+
+
+def make_engine(batch=2):
+    cfg = small_tts_cfg(max_steps=96)
+    mimi_cfg = small_mimi_cfg()  # n_q=4 matches generated codebooks
+    params = {"lm": LM.init(cfg.lm, jax.random.PRNGKey(0))}
+    mimi_params = MIMI.init(mimi_cfg, jax.random.PRNGKey(1))
+    eng = BatchedTtsEngine(
+        cfg, params, mimi_cfg, mimi_params, FallbackTokenizer(),
+        batch_size=batch, ca_len=6,
+    )
+    return eng, cfg
+
+
+def make_voice(cfg, seed):
+    tcfg = cfg.lm.transformer
+    lmp = LM.init(cfg.lm, jax.random.PRNGKey(0))
+    ca_tokens = jax.random.normal(jax.random.PRNGKey(seed), (1, 6, 16))
+    return T.precompute_ca_kv(tcfg, lmp["transformer"], ca_tokens)
+
+
+def drain(eng, max_ticks=400):
+    n = 0
+    while eng.tick() and n < max_ticks:
+        n += 1
+    return n
+
+
+def test_two_concurrent_sessions_complete():
+    eng, cfg = make_engine(batch=2)
+    ev1, ev2 = [], []
+    s1 = eng.open_session(ev1.append, voice_ca=make_voice(cfg, 2))
+    s2 = eng.open_session(ev2.append, voice_ca=make_voice(cfg, 3))
+    assert s1 is not None and s2 is not None
+    assert eng.open_session(lambda e: None) is None  # capacity
+
+    s1.feed_words([[31, 7], [8]])
+    s1.end_input()
+    s2.feed_words([[31, 9]])
+    s2.end_input()
+    drain(eng)
+
+    for evs in (ev1, ev2):
+        kinds = [type(e).__name__ for e in evs]
+        assert "DoneEvent" in kinds
+        words = [e for e in evs if isinstance(e, WordEvent)]
+        assert len(words) >= 1
+        assert all(w.stop_s >= w.start_s for w in words)
+        audio = [e for e in evs if isinstance(e, AudioEvent)]
+        assert len(audio) >= 1
+        assert all(len(a.pcm) == 48 for a in audio)
+    # Session 1 had two words.
+    assert len([e for e in ev1 if isinstance(e, WordEvent)]) == 2
+
+
+def test_slot_reuse_fresh_state():
+    eng, cfg = make_engine(batch=1)
+    ev1 = []
+    s1 = eng.open_session(ev1.append)
+    s1.feed_words([[31, 5]])
+    s1.end_input()
+    drain(eng)
+    assert any(isinstance(e, DoneEvent) for e in ev1)
+    eng.close_session(s1)
+
+    ev2 = []
+    s2 = eng.open_session(ev2.append)
+    assert s2.slot == s1.slot
+    s2.feed_words([[31, 5]])
+    s2.end_input()
+    drain(eng)
+    assert any(isinstance(e, DoneEvent) for e in ev2)
+    # Same input on a reused slot -> same word timeline (fresh state).
+    w1 = [e for e in ev1 if isinstance(e, WordEvent)]
+    w2 = [e for e in ev2 if isinstance(e, WordEvent)]
+    assert [w.stop_s for w in w1] == [w.stop_s for w in w2]
