@@ -122,6 +122,57 @@ def bench_e2e(batch: int, steps: int) -> dict:
     }
 
 
+def bench_tts(batch: int, steps: int = 5) -> dict:
+    """TTS frame step at dsm-tts-1.6b shapes: temporal transformer + voice
+    cross-attention (625-token source) + 32-slice depformer, int8 KV."""
+    import jax
+    import jax.numpy as jnp
+
+    from dsm_tpu.models import lm as LM
+    from dsm_tpu.ops import transformer as T
+    from dsm_tpu.sessions import tts as TTS
+
+    lm_cfg = LM.tts_1_6b_en_fr()
+    cfg = TTS.TtsConfig(lm=lm_cfg, kv_quant=True, max_steps=2048)
+    params = {"lm": LM.init(lm_cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)}
+    state = TTS.init_state(cfg, batch, jnp.bfloat16)
+    ca_tokens = jax.random.normal(
+        jax.random.PRNGKey(1), (batch, 625, 2048), jnp.bfloat16
+    )
+    ca_kv = T.precompute_ca_kv(
+        lm_cfg.transformer, params["lm"]["transformer"], ca_tokens
+    )
+    mode = jnp.full((batch,), TTS.ALLOW_PAD, jnp.int32)
+    tok = jnp.zeros((batch,), jnp.int32)
+
+    def multi(params, state, rng, ca_kv):
+        def body(carry, _):
+            st, r = carry
+            r, r2 = jax.random.split(r)
+            out, st = TTS.step(cfg, params, st, mode, tok, r2, ca_kv=ca_kv)
+            return (st, r), out["text_token"]
+
+        (st, _), toks = jax.lax.scan(body, (state, rng), None, length=steps)
+        return toks, st
+
+    f = jax.jit(multi, donate_argnums=(1,))
+    toks, state = f(params, state, jax.random.PRNGKey(2), ca_kv)
+    np.asarray(toks)
+    best = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        toks, state = f(params, state, jax.random.PRNGKey(3 + rep), ca_kv)
+        np.asarray(toks)
+        best = min(best, (time.perf_counter() - t0) / steps)
+    return {
+        "tts_step_ms": round(best * 1e3, 2),
+        "rtf_per_session": round(0.080 / best, 2),
+        "realtime_tts_streams": round(batch * 0.080 / best, 1),
+        "batch": batch,
+        "model": "dsm-tts-1.6b shapes (16L d2048 + 32-slice depformer, int8 KV)",
+    }
+
+
 def bench_sustained(batch: int, seconds: float) -> dict:
     """Real-time-paced zero-audio run with an event timeline, like
     moshi-backend benchmark (benchmark.rs:57-138)."""
@@ -172,6 +223,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--mimi", action="store_true")
     p.add_argument("--lm", action="store_true")
+    p.add_argument("--tts", action="store_true")
     p.add_argument("--e2e", action="store_true")
     p.add_argument("--memory", action="store_true")
     p.add_argument("--sustained", type=float, default=0.0)
@@ -184,6 +236,8 @@ def main(argv=None):
         results["mimi"] = bench_mimi(args.batch, args.steps)
     if args.lm:
         results["lm"] = bench_lm(args.batch, args.steps)
+    if args.tts:
+        results["tts"] = bench_tts(min(args.batch, 8))
     if args.e2e or not (args.mimi or args.lm or args.memory or args.sustained):
         results["e2e"] = bench_e2e(args.batch, args.steps)
     if args.sustained:
