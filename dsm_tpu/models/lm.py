@@ -348,7 +348,7 @@ def step(
 
     ys = norm_mod.apply_norm(cfg.transformer.norm, params["out_norm"], ys)
     hidden = ys[:, 0, :]
-    text_logits = hidden @ params["text_linear"].astype(hidden.dtype).T
+    text_logits = T.mm(hidden, params["text_linear"])
     return text_logits, hidden, {"t": t_state}
 
 
@@ -373,7 +373,7 @@ def _tree_index(tree, i: int):
 def _dep_embed(dep_params, slice_params, token, low_rank_w):
     emb = slice_params[token]
     if low_rank_w is not None:
-        emb = emb @ low_rank_w.astype(emb.dtype).T
+        emb = T.mm(emb, low_rank_w)
     return emb
 
 
@@ -415,7 +415,7 @@ def depformer_sample(
 
     def slice_logits(i_params, kv, x_in):
         h, kv = T.step(dcfg, i_params["transformer"], kv, x_in[:, None, :])
-        logits = h[:, 0] @ i_params["linear_out"].astype(h.dtype).T
+        logits = T.mm(h[:, 0], i_params["linear_out"])
         return logits, kv
 
     def combine_and_sample(logits, k):
@@ -438,7 +438,7 @@ def depformer_sample(
         0,
     )
     lr0 = dp["low_rank"][0] if "low_rank" in dp else None
-    x0 = hidden @ p0["linear_in"].astype(hidden.dtype).T + _dep_embed(
+    x0 = T.mm(hidden, p0["linear_in"]) + _dep_embed(
         dp, dp["text_emb"], text_token, lr0
     ).astype(hidden.dtype)
     logits0, kv = slice_logits(p0, kv, x0)
@@ -461,7 +461,7 @@ def depformer_sample(
         kv, last = carry
         sp, forced_i, k_i = xs
         lr = sp.get("low_rank")
-        x = hidden @ sp["linear_in"].astype(hidden.dtype).T + _dep_embed(
+        x = T.mm(hidden, sp["linear_in"]) + _dep_embed(
             dp, sp["emb"], last, lr
         ).astype(hidden.dtype)
         logits, kv = slice_logits(sp, kv, x)

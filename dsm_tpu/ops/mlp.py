@@ -46,12 +46,19 @@ def init(
     }
 
 
+def _mm(x, w):
+    # Dense or weight-only int8 ({"q", "s"}; ops/transformer.quantize_weights).
+    if isinstance(w, dict) and "q" in w:
+        return (x @ w["q"].astype(x.dtype).T) * w["s"].astype(x.dtype)
+    return x @ w.astype(x.dtype).T
+
+
 def apply(params: dict, x: jax.Array) -> jax.Array:
     if "linear_in" in params:
-        y = x @ params["linear_in"].astype(x.dtype).T
+        y = _mm(x, params["linear_in"])
         a, b = jnp.split(y, 2, axis=-1)
         y = jax.nn.silu(a) * b
-        return y @ params["linear_out"].astype(x.dtype).T
-    y = x @ params["linear1"].astype(x.dtype).T
+        return _mm(y, params["linear_out"])
+    y = _mm(x, params["linear1"])
     y = jax.nn.gelu(y, approximate=False)
-    return y @ params["linear2"].astype(x.dtype).T
+    return _mm(y, params["linear2"])

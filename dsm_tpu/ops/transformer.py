@@ -165,10 +165,49 @@ def reset_state(state: dict, reset_mask: jax.Array) -> dict:
     }
 
 
+def mm(x: jax.Array, w) -> jax.Array:
+    """x @ w.T where ``w`` is either a dense array or a weight-only int8
+    dict ``{"q": int8 (O, I), "s": f32 (O,)}`` with per-output-channel
+    scales (see :func:`quantize_weights`)."""
+    if isinstance(w, dict) and "q" in w:
+        y = x @ w["q"].astype(x.dtype).T
+        return y * w["s"].astype(x.dtype)
+    return x @ w.astype(x.dtype).T
+
+
+def quantize_weights(tree, min_size: int = 1 << 16):
+    """Weight-only int8 quantisation of matmul weights in a param tree.
+
+    Matrix leaves (ndim >= 2, larger than ``min_size`` elements) become
+    ``{"q": int8, "s": f32 per-output-channel}``; norms, biases, scales and
+    embedding tables are left dense (embeddings are gathered, not
+    matmul'd).  Halves the weight HBM read per step.
+    """
+    import numpy as np
+
+    def quant(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if (
+            leaf.ndim < 2
+            or leaf.size < min_size
+            or "emb" in name  # embedding tables: gathers stay dense
+            or "layer_scale" in name
+            or "alpha" in name
+        ):
+            return leaf
+        w = np.asarray(leaf, np.float32)
+        s = np.max(np.abs(w), axis=-1, keepdims=True) / 127.0
+        s = np.maximum(s, 1e-12)
+        q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+        return {"q": jnp.asarray(q), "s": jnp.asarray(s[..., 0], jnp.float32)}
+
+    return jax.tree_util.tree_map_with_path(quant, tree)
+
+
 def _qkv(cfg, lp, x):
     b, t, _ = x.shape
     h, hd = cfg.num_heads, cfg.hd
-    qkv = x @ lp["in_proj_w"].astype(x.dtype).T
+    qkv = mm(x, lp["in_proj_w"])
     if "in_proj_b" in lp:
         qkv = qkv + lp["in_proj_b"].astype(x.dtype)
     qkv = qkv.reshape(b, t, 3, h, hd)
@@ -180,7 +219,7 @@ def _qkv(cfg, lp, x):
 
 def _proj_out(cfg, lp, y, b, t):
     y = y.transpose(0, 2, 1, 3).reshape(b, t, cfg.num_heads * cfg.hd)
-    y = y @ lp["out_proj_w"].astype(y.dtype).T
+    y = mm(y, lp["out_proj_w"])
     if "out_proj_b" in lp:
         y = y + lp["out_proj_b"].astype(y.dtype)
     return y
@@ -207,11 +246,11 @@ def _ca_gate(cfg, lp, x_normed, y):
 def _cross_block(cfg, lp, x, ca_k, ca_v):
     b, t, _ = x.shape
     xn = norm_mod.apply_norm(cfg.ca_norm or cfg.norm_kind, lp["norm_cross"], x)
-    q = xn @ lp["ca_q_w"].astype(x.dtype).T
+    q = mm(xn, lp["ca_q_w"])
     q = q.reshape(b, t, cfg.num_heads, cfg.hd).transpose(0, 2, 1, 3)
     y = attn.cross_attend(q, ca_k, ca_v)
     y = y.transpose(0, 2, 1, 3).reshape(b, t, cfg.num_heads * cfg.hd)
-    y = y @ lp["ca_out_w"].astype(x.dtype).T
+    y = mm(y, lp["ca_out_w"])
     return x + _ca_gate(cfg, lp, xn, y)
 
 
@@ -235,7 +274,7 @@ def precompute_ca_kv(
     h, hd = cfg.num_heads, cfg.hd
 
     def proj(ca_kv_w):
-        kv = ca_tokens @ ca_kv_w.astype(ca_tokens.dtype).T
+        kv = mm(ca_tokens, ca_kv_w)
         kv = kv.reshape(b, s, 2, h, hd)
         return kv[:, :, 0].transpose(0, 2, 1, 3), kv[:, :, 1].transpose(0, 2, 1, 3)
 
