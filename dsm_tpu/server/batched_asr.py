@@ -127,6 +127,7 @@ class BatchedAsrEngine:
         step_fn=None,
         tick_sleep: float = 0.002,
         use_native_packer: Optional[bool] = None,
+        pipeline_depth: int = 1,
     ):
         import jax
         import jax.numpy as jnp
@@ -156,6 +157,12 @@ class BatchedAsrEngine:
         self.thread: Optional[threading.Thread] = None
         self.step_count = 0
         self.frame_size = cfg.mimi.frame_size
+        # Dispatch-ahead pipelining: keep up to N steps in flight and drain
+        # results one tick later, overlapping host gather/scatter with the
+        # device step (the reference's 3-thread pipeline achieves the same
+        # overlap; batched_asr.rs:291-524).
+        self.pipeline_depth = max(pipeline_depth, 0)
+        self._pending: deque = deque()
         self._pcm_buf = np.zeros((batch_size, 1, self.frame_size), np.float32)
         self.packer = None
         if use_native_packer or use_native_packer is None:
@@ -269,6 +276,10 @@ class BatchedAsrEngine:
                         chans[slot] = ch
 
         if not mask.any() and not reset.any():
+            # Idle tick: flush any in-flight results so events don't stall.
+            if self._pending:
+                self._drain_one()
+                return True
             return False
 
         t0 = time.perf_counter()
@@ -276,13 +287,21 @@ class BatchedAsrEngine:
         out, self.state = self.step_fn(
             self.params, self.state, self._pcm_buf, mask, reset, sub
         )
+        self.step_count += 1
+        metrics.LM_BATCH_UTILIZATION.set(float(mask.mean()))
+        self._pending.append((out, mask.copy(), chans, t0))
+        metrics.LM_QUEUE_DEPTH.set(len(self._pending))
+        while len(self._pending) > self.pipeline_depth:
+            self._drain_one()
+        return True
+
+    def _drain_one(self) -> None:
+        """Transfer + post-process the oldest in-flight step."""
+        out, mask, chans, t0 = self._pending.popleft()
         text_tokens = np.asarray(out["text_token"])
         step_idx = np.asarray(out["step_idx"])
         prs = np.asarray(out["prs"]) if out["prs"].shape[-1] else None
-        dt = time.perf_counter() - t0
-        metrics.ASR_MODEL_STEP_DURATION.observe(dt)
-        metrics.LM_BATCH_UTILIZATION.set(float(mask.mean()))
-        self.step_count += 1
+        metrics.ASR_MODEL_STEP_DURATION.observe(time.perf_counter() - t0)
 
         events = self.word_state.process(text_tokens, step_idx, mask)
         by_slot: Dict[int, List[object]] = {}
@@ -308,7 +327,11 @@ class BatchedAsrEngine:
             # deliver only if the slot still belongs to this channel.
             if not ch.closed and self.slots[slot] is ch:
                 ch.deliver(ev)
-        return True
+
+    def flush(self) -> None:
+        """Drain every in-flight step (tests / shutdown)."""
+        while self._pending:
+            self._drain_one()
 
     def _loop(self) -> None:
         while self.running:

@@ -69,7 +69,9 @@ def test_engine_tick_and_markers():
         n = 0
         while e.tick():
             n += 1
-        assert n == 3  # one tick per buffered frame
+        # One tick per buffered frame + one idle tick draining the
+        # dispatch-ahead pipeline (depth 1).
+        assert n == 4
         assert len(events) == 3
         assert events[-1].step_idx == 3
         assert all(ev.markers == [] for ev in events)
