@@ -60,3 +60,28 @@ def test_quantized_reset_isolation():
     np.testing.assert_allclose(
         np.asarray(y[1]), np.asarray(y_ref[1]), atol=1e-4, rtol=1e-3
     )
+
+
+def test_weight_only_int8_quantization():
+    from dsm_tpu.models import lm as LM
+    from tests.test_lm import small_lm
+
+    cfg = small_lm(extra_heads=(2, 6))
+    params = LM.init(cfg.lm if hasattr(cfg, "lm") else cfg, jax.random.PRNGKey(0))
+    qparams = tfm.quantize_weights(params, min_size=64)
+    # Embedding tables stay dense; matmul weights become {"q","s"} dicts.
+    assert not isinstance(qparams["text_emb"], dict)
+    assert isinstance(qparams["transformer"]["in_proj_w"], dict)
+    assert qparams["transformer"]["in_proj_w"]["q"].dtype == jnp.int8
+    # Norm alphas untouched.
+    assert not isinstance(qparams["transformer"]["norm1"]["alpha"], dict)
+
+    # Step outputs close to dense.
+    state = LM.init_state(cfg, 2, cache_dtype=jnp.float32)
+    state_q = LM.init_state(cfg, 2, cache_dtype=jnp.float32)
+    text = jnp.array([1, 2], jnp.int32)
+    audio = jnp.full((2, 3), 5, jnp.int32)
+    l1, h1, _ = LM.step(cfg, params, state, text, audio)
+    l2, h2, _ = LM.step(cfg, qparams, state_q, text, audio)
+    rel = float(jnp.abs(l1 - l2).mean() / (jnp.abs(l1).mean() + 1e-9))
+    assert rel < 0.05, rel
