@@ -38,11 +38,15 @@ def bench_asr(batch: int, fused_steps: int = 25, reps: int = 4):
     import __graft_entry__ as ge
     from dsm_tpu.sessions import asr
 
-    # Serving profile: bf16 weights + codec, int8 KV rings with per-row
-    # scales (halves the attention HBM traffic, the hot path's bound).
+    # Serving profile: int8 KV rings (halves the dominant attention reads),
+    # weight-only int8 LM matmuls (halves the weight read), bf16 codec.
     cfg, fn, (params, state, pcm, mask, reset, rng) = ge._asr_setup(
         batch, jnp.bfloat16, jnp.bfloat16, kv_quant=True, mimi_dtype="bfloat16"
     )
+    from dsm_tpu.ops import transformer as T
+
+    params = dict(params)
+    params["lm"] = T.quantize_weights(params["lm"])
     # Real audio-like input (zeros would underutilise RVQ argmin paths).
     pcm = jnp.asarray(
         np.random.default_rng(0)

@@ -47,6 +47,8 @@ def cmd_worker(args) -> int:
     cfg = Config.load(args.config)
     asr_engine = None
     tts_engine = None
+    duplex_engine = None
+    mimi_rooms_engine = None
     asr_path = "/api/asr-streaming"
     for name, m in cfg.modules.items():
         if m.type in ("BatchedAsr", "Asr") and asr_engine is None:
@@ -54,9 +56,15 @@ def cmd_worker(args) -> int:
             asr_path = m.path
         elif m.type == "Tts" and tts_engine is None:
             tts_engine = builder.build_tts(m)
+        elif m.type == "Lm" and duplex_engine is None:
+            duplex_engine = builder.build_duplex(m)
+        elif m.type == "Mimi" and mimi_rooms_engine is None:
+            mimi_rooms_engine = builder.build_mimi_rooms(m)
     if asr_engine is not None:
         asr_engine.warmup()
         asr_engine.start()
+    if tts_engine is not None and hasattr(tts_engine, "start"):
+        tts_engine.start()
     import os
 
     auth_ctx = AuthContext(enabled=bool(os.environ.get("BETTER_AUTH_SECRET")))
@@ -66,6 +74,8 @@ def cmd_worker(args) -> int:
     app = App(
         asr_engine=asr_engine,
         tts_engine=tts_engine,
+        duplex_engine=duplex_engine,
+        mimi_rooms_engine=mimi_rooms_engine,
         auth_ctx=auth_ctx,
         instance_name=cfg.instance_name,
         asr_path=asr_path,

@@ -122,6 +122,10 @@ def build_tts(mod: CFG.ModuleConfig) -> TtsEngine:
     )
     tokenizer = load_tokenizer(tok_path)
     tts_batch = int(mod.raw.get("batch_size", 1))
+    if jax.default_backend() != "cpu":
+        mimi_params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.bfloat16), mimi_params
+        )
     if tts_batch > 1:
         # Continuous TTS batching (beyond the reference's batch=1 mutex).
         from .tts_batched import BatchedTtsEngine
@@ -132,4 +136,47 @@ def build_tts(mod: CFG.ModuleConfig) -> TtsEngine:
         )
     return TtsEngine(
         tts_cfg, {"lm": lm_params}, mimi_cfg, mimi_params, tokenizer
+    )
+
+
+def build_mimi_rooms(mod: CFG.ModuleConfig):
+    """Mimi codec-as-a-service rooms module (moshi-server/src/mimi.rs)."""
+    from .mimi_rooms import MimiRoomsEngine
+
+    import jax
+
+    mimi_cfg = MIMI.v0_1(mod.n_q or 16)
+    params, _ = _load_or_init_mimi(mod, mimi_cfg, jax.random.PRNGKey(0))
+    return MimiRoomsEngine(cfg=mimi_cfg, params=params)
+
+
+def build_duplex(mod: CFG.ModuleConfig):
+    """Full-duplex dialogue module (moshi-server/src/lm.rs /api/lm-streaming)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..sessions import lm_gen
+    from .duplex import DuplexEngine
+
+    lm_cfg = mod.lm or LM.moshi_v0_1_streaming(16)
+    gen = mod.raw.get("generation", {})
+    cfg = lm_gen.DuplexConfig(
+        lm=lm_cfg,
+        generated_audio_codebooks=gen.get("generated_audio_codebooks",
+                                          lm_cfg.generated_codebooks or 8),
+        input_audio_codebooks=gen.get("input_audio_codebooks", 8),
+        acoustic_delay=gen.get("acoustic_delay", 2),
+        text_start_token=lm_cfg.text_start_token,
+    )
+    mimi_cfg = MIMI.v0_1(cfg.input_audio_codebooks)
+    dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+    key = jax.random.PRNGKey(0)
+    lm_params, _ = _load_or_init_lm(mod, key, dtype)
+    mimi_params, _ = _load_or_init_mimi(mod, mimi_cfg, jax.random.fold_in(key, 1))
+    tok_path = (
+        CFG.resolve_path(mod.text_tokenizer_file) if mod.text_tokenizer_file else None
+    )
+    return DuplexEngine(
+        cfg, {"lm": lm_params, "mimi": mimi_params}, mimi_cfg, mimi_params,
+        load_tokenizer(tok_path),
     )
