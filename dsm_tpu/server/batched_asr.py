@@ -128,15 +128,20 @@ class BatchedAsrEngine:
         tick_sleep: float = 0.002,
         use_native_packer: Optional[bool] = None,
         pipeline_depth: int = 1,
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh (dp[, tp]) — shards the
+        continuous batch across chips over ICI and (optionally) attention
+        heads/MLP over tp; params/state are placed accordingly and the
+        jitted step runs SPMD (parallel/mesh.py rules)."""
         import jax
         import jax.numpy as jnp
 
         self.cfg = cfg
         self.batch_size = batch_size
-        self.params = params
         self.condition = condition
         self.tick_sleep = tick_sleep
+        self.mesh = mesh
 
         if step_fn is None:
             def _step(params, state, pcm, mask, reset, rng):
@@ -145,7 +150,24 @@ class BatchedAsrEngine:
             step_fn = jax.jit(_step, donate_argnums=(1,))
         self.step_fn = step_fn
         self.cache_dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
-        self.state = ASR.init_state(cfg, batch_size, self.cache_dtype)
+        state = ASR.init_state(cfg, batch_size, self.cache_dtype)
+        if mesh is not None:
+            from ..parallel import mesh as M
+
+            params = {
+                "mimi": M.replicate(mesh, params["mimi"]),
+                "lm": {
+                    k: (
+                        M.shard_transformer_params(mesh, v)
+                        if k == "transformer"
+                        else M.replicate(mesh, v)
+                    )
+                    for k, v in params["lm"].items()
+                },
+            }
+            state = M.shard_batched_state(mesh, state, batch_size)
+        self.params = params
+        self.state = state
         self.word_state = ASR.WordState(cfg, batch_size)
         self.rng = jax.random.PRNGKey(int(time.time()))
 

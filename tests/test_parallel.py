@@ -89,3 +89,32 @@ def test_mesh_validation():
         pytest.skip("needs 8 virtual devices")
     with pytest.raises(ValueError):
         M.make_mesh(dp=3, tp=2)
+
+
+def test_batched_asr_engine_on_mesh(mesh):
+    """Full continuous-batching engine sharded dp x tp on the virtual mesh."""
+    import numpy as np
+
+    from dsm_tpu.server import batched_asr as eng
+    from tests.test_asr import make_params, small_asr_cfg
+
+    cfg = small_asr_cfg()
+    saved = eng.FRAME_SIZE
+    eng.FRAME_SIZE = cfg.mimi.frame_size
+    try:
+        params = make_params(cfg, jax.random.PRNGKey(0))
+        e = eng.BatchedAsrEngine(cfg, params, batch_size=8, mesh=mesh)
+        # State landed sharded.
+        assert "dp" in str(e.state["lm"]["t"]["layers"][0]["k"].sharding)
+        events = []
+        ch = e.open_channel(events.append)
+        pcm = np.random.default_rng(0).standard_normal(
+            cfg.mimi.frame_size * 2
+        ).astype(np.float32) * 0.1
+        ch.push_pcm(pcm)
+        while e.tick():
+            pass
+        assert len(events) == 2
+        assert events[-1].step_idx == 2
+    finally:
+        eng.FRAME_SIZE = saved
