@@ -255,9 +255,21 @@ class App:
         body = await request.json()
         text = body.get("text", "")
         seed = int(body.get("seed", 0))
+        try:
+            ca_kv = self.tts_engine.voice_kv(body.get("voice"))
+        except FileNotFoundError as e:
+            return web.json_response({"error": str(e)}, status=404)
         loop = asyncio.get_running_loop()
+        import inspect
+
+        sig = inspect.signature(self.tts_engine.synthesize)
+        kw = {"seed": seed} if "seed" in sig.parameters else {}
+        if "ca_kv" in sig.parameters:
+            kw["ca_kv"] = ca_kv
+        elif "voice_ca" in sig.parameters:
+            kw["voice_ca"] = ca_kv
         pcm, transcript = await loop.run_in_executor(
-            None, lambda: self.tts_engine.synthesize(text, seed=seed)
+            None, lambda: self.tts_engine.synthesize(text, **kw)
         )
         from ..utils.audio import wav_bytes
 
@@ -291,7 +303,13 @@ class App:
 
         loop = asyncio.get_running_loop()
         out_q: asyncio.Queue = asyncio.Queue()
-        session = TtsSession(self.tts_engine)
+        try:
+            ca_kv = self.tts_engine.voice_kv(request.query.get("voice"))
+        except FileNotFoundError as e:
+            await ws.send_bytes(proto.tts_error(str(e)))
+            await ws.close(code=int(proto.CloseCode.RESOURCE_UNAVAILABLE))
+            return ws
+        session = TtsSession(self.tts_engine, ca_kv=ca_kv)
         inserted_bos = False
 
         def on_event(ev):
@@ -355,7 +373,13 @@ class App:
         def deliver(ev):
             loop.call_soon_threadsafe(out_q.put_nowait, ev)
 
-        slot = self.tts_engine.open_session(deliver)
+        try:
+            voice_ca = self.tts_engine.voice_kv(request.query.get("voice"))
+        except FileNotFoundError as e:
+            await ws.send_bytes(proto.tts_error(str(e)))
+            await ws.close(code=int(proto.CloseCode.RESOURCE_UNAVAILABLE))
+            return ws
+        slot = self.tts_engine.open_session(deliver, voice_ca=voice_ca)
         if slot is None:
             metrics.WS_CLOSE_ERRORS.labels(
                 code=str(int(proto.CloseCode.SERVER_AT_CAPACITY))

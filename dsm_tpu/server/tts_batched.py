@@ -185,6 +185,11 @@ class BatchedTtsEngine:
             self.pending_resets[slot] = True
             if voice_ca is not None:
                 k, v = voice_ca
+                if k.shape[3] != self.ca_len:
+                    raise ValueError(
+                        f"voice source length {k.shape[3]} != engine ca_len "
+                        f"{self.ca_len}"
+                    )
                 self._ca_k[:, slot] = np.asarray(k[:, 0], np.float32)
                 self._ca_v[:, slot] = np.asarray(v[:, 0], np.float32)
             else:
@@ -308,6 +313,22 @@ class BatchedTtsEngine:
                 time.sleep(0.1)
 
     # -- compatibility surface shared with the single-session TtsEngine --
+
+    voices = None  # optional server.voices.VoiceResolver
+
+    def voice_kv(self, spec):
+        if not spec or self.voices is None:
+            return None
+        import jax.numpy as jnp
+
+        ca = self.voices.resolve(spec)
+        if ca is None:
+            return None
+        return T.precompute_ca_kv(
+            self.cfg.lm.transformer,
+            self.params["lm"]["transformer"],
+            jnp.asarray(ca, self.cache_dtype),
+        )
 
     def encode_words(self, text: str, inserted_bos: bool):
         """Text -> per-word sentencepiece ids with a single leading bos

@@ -194,6 +194,7 @@ class TtsEngine:
             jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
         )
         self.lock = threading.Lock()  # single-inference (tts.rs:31)
+        self.voices = None  # optional server.voices.VoiceResolver
 
         def _step(params, state, mode, tok, rng, ca_kv, condition):
             return TTS.step(cfg, params, state, mode, tok, rng, ca_kv, condition)
@@ -204,6 +205,24 @@ class TtsEngine:
             return MIMI.decode_step(mimi_cfg, p, s, codes)
 
         self.mimi_decode = jax.jit(_decode, donate_argnums=(1,))
+
+    def voice_kv(self, spec: Optional[str]):
+        """Resolve a ``?voice=`` spec to per-layer cross-attention K/V
+        (tts.rs voice_ca_src :692-779)."""
+        if not spec or self.voices is None:
+            return None
+        import jax.numpy as jnp
+
+        from ..ops import transformer as T
+
+        ca = self.voices.resolve(spec)
+        if ca is None:
+            return None
+        return T.precompute_ca_kv(
+            self.cfg.lm.transformer,
+            self.params["lm"]["transformer"],
+            jnp.asarray(ca, self.cache_dtype),
+        )
 
     def encode_words(self, text: str, inserted_bos: bool) -> Tuple[List[List[int]], bool]:
         """Text -> per-word sentencepiece ids with a single leading bos

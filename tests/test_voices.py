@@ -1,0 +1,66 @@
+"""Voice resolution: specs, path traversal, embeddings, wav encoding."""
+
+import numpy as np
+import pytest
+
+from dsm_tpu.server import voices as V
+
+
+def test_parse_voice_spec():
+    assert V.parse_voice_spec("expresso/ex01.wav+12.5") == ("expresso/ex01.wav", 12.5)
+    assert V.parse_voice_spec("plain") == ("plain", 0.0)
+    # Non-numeric suffix: treated as part of the name, no offset.
+    assert V.parse_voice_spec("weird+name+x") == ("weird+name+x", 0.0)
+
+
+def test_safe_voice_path_traversal(tmp_path):
+    vd = tmp_path / "voices"
+    (vd / "sub").mkdir(parents=True)
+    f = vd / "sub" / "a.safetensors"
+    f.write_bytes(b"")
+    secret = tmp_path / "secret.txt"
+    secret.write_text("x")
+    assert V.safe_voice_path(str(vd), "sub/a.safetensors") == str(f)
+    assert V.safe_voice_path(str(vd), "sub/a") == str(f)  # extension probe
+    assert V.safe_voice_path(str(vd), "../secret.txt") is None
+    assert V.safe_voice_path(str(vd), "/etc/passwd") is None
+
+
+def test_resolver_embedding_and_cache(tmp_path):
+    from safetensors.numpy import save_file
+
+    vd = tmp_path / "voices"
+    vd.mkdir()
+    emb = np.random.randn(1, 10, 16).astype(np.float32)
+    save_file({"speaker_wavs": emb}, str(vd / "v1.safetensors"))
+    r = V.VoiceResolver(voice_dir=str(vd))
+    ca = r.resolve("v1")
+    np.testing.assert_allclose(ca, emb)
+    assert r.resolve("v1") is ca  # cached
+    assert r.resolve(None) is None
+    with pytest.raises(FileNotFoundError):
+        r.resolve("missing")
+
+
+def test_resolver_wav_voice(tmp_path):
+    import jax
+
+    from dsm_tpu.models import mimi as MIMI, speaker as SPK
+    from dsm_tpu.utils.audio import write_wav
+    from tests.test_mimi import small_cfg as small_mimi_cfg
+
+    mimi_cfg = small_mimi_cfg()
+    cfg = SPK.SpeakerEncoderConfig(
+        cond_dim=24, n_speakers=2, duration_s=0.96, mimi=mimi_cfg
+    )
+    sp = SPK.init(cfg, jax.random.PRNGKey(0))
+    mp = MIMI.init(mimi_cfg, jax.random.PRNGKey(1))
+    vd = tmp_path / "voices"
+    vd.mkdir()
+    sr = int(mimi_cfg.sample_rate)
+    write_wav(str(vd / "w.wav"), np.random.randn(sr * 2).astype(np.float32) * 0.1, sr)
+    r = V.VoiceResolver(
+        voice_dir=str(vd), speaker_cfg=cfg, speaker_params=sp, mimi_params=mp
+    )
+    ca = r.resolve("w.wav+0.5")
+    assert ca.shape[0] == 1 and ca.shape[2] == 24
