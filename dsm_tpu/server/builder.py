@@ -126,17 +126,45 @@ def build_tts(mod: CFG.ModuleConfig) -> TtsEngine:
         mimi_params = jax.tree_util.tree_map(
             lambda a: jnp.asarray(a, jnp.bfloat16), mimi_params
         )
+
+    # Voice sources: preloaded embeddings + voice dir (tts.rs:304-365).
+    from ..models import speaker as SPK
+    from .voices import VoiceResolver
+
+    voice_dir = CFG.resolve_path(mod.voice_dir) if mod.voice_dir else None
+    if voice_dir is not None and not os.path.isdir(voice_dir):
+        voice_dir = os.path.dirname(voice_dir)
+    preloaded = {
+        name: CFG.resolve_path(spec)
+        for name, spec in (mod.voices or {}).items()
+        if CFG.resolve_path(spec)
+    }
+    spk_cfg = SPK.SpeakerEncoderConfig(
+        cond_dim=tts_cfg.speaker_cond_dim,
+        n_speakers=tts_cfg.speaker_cond_n_speakers,
+        duration_s=tts_cfg.speaker_cond_duration_s,
+        mimi=mimi_cfg,
+    )
+    spk_params = SPK.init(spk_cfg, jax.random.fold_in(key, 2))
+    resolver = VoiceResolver(
+        voice_dir=voice_dir, preloaded=preloaded,
+        speaker_cfg=spk_cfg, speaker_params=spk_params, mimi_params=mimi_params,
+    )
     if tts_batch > 1:
         # Continuous TTS batching (beyond the reference's batch=1 mutex).
         from .tts_batched import BatchedTtsEngine
 
-        return BatchedTtsEngine(
+        engine = BatchedTtsEngine(
             tts_cfg, {"lm": lm_params}, mimi_cfg, mimi_params, tokenizer,
             batch_size=tts_batch,
         )
-    return TtsEngine(
+        engine.voices = resolver
+        return engine
+    engine = TtsEngine(
         tts_cfg, {"lm": lm_params}, mimi_cfg, mimi_params, tokenizer
     )
+    engine.voices = resolver
+    return engine
 
 
 def build_mimi_rooms(mod: CFG.ModuleConfig):

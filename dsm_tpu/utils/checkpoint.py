@@ -43,6 +43,39 @@ def load_safetensors(path: str) -> Dict[str, np.ndarray]:
     return load_file(path)
 
 
+# ---------------------------------------------------------------------------
+# Native checkpoints: our param trees flattened to path-keyed safetensors
+# (training/finetuning output; distinct from the reference-layout loaders)
+# ---------------------------------------------------------------------------
+
+
+def save_native(path: str, tree) -> None:
+    import jax
+    from safetensors.numpy import save_file
+
+    flat = {}
+    for p, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = jax.tree_util.keystr(p)
+        flat[key] = np.asarray(leaf)
+    save_file(flat, path)
+
+
+def load_native(path: str, like_tree):
+    """Load a native checkpoint back into the structure of ``like_tree``."""
+    import jax
+    from safetensors.numpy import load_file
+
+    flat = load_file(path)
+    leaves_paths, treedef = jax.tree_util.tree_flatten_with_path(like_tree)
+    leaves = []
+    for p, like in leaves_paths:
+        key = jax.tree_util.keystr(p)
+        if key not in flat:
+            raise KeyError(f"native checkpoint missing {key}")
+        leaves.append(np.asarray(flat[key]).astype(like.dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 class KeyResolver:
     def __init__(self, tensors: Dict[str, np.ndarray]):
         self.t = tensors

@@ -93,3 +93,15 @@ def test_missing_keys_reported():
     with pytest.raises(KeyError) as e:
         CK.build_lm_params(cfg, {"text_emb.weight": np.zeros((11, 32), np.float32)})
     assert "missing" in str(e.value)
+
+
+def test_native_checkpoint_roundtrip(tmp_path):
+    cfg = small_lm()
+    params = LM.init(cfg, jax.random.PRNGKey(3))
+    p = str(tmp_path / "native.safetensors")
+    CK.save_native(p, params)
+    loaded = CK.load_native(p, params)
+    flat1 = jax.tree_util.tree_leaves(params)
+    flat2 = jax.tree_util.tree_leaves(loaded)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
