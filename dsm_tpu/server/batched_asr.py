@@ -129,6 +129,7 @@ class BatchedAsrEngine:
         use_native_packer: Optional[bool] = None,
         pipeline_depth: int = 1,
         mesh=None,
+        session_logger=None,
     ):
         """``mesh``: optional jax.sharding.Mesh (dp[, tp]) — shards the
         continuous batch across chips over ICI and (optionally) attention
@@ -185,6 +186,9 @@ class BatchedAsrEngine:
         # overlap; batched_asr.rs:291-524).
         self.pipeline_depth = max(pipeline_depth, 0)
         self._pending: deque = deque()
+        # Optional utils.session_log.SessionLogger: per-slot text+audio
+        # token dumps for offline replay (batched_asr.rs Logger :133-214).
+        self.session_logger = session_logger
         self._pcm_buf = np.zeros((batch_size, 1, self.frame_size), np.float32)
         self.packer = None
         if use_native_packer or use_native_packer is None:
@@ -215,6 +219,8 @@ class BatchedAsrEngine:
             self.slots[slot] = ch
             self.pending_resets[slot] = True
             self.word_state.reset_slot(slot)
+        if self.session_logger is not None:
+            self.session_logger.open_session(f"asr-{ch.channel_id}")
         metrics.ASR_OPEN_CHANNELS.set(self.used_slots())
         return ch
 
@@ -224,6 +230,8 @@ class BatchedAsrEngine:
             if self.slots[ch.slot] is ch:
                 self.slots[ch.slot] = None
                 self.free.append(ch.slot)
+        if self.session_logger is not None:
+            self.session_logger.close_session(f"asr-{ch.channel_id}")
         metrics.ASR_OPEN_CHANNELS.set(self.used_slots())
         metrics.ASR_STEPS_PER_CONNECTION.observe(max(ch.steps, 0))
 
@@ -324,6 +332,14 @@ class BatchedAsrEngine:
         step_idx = np.asarray(out["step_idx"])
         prs = np.asarray(out["prs"]) if out["prs"].shape[-1] else None
         metrics.ASR_MODEL_STEP_DURATION.observe(time.perf_counter() - t0)
+
+        if self.session_logger is not None:
+            codes = np.asarray(out["codes"])
+            for slot, ch in enumerate(chans):
+                if ch is not None and mask[slot]:
+                    self.session_logger.log_step(
+                        f"asr-{ch.channel_id}", int(text_tokens[slot]), codes[slot]
+                    )
 
         events = self.word_state.process(text_tokens, step_idx, mask)
         by_slot: Dict[int, List[object]] = {}

@@ -111,7 +111,15 @@ def step(
     new_text = jnp.where(mask, text_token, state["text_token"])
     new_step = state["step_idx"] + jnp.where(mask, 1, 0)
 
-    out = {"text_token": new_text, "prs": prs, "step_idx": new_step}
+    out = {
+        "text_token": new_text,
+        "prs": prs,
+        "step_idx": new_step,
+        # This frame's Mimi codes — exposed for session token logging
+        # (the reference dumps text+audio tokens per session for replay;
+        # batched_asr.rs Logger :133-214).
+        "codes": audio_tokens,
+    }
     new_state = {
         "mimi_enc": mimi_state,
         "lm": lm_state,

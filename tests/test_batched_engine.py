@@ -114,3 +114,32 @@ def test_engine_reset_on_reuse_isolates_streams():
         np.testing.assert_allclose(evs1[0].prs, evs2[0].prs, rtol=2e-4, atol=1e-5)
     finally:
         eng.FRAME_SIZE = saved
+
+
+def test_session_token_logging(tmp_path):
+    """Per-session text+audio token dumps (batched_asr.rs Logger parity)."""
+    import jax
+
+    from dsm_tpu.utils.session_log import SessionLogger, load_session
+
+    saved = eng.FRAME_SIZE
+    try:
+        e, cfg = small_engine(batch=1)
+        eng.FRAME_SIZE = cfg.mimi.frame_size
+        e._pcm_buf = np.zeros((1, 1, cfg.mimi.frame_size), np.float32)
+        e.session_logger = SessionLogger(str(tmp_path), "test")
+        ch = e.open_channel(lambda ev: None)
+        pcm = np.random.default_rng(0).standard_normal(
+            cfg.mimi.frame_size * 3
+        ).astype(np.float32)
+        ch.push_pcm(pcm)
+        while e.tick():
+            pass
+        e.close_channel(ch)
+        path = str(tmp_path / f"test-asr-{ch.channel_id}.safetensors")
+        text, audio, meta = load_session(path)
+        assert len(text) == 3
+        assert audio.shape == (3, cfg.lm.audio_codebooks)
+        assert audio.min() >= 0
+    finally:
+        eng.FRAME_SIZE = saved

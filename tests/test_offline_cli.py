@@ -92,3 +92,57 @@ def test_cli_token_gen():
 
     claims = validate_token(r.stdout.strip(), secret="s")
     assert claims["user"]["id"] == "u9"
+
+
+def _varint(n):
+    out = b""
+    while True:
+        b_ = n & 0x7F
+        n >>= 7
+        out += bytes([b_ | (0x80 if n else 0)])
+        if not n:
+            return out
+
+
+def _piece(text, score, typ=1):
+    body = b"\x0a" + _varint(len(text.encode())) + text.encode()
+    import struct
+    body += b"\x15" + struct.pack("<f", score)
+    if typ != 1:
+        body += b"\x18" + _varint(typ)
+    return b"\x0a" + _varint(len(body)) + body
+
+
+def test_sentencepiece_parser_and_viterbi():
+    """Hand-built ModelProto bytes -> unigram Viterbi segmentation."""
+    from dsm_tpu.utils.tokenizer import SentencePieceModel
+
+    pieces = (
+        _piece("<unk>", 0.0, typ=2)
+        + _piece("▁", -3.0)
+        + _piece("▁he", -1.0)
+        + _piece("llo", -1.2)
+        + _piece("▁hello", -1.5)
+        + _piece("l", -4.0)
+        + _piece("o", -4.0)
+        + _piece("he", -2.0)
+    )
+    model = SentencePieceModel.from_bytes(pieces)
+    assert model.vocab_size() == 8
+
+    # "hello" -> best split is the single piece "▁hello" (-1.5) over
+    # "▁he"+"llo" (-2.2).
+    ids = model.encode("hello")
+    assert [model.id_to_piece(i) for i in ids] == ["▁hello"]
+
+    # "hellollo": "▁hello"+"llo" (-2.7) beats "▁he"+"llo"+"llo" (-3.4).
+    ids = model.encode("hellollo")
+    assert [model.id_to_piece(i) for i in ids] == ["▁hello", "llo"]
+
+    # decode round trip restores spaces.
+    ids = model.encode("hello hello")
+    assert model.decode(ids) == "hello hello"
+
+    # Unknown characters fall back without crashing.
+    ids = model.encode("hz")
+    assert isinstance(ids, list) and ids
