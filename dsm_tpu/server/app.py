@@ -204,7 +204,12 @@ class App:
                 try:
                     msg = await ws.receive(timeout=timeout)
                 except asyncio.TimeoutError:
-                    close_code = proto.CloseCode.CLIENT_TIMEOUT
+                    # Distinguish the session hard cap from a stalled client.
+                    close_code = (
+                        proto.CloseCode.SESSION_TIMEOUT
+                        if time.time() >= session_deadline
+                        else proto.CloseCode.CLIENT_TIMEOUT
+                    )
                     break
                 if msg.type in (WSMsgType.CLOSE, WSMsgType.CLOSING, WSMsgType.CLOSED, WSMsgType.ERROR):
                     break

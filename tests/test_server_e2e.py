@@ -131,3 +131,64 @@ def test_auth_rejects_without_token(asr_app):
             await ws.close()
 
     asyncio.run(main())
+
+
+def test_client_timeout_close_code(asr_app, monkeypatch):
+    """No data within the receive window -> 4006 ClientTimeout
+    (batched_asr.rs:899-917)."""
+    import dsm_tpu.server.app as app_mod
+
+    app, engine, cfg = asr_app
+    monkeypatch.setattr(app_mod, "RECV_TIMEOUT_S", 0.5)
+
+    async def main():
+        async with TestClient(TestServer(app.web_app)) as client:
+            ws = await client.ws_connect("/api/asr-streaming", autoping=True)
+            await ws.receive()  # Ready
+            async with asyncio.timeout(30):
+                while True:
+                    m = await ws.receive()
+                    if m.type.name in ("CLOSE", "CLOSED"):
+                        break
+            assert ws.close_code == 4006
+
+    asyncio.run(main())
+
+
+def test_session_timeout_close_code(asr_app, monkeypatch):
+    """Session hard cap -> 4002 SessionTimeout (asr.rs:334-345)."""
+    import dsm_tpu.server.app as app_mod
+
+    app, engine, cfg = asr_app
+    monkeypatch.setattr(app_mod, "SESSION_TIMEOUT_S", 0.5)
+
+    async def main():
+        async with TestClient(TestServer(app.web_app)) as client:
+            ws = await client.ws_connect("/api/asr-streaming")
+            await ws.receive()  # Ready
+            async with asyncio.timeout(30):
+                while True:
+                    m = await ws.receive()
+                    if m.type.name in ("CLOSE", "CLOSED"):
+                        break
+            assert ws.close_code == 4002
+
+    asyncio.run(main())
+
+
+def test_invalid_message_close_code(asr_app):
+    app, engine, cfg = asr_app
+
+    async def main():
+        async with TestClient(TestServer(app.web_app)) as client:
+            ws = await client.ws_connect("/api/asr-streaming")
+            await ws.receive()  # Ready
+            await ws.send_bytes(b"\xff\xfe not msgpack at all \x00")
+            async with asyncio.timeout(30):
+                while True:
+                    m = await ws.receive()
+                    if m.type.name in ("CLOSE", "CLOSED"):
+                        break
+            assert ws.close_code == 4003
+
+    asyncio.run(main())
