@@ -386,6 +386,7 @@ def depformer_sample(
     key: jax.Array,
     samp: S.SamplingConfig,
     cfg_alpha: Optional[float] = None,
+    temperature: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Sample all audio codebooks for the current frame.
 
@@ -418,15 +419,21 @@ def depformer_sample(
         logits = T.mm(h[:, 0], i_params["linear_out"])
         return logits, kv
 
+    def _draw(logits, k):
+        # Traced per-slot temperature (serving) or static config.
+        if temperature is not None:
+            return S.sample_dynamic(logits, k, temperature, samp.top_k)
+        return S.sample(samp, logits, k)
+
     def combine_and_sample(logits, k):
         if cfg_alpha is not None:
             half = b // 2
             lc = logits[:half].astype(jnp.float32)
             lu = logits[half:].astype(jnp.float32)
             mixed = cfg_alpha * lc - (cfg_alpha - 1.0) * lu
-            tok = S.sample(samp, mixed, k)
+            tok = _draw(mixed, k)
             return jnp.concatenate([tok, tok], axis=0)
-        return S.sample(samp, logits, k)
+        return _draw(logits, k)
 
     # Slice 0: text-token embedding, own weights (unrolled: different vocab).
     p0 = _tree_index(

@@ -110,14 +110,19 @@ class App:
     async def handle_status(self, request):
         used = self.asr_engine.used_slots() if self.asr_engine else 0
         cap = self.asr_engine.batch_size if self.asr_engine else 0
-        return web.json_response(
-            {
-                "instance_name": self.instance_name,
-                "uptime_s": round(time.time() - START_TIME, 1),
-                "capacity": {"total": cap, "used": used, "available": cap - used},
-                "modules": self._modules(),
+        body = {
+            "instance_name": self.instance_name,
+            "uptime_s": round(time.time() - START_TIME, 1),
+            "capacity": {"total": cap, "used": used, "available": cap - used},
+            "modules": self._modules(),
+        }
+        if self.tts_engine is not None and hasattr(self.tts_engine, "used_slots"):
+            t_cap = self.tts_engine.batch_size
+            t_used = self.tts_engine.used_slots()
+            body["tts_capacity"] = {
+                "total": t_cap, "used": t_used, "available": t_cap - t_used,
             }
-        )
+        return web.json_response(body)
 
     async def handle_metrics(self, request):
         metrics.update_device_memory()
@@ -384,7 +389,18 @@ class App:
             await ws.send_bytes(proto.tts_error(str(e)))
             await ws.close(code=int(proto.CloseCode.RESOURCE_UNAVAILABLE))
             return ws
-        slot = self.tts_engine.open_session(deliver, voice_ca=voice_ca)
+        def _qf(name):
+            v = request.query.get(name)
+            try:
+                return float(v) if v is not None else None
+            except ValueError:
+                return None
+
+        slot = self.tts_engine.open_session(
+            deliver, voice_ca=voice_ca,
+            text_temperature=_qf("text_temperature") or _qf("temperature"),
+            audio_temperature=_qf("audio_temperature") or _qf("temperature"),
+        )
         if slot is None:
             metrics.WS_CLOSE_ERRORS.labels(
                 code=str(int(proto.CloseCode.SERVER_AT_CAPACITY))

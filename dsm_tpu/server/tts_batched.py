@@ -144,6 +144,10 @@ class BatchedTtsEngine:
 
         self.state = TTS.init_state(cfg, batch_size, self.cache_dtype)
         self.mimi_state = MIMI.init_decode_state(mimi_cfg, batch_size)
+        # Per-slot sampling temperatures (traced -> no recompiles across
+        # requests; reference TtsQuery temp params).
+        self._text_temp = np.full(batch_size, cfg.text_temperature, np.float32)
+        self._audio_temp = np.full(batch_size, cfg.temperature, np.float32)
         self.rng = jax.random.PRNGKey(int(time.time()))
 
         self.slots: List[Optional[TtsSlot]] = [None] * batch_size
@@ -153,10 +157,10 @@ class BatchedTtsEngine:
         self.running = False
         self.thread = None
 
-        def _step(params, state, mode, tok, rng, ca_kv, mask, reset):
+        def _step(params, state, mode, tok, rng, ca_kv, mask, reset, temps):
             return TTS.step(
                 cfg, params, state, mode, tok, rng, ca_kv=ca_kv,
-                mask=mask, reset=reset,
+                mask=mask, reset=reset, temps=temps,
             )
 
         self._step = jax.jit(_step, donate_argnums=(1,))
@@ -173,13 +177,22 @@ class BatchedTtsEngine:
             return self.batch_size - len(self.free)
 
     def open_session(
-        self, deliver: Callable[[object], None], voice_ca=None
+        self, deliver: Callable[[object], None], voice_ca=None,
+        text_temperature=None, audio_temperature=None,
     ) -> Optional[TtsSlot]:
         """voice_ca: per-layer (L, 1, H, S, Dh) K/V pair or None (no voice)."""
         with self.slot_lock:
             if not self.free:
                 return None
             slot = self.free.popleft()
+            self._text_temp[slot] = (
+                self.cfg.text_temperature if text_temperature is None
+                else float(text_temperature)
+            )
+            self._audio_temp[slot] = (
+                self.cfg.temperature if audio_temperature is None
+                else float(audio_temperature)
+            )
             drv = TtsSlot(slot, deliver)
             self.slots[slot] = drv
             self.pending_resets[slot] = True
@@ -259,8 +272,10 @@ class BatchedTtsEngine:
 
         t0 = time.perf_counter()
         self.rng, sub = jax.random.split(self.rng)
+        temps = {"text": self._text_temp.copy(), "audio": self._audio_temp.copy()}
         out, self.state = self._step(
-            self.params, self.state, modes, toks, sub, self._ca(), mask, reset
+            self.params, self.state, modes, toks, sub, self._ca(), mask, reset,
+            temps,
         )
         text_tokens = np.asarray(out["text_token"])
         frame_valid = np.asarray(out["frame_valid"])

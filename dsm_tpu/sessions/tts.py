@@ -141,6 +141,7 @@ def step(
     condition: Optional[jax.Array] = None,
     mask: Optional[jax.Array] = None,
     reset: Optional[jax.Array] = None,
+    temps: Optional[dict] = None,
 ):
     """One TTS frame step, continuously batched.
 
@@ -179,10 +180,17 @@ def step(
     else:
         text_logits_eff = text_logits.astype(jnp.float32)
 
-    sampled = S.sample(
-        S.SamplingConfig(cfg.text_temperature, cfg.text_top_k),
-        text_logits_eff, k_text,
-    )
+    if temps is not None:
+        # Per-slot traced temperatures (reference TtsQuery temp/seed params)
+        # — no recompilation across requests.
+        sampled = S.sample_dynamic(
+            text_logits_eff, k_text, temps["text"], cfg.text_top_k
+        )
+    else:
+        sampled = S.sample(
+            S.SamplingConfig(cfg.text_temperature, cfg.text_top_k),
+            text_logits_eff, k_text,
+        )
     # PadOrEpad: model output collapses to {pad, eop}; too many pads force
     # eop (tts_streaming.rs:179-199).
     pad_or_epad = jnp.where(
@@ -218,6 +226,7 @@ def step(
         lm_cfg, params["lm"], hidden, text_token, forced, k_dep,
         S.SamplingConfig(cfg.temperature, cfg.top_k),
         cfg_alpha=cfg.cfg_alpha,
+        temperature=None if temps is None else temps["audio"],
     )
     audio_tokens = jnp.where(
         (s < cfg.text_audio_delay_in_tokens)[:, None],
