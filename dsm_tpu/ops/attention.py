@@ -105,11 +105,24 @@ def ring_write_global(
 ) -> Tuple[jax.Array, jax.Array]:
     """In-place KV append at the global ring index (caches (B, H, C, Dh)).
 
-    One dynamic_update_slice per new frame — XLA keeps this in place on the
-    donated/carried buffer, unlike a per-slot scatter (which costs ~50 ms at
-    production shapes on v5e).
+    When the ring capacity is a multiple of the (fixed) step frame count —
+    init_state rounds it up so — a multi-frame append never wraps and lands
+    as ONE contiguous dynamic_update_slice.  Two chained single-row updates
+    at T=2 defeated XLA's in-place analysis and copied the whole cache
+    (~9 ms/step for the Mimi codec transformer at B=128).
     """
     t_new = k_new.shape[2]
+    cap = k_cache.shape[2]
+    if t_new == 1 or cap % t_new == 0:
+        # pos advances by t_new every step -> w[0] is a multiple of t_new
+        # and the t_new rows are contiguous, no wrap.
+        k_cache = jax.lax.dynamic_update_slice_in_dim(
+            k_cache, k_new.astype(k_cache.dtype), plan["w"][0], axis=2
+        )
+        v_cache = jax.lax.dynamic_update_slice_in_dim(
+            v_cache, v_new.astype(v_cache.dtype), plan["w"][0], axis=2
+        )
+        return k_cache, v_cache
     for t in range(t_new):
         k_cache = jax.lax.dynamic_update_slice_in_dim(
             k_cache, k_new[:, :, t : t + 1, :].astype(k_cache.dtype),
@@ -127,9 +140,13 @@ def update_valid_bitmap(
 ) -> jax.Array:
     """Mark the rows written this step valid per slot (False for inactive
     slots — their ring rows hold garbage and stay masked)."""
-    b, _ = valid.shape
+    b, cap = valid.shape
     m = mask if mask is not None else jnp.ones((b,), bool)
     t_new = plan["w"].shape[0]
+    if t_new == 1 or cap % t_new == 0:
+        return jax.lax.dynamic_update_slice_in_dim(
+            valid, jnp.broadcast_to(m[:, None], (b, t_new)), plan["w"][0], axis=1
+        )
     for t in range(t_new):
         valid = jax.lax.dynamic_update_slice_in_dim(
             valid, m[:, None], plan["w"][t], axis=1

@@ -126,6 +126,11 @@ def init_state(
     """
     h, hd = cfg.num_heads, cfg.hd
     cap = cfg.context + step_t - 1
+    # Round capacity to a multiple of step_t: a fixed-cadence stream then
+    # always appends a contiguous, non-wrapping block, which keeps the KV
+    # update a single in-place slice (see attention.ring_write_global).
+    if cap % step_t:
+        cap += step_t - cap % step_t
     layers = []
     for _ in range(cfg.num_layers):
         if kv_quant:
