@@ -85,3 +85,28 @@ def test_weight_only_int8_quantization():
     l2, h2, _ = LM.step(cfg, qparams, state_q, text, audio)
     rel = float(jnp.abs(l1 - l2).mean() / (jnp.abs(l1).mean() + 1e-9))
     assert rel < 0.05, rel
+
+
+def test_sample_dynamic_temperature_semantics():
+    from dsm_tpu.ops import sampling as S
+
+    key = jax.random.PRNGKey(0)
+    logits = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, 50)), jnp.float32
+    )
+    # temp 0 rows decode greedily; hot rows sample.
+    temps = jnp.array([0.0, 0.0, 5.0, 5.0])
+    toks = S.sample_dynamic(logits, key, temps)
+    greedy = jnp.argmax(logits, axis=-1)
+    assert toks[0] == greedy[0] and toks[1] == greedy[1]
+    # A very hot temperature disagrees with greedy almost surely across keys.
+    diffs = 0
+    for i in range(16):
+        t = S.sample_dynamic(logits, jax.random.fold_in(key, i), temps)
+        diffs += int(t[2] != greedy[2]) + int(t[3] != greedy[3])
+    assert diffs > 0
+    # Scalar temperature broadcast + top_k masking keeps tokens in the top-k.
+    toks = S.sample_dynamic(logits, key, 1.0, top_k=5)
+    top5 = jax.lax.top_k(logits, 5)[1]
+    for b in range(4):
+        assert int(toks[b]) in np.asarray(top5[b])
