@@ -172,6 +172,43 @@ def cmd_tts_client(args) -> int:
     return 0
 
 
+def cmd_gen(args) -> int:
+    """Offline duplex generation, file -> tokens/audio (moshi-cli gen.rs)."""
+    import numpy as np
+
+    from .models import lm as LM
+    from .sessions import lm_gen_simple as G
+
+    import jax
+    import jax.numpy as jnp
+
+    lm_cfg = getattr(LM, args.preset)()
+    delays = tuple(
+        [0] + [2] * (lm_cfg.generated_codebooks - 1)
+    ) if lm_cfg.generated_codebooks else (0,)
+    cfg = G.GenConfig(
+        lm=lm_cfg, audio_delays=delays,
+        text_start_token=lm_cfg.text_start_token, max_steps=args.steps + 8,
+    )
+    params = {"lm": LM.init(lm_cfg, jax.random.PRNGKey(args.seed),
+                            dtype=jnp.bfloat16)}
+    texts, frames = G.generate(cfg, params, args.steps, seed=args.seed)
+    print(json.dumps({
+        "text_tokens": texts,
+        "audio_frames": int(frames.shape[0]),
+        "codebooks": int(frames.shape[1]) if frames.size else 0,
+    }))
+    if args.out_tokens:
+        from safetensors.numpy import save_file
+
+        save_file(
+            {"text_tokens": np.asarray(texts, np.int32),
+             "audio_tokens": frames.astype(np.int32)},
+            args.out_tokens,
+        )
+    return 0
+
+
 def cmd_auth_server(args) -> int:
     from .server.auth_server import AuthServer
 
@@ -252,6 +289,13 @@ def main(argv=None) -> int:
     tc.add_argument("--url", default="ws://127.0.0.1:8080/api/tts_streaming")
     tc.add_argument("--token", default=None)
     tc.set_defaults(fn=cmd_tts_client)
+
+    gn = sub.add_parser("gen", help="offline duplex generation (token-level)")
+    gn.add_argument("--preset", default="moshi_v0_1_streaming")
+    gn.add_argument("--steps", type=int, default=50)
+    gn.add_argument("--seed", type=int, default=0)
+    gn.add_argument("--out-tokens", default=None)
+    gn.set_defaults(fn=cmd_gen)
 
     a = sub.add_parser("auth-server", help="run the JWT issuance service")
     a.add_argument("--host", default="0.0.0.0")

@@ -65,6 +65,7 @@ class App:
         asr_path: str = "/api/asr-streaming",
         tts_path: str = "/api/tts",
         tts_streaming_path: str = "/api/tts_streaming",
+        rate_limit_per_minute: Optional[int] = None,
     ):
         self.asr_engine = asr_engine
         self.tts_engine = tts_engine
@@ -72,6 +73,9 @@ class App:
         self.mimi_rooms_engine = mimi_rooms_engine
         self.auth = auth_ctx or auth_mod.AuthContext(enabled=False)
         self.instance_name = instance_name
+        # Per-peer token bucket (close code 4004 RateLimited).
+        self.rate_limit = rate_limit_per_minute
+        self._buckets: dict = {}
         self.web_app = web.Application()
         r = self.web_app.router
         if asr_engine is not None:
@@ -101,6 +105,35 @@ class App:
         except auth_mod.AuthError as e:
             metrics.AUTH_ERRORS.labels(code=e.code).inc()
             return web.json_response(e.to_json(), status=e.status)
+
+    def _rate_limited(self, request) -> bool:
+        """Token bucket per peer: ``rate_limit_per_minute`` new connections,
+        burst = one bucket's worth (protocol.rs CloseCode::RateLimited)."""
+        if self.rate_limit is None:
+            return False
+        peer = request.remote or "?"
+        now = time.time()
+        tokens, last = self._buckets.get(peer, (float(self.rate_limit), now))
+        tokens = min(
+            float(self.rate_limit), tokens + (now - last) * self.rate_limit / 60.0
+        )
+        if tokens < 1.0:
+            self._buckets[peer] = (tokens, now)
+            return True
+        self._buckets[peer] = (tokens - 1.0, now)
+        return False
+
+    async def _reject_rate_limited(self, request):
+        metrics.WS_CLOSE_ERRORS.labels(
+            code=str(int(proto.CloseCode.RATE_LIMITED))
+        ).inc()
+        ws = web.WebSocketResponse()
+        await ws.prepare(request)
+        await ws.close(
+            code=int(proto.CloseCode.RATE_LIMITED),
+            message=proto.CloseCode.RATE_LIMITED.reason.encode(),
+        )
+        return ws
 
     # -- plain endpoints --
 
@@ -150,6 +183,8 @@ class App:
         err = self._check_auth(request)
         if err is not None:
             return err
+        if self._rate_limited(request):
+            return await self._reject_rate_limited(request)
         ws = web.WebSocketResponse(heartbeat=PING_INTERVAL_S)
         await ws.prepare(request)
         metrics.ASR_CONNECT.inc()

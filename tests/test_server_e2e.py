@@ -192,3 +192,24 @@ def test_invalid_message_close_code(asr_app):
             assert ws.close_code == 4003
 
     asyncio.run(main())
+
+
+def test_rate_limit_close_code(asr_app):
+    """Token bucket exhaustion -> 4004 RateLimited (protocol.rs)."""
+    app, engine, cfg = asr_app
+    limited = App(asr_engine=engine, rate_limit_per_minute=2)
+
+    async def main():
+        async with TestClient(TestServer(limited.web_app)) as client:
+            w1 = await client.ws_connect("/api/asr-streaming")
+            await w1.receive()
+            await w1.close()
+            w2 = await client.ws_connect("/api/asr-streaming")
+            await w2.receive()
+            await w2.close()
+            w3 = await client.ws_connect("/api/asr-streaming")
+            m = await w3.receive()
+            assert m.type.name in ("CLOSE", "CLOSED")
+            assert w3.close_code == 4004
+
+    asyncio.run(main())
