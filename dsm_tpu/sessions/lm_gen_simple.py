@@ -81,6 +81,10 @@ def step(
     )[:, 0, :]
     audio_in = jnp.where((s <= delays)[None, :], pad, read)
     audio_in = jnp.where(forced_audio[None, :] == ZERO, UNGENERATED, audio_in)
+    # Codebooks beyond the configured streams are absent inputs.
+    if k < lm_cfg.audio_codebooks:
+        fill = jnp.full((1, lm_cfg.audio_codebooks - k), UNGENERATED, jnp.int32)
+        audio_in = jnp.concatenate([audio_in, fill], axis=1)
 
     text_in = jnp.where(
         forced_text == ZERO, jnp.int32(-1), state["prev_text"][0]

@@ -127,3 +127,22 @@ def test_speaker_encoder_shapes():
     np.testing.assert_allclose(
         np.asarray(ca[0, per:]), np.asarray(emb[0, per : 2 * per]), atol=1e-5
     )
+
+
+def test_lm_gen_simple_generate():
+    """Generic per-codebook-delay generator (lm_generate.rs parity)."""
+    from dsm_tpu.sessions import lm_gen_simple as G
+
+    dup = small_duplex_cfg()
+    lm_cfg = dup.lm
+    cfg = G.GenConfig(
+        lm=lm_cfg, audio_delays=(0, 2, 2), text_start_token=40, max_steps=32,
+        audio_temperature=0.0, text_temperature=0.0,
+    )
+    params = {"lm": LM.init(lm_cfg, jax.random.PRNGKey(0))}
+    texts, frames = G.generate(cfg, params, 12, seed=0, forced_text=[7, 8])
+    assert len(texts) == 12
+    assert texts[0] == 7 and texts[1] == 8  # teacher forcing
+    assert frames.shape[1] == 3
+    assert frames.shape[0] >= 6  # frames flow after max delay
+    assert frames.max() < lm_cfg.audio_vocab_size - 1
