@@ -80,6 +80,7 @@ class App:
         r = self.web_app.router
         if asr_engine is not None:
             r.add_get(asr_path, self.handle_asr_ws)
+            r.add_post("/api/asr", self.handle_asr_post)
         if tts_engine is not None:
             r.add_post(tts_path, self.handle_tts_post)
             r.add_get(tts_streaming_path, self.handle_tts_ws)
@@ -284,6 +285,90 @@ class App:
                     code=int(close_code), message=close_code.reason.encode()
                 )
         return ws
+
+    async def handle_asr_post(self, request):
+        """One-shot HTTP transcription (batched_asr.rs:810-854): body is a
+        WAV file (audio/wav) or JSON {pcm: [f32...]}; retries for a free
+        slot, appends trailing silence + a marker, returns the transcript
+        once the marker lands."""
+        err = self._check_auth(request)
+        if err is not None:
+            return err
+        ctype = request.headers.get("content-type", "")
+        if "json" in ctype:
+            body = await request.json()
+            pcm = np.asarray(body.get("pcm", []), np.float32)
+        else:
+            import io
+            import wave
+
+            from ..utils.audio import resample
+
+            raw = await request.read()
+            try:
+                with wave.open(io.BytesIO(raw)) as w:
+                    sr = w.getframerate()
+                    ch_n = w.getnchannels()
+                    frames = w.readframes(w.getnframes())
+                pcm = np.frombuffer(frames, "<i2").astype(np.float32) / 32768.0
+                if ch_n > 1:
+                    pcm = pcm.reshape(-1, ch_n).mean(axis=1)
+                pcm = resample(pcm, sr, 24_000)
+            except Exception as e:
+                return web.json_response({"error": f"bad wav: {e}"}, status=400)
+
+        loop = asyncio.get_running_loop()
+        events_q: asyncio.Queue = asyncio.Queue()
+
+        def deliver(ev):
+            loop.call_soon_threadsafe(events_q.put_nowait, ev)
+
+        # Retry for a slot (the reference polls with backoff).
+        ch = None
+        deadline = time.time() + 30.0
+        while ch is None and time.time() < deadline:
+            ch = self.asr_engine.open_channel(deliver)
+            if ch is None:
+                await asyncio.sleep(0.1)
+        if ch is None:
+            return web.json_response({"error": "server at capacity"}, status=503)
+
+        try:
+            frame = self.asr_engine.frame_size
+            ch.push_pcm(pcm)
+            marker_id = -1
+            self.asr_engine.add_marker(ch, marker_id)
+            # Trailing silence flushes the decode delay (10 s in the
+            # reference; delay + slack frames here).
+            tail = (self.asr_engine.cfg.asr_delay_in_tokens + 8) * frame
+            ch.push_pcm(np.zeros(tail, np.float32))
+
+            from ..sessions.asr import EndWordEvent, WordEvent
+
+            words = []
+            done = False
+            t_end = time.time() + 300.0
+            while not done and time.time() < t_end:
+                ev = await asyncio.wait_for(events_q.get(), timeout=60.0)
+                for w in ev.words:
+                    if isinstance(w, WordEvent):
+                        words.append({
+                            "text": self.asr_engine_tokenizer_decode(w.tokens),
+                            "start_s": w.start_time, "stop_s": None,
+                        })
+                    elif isinstance(w, EndWordEvent) and words:
+                        words[-1]["stop_s"] = w.stop_time
+                if marker_id in ev.markers:
+                    done = True
+            return web.json_response({
+                "text": " ".join(w["text"] for w in words),
+                "words": words,
+            })
+        except asyncio.TimeoutError:
+            return web.json_response({"error": "transcription timed out"},
+                                     status=504)
+        finally:
+            self.asr_engine.close_channel(ch)
 
     def asr_engine_tokenizer_decode(self, tokens):
         tok = getattr(self.asr_engine, "tokenizer", None)

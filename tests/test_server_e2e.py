@@ -213,3 +213,32 @@ def test_rate_limit_close_code(asr_app):
             assert w3.close_code == 4004
 
     asyncio.run(main())
+
+
+def test_http_one_shot_transcription(asr_app):
+    """POST /api/asr with JSON pcm -> transcript (batched_asr.rs:810-854)."""
+    app, engine, cfg = asr_app
+
+    async def main():
+        async with TestClient(TestServer(app.web_app)) as client:
+            pcm = (np.random.default_rng(0)
+                   .standard_normal(cfg.mimi.frame_size * 4)
+                   .astype(np.float32) * 0.1)
+            r = await client.post("/api/asr", json={"pcm": pcm.tolist()})
+            assert r.status == 200
+            body = await r.json()
+            assert "text" in body and "words" in body
+
+            # WAV body path.
+            from dsm_tpu.utils.audio import wav_bytes
+
+            # 24 kHz wav resamples down to the tiny test rate internally?
+            # The endpoint targets 24 kHz pcm; the test engine frames are
+            # tiny, so just check the parse path with a small valid wav.
+            r = await client.post(
+                "/api/asr", data=wav_bytes(pcm, 24_000),
+                headers={"content-type": "audio/wav"},
+            )
+            assert r.status == 200
+
+    asyncio.run(main())
