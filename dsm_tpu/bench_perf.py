@@ -67,9 +67,15 @@ def bench_lm(batch: int, steps: int) -> dict:
 
     from dsm_tpu.models import lm as LM
 
+    from dsm_tpu.ops import transformer as TT
+
     cfg = LM.stt_1b_en_fr()
-    params = LM.init(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    state = LM.init_state(cfg, batch, jnp.bfloat16)
+    # Serving profile (int8 weights + int8 KV): the bf16 variant at batch
+    # 128 does not fit double-buffered HBM in this no-donation environment.
+    params = TT.quantize_weights(
+        LM.init(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    )
+    state = LM.init_state(cfg, batch, jnp.bfloat16, kv_quant=True)
     text = jnp.zeros((batch,), jnp.int32)
     audio = jnp.zeros((batch, cfg.audio_codebooks), jnp.int32)
 

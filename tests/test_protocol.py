@@ -155,3 +155,58 @@ def test_env_expansion_and_hf_paths(tmp_path, monkeypatch):
     f.write_bytes(b"y")
     assert config.resolve_path("hf://org/repo/model.safetensors") == str(f)
     assert config.resolve_path("hf://org/repo/missing.safetensors") is None
+
+
+def test_model_preset_json_loading():
+    """configs/models/*.json descriptors resolve to LmConfigs
+    (reference configs/models/{stt_1b_enfr,moshi_7b_202409}.json)."""
+    import os
+
+    from dsm_tpu.server.model_presets import load_preset
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs", "models")
+    stt = load_preset(os.path.join(root, "stt_1b_en_fr.json"))
+    assert stt.model_type == "stt"
+    assert stt.lm.transformer.d_model == 2048
+    assert stt.audio_delay_seconds == 0.5
+    assert stt.delays == (0,) * 33
+    assert stt.gen.top_k_text == 50
+
+    en = load_preset(os.path.join(root, "stt_2.6b_en.json"))
+    assert en.lm.transformer.num_layers == 48
+    assert en.audio_silence_prefix_seconds == 1.0
+
+    moshi = load_preset(os.path.join(root, "moshi_7b.json"))
+    assert moshi.model_type == "moshi"
+    assert moshi.lm.transformer.d_model == 4096  # raw-field path
+    assert moshi.lm.depformer.num_slices == 8
+    assert moshi.lm.audio_codebooks == 16
+    assert moshi.lm.transformer.dim_feedforward == int(4096 * 4.125)  # 16896
+
+
+def test_new_config_variants_validate():
+    """config-stt-en / config-stt-lowmem / config-tts-streaming parse and
+    pass validation."""
+    import os
+
+    from dsm_tpu.server.config import Config
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    for name in ("config-stt-en.toml", "config-stt-lowmem.toml",
+                 "config-tts-streaming.toml"):
+        cfg = Config.load(os.path.join(root, name))
+        # hf:// checkpoints are absent in CI; only availability warnings OK.
+        schema_problems = [p for p in cfg.validate()
+                           if "not available locally" not in p]
+        assert not schema_problems, (name, schema_problems)
+    en = Config.load(os.path.join(root, "config-stt-en.toml"))
+    m = en.modules["asr"]
+    assert m.asr_delay_in_tokens == 32
+    assert m.lm is not None and m.lm.transformer.num_layers == 48
+    lo = Config.load(os.path.join(root, "config-stt-lowmem.toml"))
+    assert lo.modules["asr"].dtype_override == "f32"
+    ts = Config.load(os.path.join(root, "config-tts-streaming.toml"))
+    t = ts.modules["tts"]
+    assert t.path == "/api/tts_streaming"
+    conds = t.raw.get("model", {}).get("conditioners", {})
+    assert conds.get("description", {}).get("type") == "Lut"
