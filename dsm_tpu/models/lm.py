@@ -78,7 +78,7 @@ def _tf(d, heads, layers, ff, context, max_period=10_000.0, norm="rms_norm",
     return T.TransformerConfig(
         d_model=d, num_heads=heads, num_layers=layers, dim_feedforward=ff,
         context=context, gating=gating, norm=norm, positional_embedding=pe,
-        max_period=max_period, cross_attention=ca, ca_dim=ca_dim,
+        max_period=max_period, cross_attention=ca, ca_norm=ca_norm, ca_dim=ca_dim,
         head_dim=head_dim, layer_scale=layer_scale, max_seq_len=max_seq_len,
     )
 
@@ -141,6 +141,23 @@ def asr_v0_1_1b() -> LmConfig:
         text_out_vocab_size=48000,
         audio_vocab_size=2049,
         audio_codebooks=8,
+    )
+
+
+def tts_v0_1() -> LmConfig:
+    """Legacy T5-conditioned TTS 7B-family config (lm.rs:199-241): GELU MLP
+    (no gating), LayerNorm, cross-attention, 16 codebooks, audio vocab 2050
+    (2048 bins + end-of-gen + pad)."""
+    return LmConfig(
+        transformer=_tf(
+            2048, 32, 48, 8192, context=4096, norm="layer_norm", gating=False,
+            ca=True, ca_norm="layer_norm",
+        ),
+        depformer=_depformer(16),
+        text_in_vocab_size=32001,
+        text_out_vocab_size=32001,
+        audio_vocab_size=2050,
+        audio_codebooks=16,
     )
 
 
