@@ -80,7 +80,17 @@ def cmd_worker(args) -> int:
         instance_name=cfg.instance_name,
         asr_path=asr_path,
     )
-    app.run(host=args.host, port=args.port)
+    cert, key = args.ssl_cert, args.ssl_key
+    if args.self_signed_tls and not (cert and key):
+        import tempfile
+
+        from .server.app import make_self_signed_cert
+
+        d = tempfile.mkdtemp(prefix="dsm-tls-")
+        cert, key = f"{d}/cert.pem", f"{d}/key.pem"
+        make_self_signed_cert(cert, key)
+        logging.getLogger(__name__).info("self-signed TLS cert at %s", cert)
+    app.run(host=args.host, port=args.port, ssl_cert=cert, ssl_key=key)
     return 0
 
 
@@ -245,6 +255,10 @@ def main(argv=None) -> int:
     w.add_argument("--port", type=int, default=8080)
     w.add_argument("--log-style", default="compact",
                    choices=["compact", "pretty", "verbose", "json"])
+    w.add_argument("--ssl-cert", default=None, help="TLS certificate PEM")
+    w.add_argument("--ssl-key", default=None, help="TLS private key PEM")
+    w.add_argument("--self-signed-tls", action="store_true",
+                   help="generate a throwaway self-signed cert (dev only)")
     w.set_defaults(fn=cmd_worker)
 
     v = sub.add_parser("validate", help="validate a config")

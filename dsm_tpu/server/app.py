@@ -684,5 +684,38 @@ class App:
             payload = await q.get()
             await ws.send_bytes(payload)
 
-    def run(self, host: str = "0.0.0.0", port: int = 8080):
-        web.run_app(self.web_app, host=host, port=port)
+    def run(
+        self,
+        host: str = "0.0.0.0",
+        port: int = 8080,
+        ssl_cert: str | None = None,
+        ssl_key: str | None = None,
+    ):
+        """Serve, optionally over TLS (moshi-backend standalone.rs:57-172
+        standalone mode; pass both cert and key PEM paths).  Use
+        ``make_self_signed_cert`` for the rcgen-style dev certificate."""
+        ctx = None
+        if ssl_cert and ssl_key:
+            import ssl
+
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(ssl_cert, ssl_key)
+        web.run_app(self.web_app, host=host, port=port, ssl_context=ctx)
+
+
+def make_self_signed_cert(cert_path: str, key_path: str, cn: str = "localhost"):
+    """Generate a self-signed TLS certificate for standalone dev serving
+    (reference uses rcgen in moshi-backend/src/main.rs; we shell out to
+    openssl, which is universally present)."""
+    import subprocess
+
+    subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+            "-keyout", key_path, "-out", cert_path, "-days", "365",
+            "-subj", f"/CN={cn}",
+            "-addext", f"subjectAltName=DNS:{cn},IP:127.0.0.1",
+        ],
+        check=True,
+        capture_output=True,
+    )

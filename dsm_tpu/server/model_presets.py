@@ -84,6 +84,19 @@ def _lm_from_raw(d: dict) -> LM.LmConfig:
     )
 
 
+def load_model_toml(path: str):
+    """Load a bare-model TOML (reference s2st-1b.toml schema — the model
+    tables at top level rather than under [modules.x.model]).  Returns
+    (LmConfig, conditioner-config dict)."""
+    import tomllib
+
+    from . import config as C
+
+    with open(path, "rb") as f:
+        m = tomllib.load(f)
+    return C.lm_from_toml(m), m.get("conditioners", {})
+
+
 def load_preset(path: str) -> ModelPreset:
     with open(path) as f:
         d = json.load(f)

@@ -210,3 +210,21 @@ def test_new_config_variants_validate():
     assert t.path == "/api/tts_streaming"
     conds = t.raw.get("model", {}).get("conditioners", {})
     assert conds.get("description", {}).get("type") == "Lut"
+
+
+def test_bare_model_toml_loading():
+    """s2st-1b.toml bare-model schema (reference server/rust/moshi/
+    s2st-1b.toml) loads into an LmConfig + conditioner configs."""
+    import os
+
+    from dsm_tpu.server.model_presets import load_model_toml
+
+    p = os.path.join(os.path.dirname(__file__), "..", "configs", "models",
+                     "s2st-1b.toml")
+    lm, conds = load_model_toml(p)
+    assert lm.text_in_vocab_size == 48001
+    assert lm.audio_codebooks == 16
+    assert lm.depformer.num_slices == 8
+    assert lm.depformer.transformer.dim_feedforward == 4096
+    assert conds["description"]["type"] == "Lut"
+    assert len(conds["description"]["possible_values"]) == 5

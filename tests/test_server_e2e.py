@@ -242,3 +242,40 @@ def test_http_one_shot_transcription(asr_app):
             assert r.status == 200
 
     asyncio.run(main())
+
+
+def test_tls_self_signed_serving(tmp_path):
+    """Standalone TLS mode (moshi-backend standalone.rs parity): generate a
+    self-signed cert, serve over HTTPS, hit /api/health."""
+    import ssl
+
+    import aiohttp
+    from aiohttp import web
+
+    from dsm_tpu.server.app import make_self_signed_cert
+
+    cert, key = str(tmp_path / "c.pem"), str(tmp_path / "k.pem")
+    make_self_signed_cert(cert, key)
+
+    app = App(instance_name="tls-test")
+    srv_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    srv_ctx.load_cert_chain(cert, key)
+
+    async def main():
+        runner = web.AppRunner(app.web_app)
+        await runner.setup()
+        site = web.TCPSite(runner, "127.0.0.1", 0, ssl_context=srv_ctx)
+        await site.start()
+        port = site._server.sockets[0].getsockname()[1]
+        cli_ctx = ssl.create_default_context(cafile=cert)
+        cli_ctx.check_hostname = False
+        async with aiohttp.ClientSession() as s:
+            async with s.get(
+                f"https://127.0.0.1:{port}/api/health", ssl=cli_ctx
+            ) as r:
+                assert r.status == 200
+                body = await r.json()
+                assert body.get("status") == "ok"
+        await runner.cleanup()
+
+    asyncio.run(main())
