@@ -219,6 +219,21 @@ def cmd_gen(args) -> int:
     return 0
 
 
+def cmd_tui(args) -> int:
+    """Terminal duplex client (moshi-cli tui)."""
+    from .client.tui import run_tui
+
+    st = run_tui(args.url, token=args.token, wav_path=args.audio,
+                 seconds=args.seconds)
+    print(json.dumps({
+        "transcript": st.transcript,
+        "frames_sent": st.frames_sent,
+        "frames_recv": st.frames_recv,
+        "rx_seconds": round(st.rx_seconds, 2),
+    }))
+    return 0
+
+
 def cmd_auth_server(args) -> int:
     from .server.auth_server import AuthServer
 
@@ -310,6 +325,13 @@ def main(argv=None) -> int:
     gn.add_argument("--seed", type=int, default=0)
     gn.add_argument("--out-tokens", default=None)
     gn.set_defaults(fn=cmd_gen)
+
+    tu = sub.add_parser("tui", help="terminal duplex client")
+    tu.add_argument("--url", default="ws://127.0.0.1:8080/api/chat")
+    tu.add_argument("--token", default=None)
+    tu.add_argument("--audio", default=None, help="WAV to stream (else silence)")
+    tu.add_argument("--seconds", type=float, default=30.0)
+    tu.set_defaults(fn=cmd_tui)
 
     a = sub.add_parser("auth-server", help="run the JWT issuance service")
     a.add_argument("--host", default="0.0.0.0")
