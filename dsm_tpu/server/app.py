@@ -210,6 +210,7 @@ class App:
         await ws.send_bytes(proto.asr_ready())
         session_deadline = time.time() + SESSION_TIMEOUT_S
         close_code = proto.CloseCode.NORMAL
+        opus_dec = None  # lazy per-connection OggOpus decoder
 
         async def sender():
             while True:
@@ -270,9 +271,20 @@ class App:
                 elif t == "Marker":
                     self.asr_engine.add_marker(ch, int(m["id"]))
                 elif t == "OggOpus":
-                    await ws.send_bytes(
-                        proto.asr_error("opus decode not available; send pcm")
-                    )
+                    # Compressed input (asr.rs InMsg::OggOpus): stream-decode
+                    # ogg pages into the slot's pcm mailbox.
+                    from ..utils import opus as opus_mod
+
+                    if not opus_mod.available():
+                        await ws.send_bytes(
+                            proto.asr_error("opus decode not available; send pcm")
+                        )
+                        continue
+                    if opus_dec is None:
+                        opus_dec = opus_mod.OggOpusDecoder()
+                    pcm = opus_dec.decode(bytes(m["data"]))
+                    if pcm.size:
+                        ch.push_pcm(pcm)
                 elif t in ("Init", "Ping"):
                     pass
         finally:
@@ -441,6 +453,37 @@ class App:
             return ws
         session = TtsSession(self.tts_engine, ca_kv=ca_kv)
         inserted_bos = False
+        # Output encoding (tts.rs Encoder::{Pcm,PcmMessagePack,OggOpus,
+        # OggOpusMessagePack}); pcm-msgpack is the default wire format.
+        fmt = request.query.get("format", "PcmMessagePack")
+        opus_enc = None
+        if fmt in ("OggOpus", "OggOpusMessagePack"):
+            from ..utils import opus as opus_mod
+
+            if not opus_mod.available():
+                await ws.send_bytes(proto.tts_error("opus not available"))
+                fmt = "PcmMessagePack"
+            else:
+                opus_enc = opus_mod.OggOpusEncoder()
+
+        def _pad_to_packets(pcm):
+            import numpy as _np
+
+            n = len(pcm)
+            rem = n % opus_mod.PACKET_SAMPLES if opus_enc is not None else 0
+            if rem:
+                pcm = _np.pad(_np.asarray(pcm, _np.float32), (0, opus_mod.PACKET_SAMPLES - rem))
+            return pcm
+
+        async def send_audio(pcm):
+            if opus_enc is not None:
+                data = opus_enc.encode(_pad_to_packets(pcm))
+                if fmt == "OggOpus":
+                    await ws.send_bytes(data)
+                else:
+                    await ws.send_bytes(proto.tts_audio_opus(data))
+            else:
+                await ws.send_bytes(proto.tts_audio([float(x) for x in pcm]))
 
         def on_event(ev):
             loop.call_soon_threadsafe(out_q.put_nowait, ev)
@@ -461,14 +504,23 @@ class App:
                 if ev is None:
                     return
                 if isinstance(ev, AudioEvent):
-                    await ws.send_bytes(proto.tts_audio([float(x) for x in ev.pcm]))
+                    await send_audio(ev.pcm)
                 elif isinstance(ev, WordEvent):
                     await ws.send_bytes(proto.tts_text(ev.text, ev.start_s, ev.stop_s))
 
         send_task = asyncio.create_task(sender())
+        deadline = time.time() + RECV_TIMEOUT_S
         try:
-            while not session.done:
-                msg = await ws.receive(timeout=RECV_TIMEOUT_S)
+            # Poll with a short timeout so a finished (or crashed) session
+            # thread releases the socket promptly.
+            while not session.done and not run_task.done():
+                if time.time() > deadline:
+                    break
+                try:
+                    msg = await ws.receive(timeout=0.5)
+                except asyncio.TimeoutError:
+                    continue
+                deadline = time.time() + RECV_TIMEOUT_S
                 if msg.type == WSMsgType.TEXT:
                     words, inserted_bos = self.tts_engine.encode_words(
                         msg.data, inserted_bos
@@ -479,8 +531,6 @@ class App:
                         session.end_input()
                 elif msg.type in (WSMsgType.CLOSE, WSMsgType.CLOSING, WSMsgType.CLOSED, WSMsgType.ERROR):
                     break
-        except asyncio.TimeoutError:
-            pass
         finally:
             session.end_input()
             await run_task

@@ -138,6 +138,12 @@ def tts_audio(pcm: List[float]) -> bytes:
     return pack({"type": "Audio", "pcm": pcm}, single_float=True)
 
 
+def tts_audio_opus(data: bytes) -> bytes:
+    """OggOpusMessagePack format: compressed pages in a msgpack envelope
+    (tts.rs Encoder::OggOpusMessagePack)."""
+    return pack({"type": "Audio", "data": data})
+
+
 def tts_error(message: str) -> bytes:
     return pack({"type": "Error", "message": message})
 

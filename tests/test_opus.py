@@ -1,0 +1,168 @@
+"""OggOpus codec bindings (utils/opus.py) + compressed server paths
+(asr.rs InMsg::OggOpus, tts.rs Encoder::OggOpus*)."""
+
+import asyncio
+
+import msgpack
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from dsm_tpu.utils import opus
+
+pytestmark = pytest.mark.skipif(
+    not opus.available(), reason="libopus/libogg not present"
+)
+
+
+def _sine(n, f=440.0):
+    t = np.arange(n) / opus.SAMPLE_RATE
+    return (0.3 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+
+def test_roundtrip_quality_and_framing():
+    enc = opus.OggOpusEncoder()
+    dec = opus.OggOpusDecoder()
+    pcm = _sine(1920 * 10)
+    chunks = [
+        dec.decode(enc.encode(pcm[i * 1920 : (i + 1) * 1920], eos=(i == 9)))
+        for i in range(10)
+    ]
+    out = np.concatenate(chunks)
+    assert out.shape == pcm.shape  # 1:1 sample accounting
+    # Align for codec delay (pre-skip + decoder lag) and check fidelity.
+    best = max(
+        float(np.corrcoef(pcm[: len(pcm) - 600], out[s : s + len(pcm) - 600])[0, 1])
+        for s in range(0, 600, 4)
+    )
+    assert best > 0.95, best
+
+
+def test_header_pages_format():
+    enc = opus.OggOpusEncoder()
+    data = enc.encode(_sine(1920))
+    assert data.startswith(b"OggS")
+    assert b"OpusHead" in data and b"OpusTags" in data
+
+
+def test_decoder_handles_partial_feeds():
+    enc = opus.OggOpusEncoder()
+    dec = opus.OggOpusDecoder()
+    data = enc.encode(_sine(1920))
+    # Byte-dribble the stream: output must still total one frame.
+    total = 0
+    for i in range(0, len(data), 97):
+        total += dec.decode(data[i : i + 97]).size
+    assert total == 1920
+
+
+def test_asr_ws_oggopus_input():
+    import jax
+
+    from dsm_tpu.server import batched_asr as eng
+    from dsm_tpu.server.app import App
+    from tests.test_asr import make_params, small_asr_cfg
+
+    cfg = small_asr_cfg()
+    saved = eng.FRAME_SIZE
+    eng.FRAME_SIZE = cfg.mimi.frame_size
+    try:
+        params = make_params(cfg, jax.random.PRNGKey(0))
+        engine = eng.BatchedAsrEngine(cfg, params, batch_size=2)
+        engine._pcm_buf = np.zeros((2, 1, cfg.mimi.frame_size), np.float32)
+        engine.start()
+        app = App(asr_engine=engine, instance_name="opus-test")
+
+        async def main():
+            async with TestClient(TestServer(app.web_app)) as client:
+                ws = await client.ws_connect("/api/asr-streaming")
+                ready = msgpack.unpackb((await ws.receive()).data)
+                assert ready["type"] == "Ready"
+                enc = opus.OggOpusEncoder()
+                data = enc.encode(_sine(1920))
+                await ws.send_bytes(
+                    msgpack.packb({"type": "OggOpus", "data": data})
+                )
+                await ws.send_bytes(msgpack.packb({"type": "Marker", "id": 7}))
+                # Trailing compressed silence pushes the marker through
+                # (frame_size is tiny here, so a little pcm is many frames).
+                silence = np.zeros(1920 * 8, np.float32)
+                for i in range(8):
+                    await ws.send_bytes(msgpack.packb({
+                        "type": "OggOpus",
+                        "data": enc.encode(silence[i * 1920 : (i + 1) * 1920]),
+                    }))
+                async with asyncio.timeout(240):
+                    while True:
+                        msg = await ws.receive()
+                        if msg.type.name in ("CLOSE", "CLOSED", "ERROR"):
+                            raise AssertionError("closed before marker")
+                        m = msgpack.unpackb(msg.data)
+                        if m["type"] == "Marker":
+                            assert m["id"] == 7
+                            break
+                await ws.close()
+
+        asyncio.run(main())
+    finally:
+        engine.stop()
+        eng.FRAME_SIZE = saved
+
+
+def test_tts_ws_oggopus_format():
+    import jax
+
+    from dsm_tpu.models import lm as LM
+    from dsm_tpu.models import mimi as MIMI
+    from dsm_tpu.server.app import App
+    from dsm_tpu.server.tts_module import TtsEngine
+    from dsm_tpu.utils.tokenizer import FallbackTokenizer
+    from tests.test_mimi import small_cfg as small_mimi_cfg
+    from tests.test_tts import small_tts_cfg
+
+    import dataclasses
+
+    cfg = small_tts_cfg(max_steps=96)
+    # No voice resolver in this mini engine: drop cross-attention so the
+    # session runs without a ca_kv source.
+    lm = dataclasses.replace(
+        cfg.lm, transformer=dataclasses.replace(
+            cfg.lm.transformer, cross_attention=False, ca_dim=None
+        )
+    )
+    cfg = dataclasses.replace(cfg, lm=lm)
+    mimi_cfg = small_mimi_cfg()
+    params = {"lm": LM.init(cfg.lm, jax.random.PRNGKey(0))}
+    engine = TtsEngine(
+        cfg, params, mimi_cfg, MIMI.init(mimi_cfg, jax.random.PRNGKey(1)),
+        FallbackTokenizer(),
+    )
+    app = App(tts_engine=engine, instance_name="opus-tts")
+
+    async def main():
+        async with TestClient(TestServer(app.web_app)) as client:
+            ws = await client.ws_connect("/api/tts_streaming?format=OggOpus")
+            ready = msgpack.unpackb((await ws.receive()).data)
+            assert ready["type"] == "Ready"
+            await ws.send_str("hello world")
+            await ws.send_bytes(b"\0")
+            ogg = b""
+            words = 0
+            async with asyncio.timeout(300):
+                while True:
+                    msg = await ws.receive()
+                    if msg.type.name in ("CLOSE", "CLOSED", "ERROR"):
+                        break
+                    if msg.data[:4] == b"OggS":
+                        ogg += msg.data
+                    else:
+                        m = msgpack.unpackb(msg.data)
+                        if m["type"] == "Text":
+                            words += 1
+            assert ogg.startswith(b"OggS") and b"OpusHead" in ogg
+            dec = opus.OggOpusDecoder()
+            pcm = dec.decode(ogg)
+            assert pcm.size > 0
+            assert words >= 1
+
+    asyncio.run(main())
