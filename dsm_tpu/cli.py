@@ -71,6 +71,7 @@ def cmd_worker(args) -> int:
     from .utils.banner import print_banner
 
     print_banner(cfg, asr_engine, tts_engine, args.port)
+    static_dir = cfg.static_dir if cfg.static_dir and os.path.isdir(cfg.static_dir) else None
     app = App(
         asr_engine=asr_engine,
         tts_engine=tts_engine,
@@ -79,6 +80,7 @@ def cmd_worker(args) -> int:
         auth_ctx=auth_ctx,
         instance_name=cfg.instance_name,
         asr_path=asr_path,
+        static_dir=static_dir,
     )
     cert, key = args.ssl_cert, args.ssl_key
     if args.self_signed_tls and not (cert and key):

@@ -66,6 +66,7 @@ class App:
         tts_path: str = "/api/tts",
         tts_streaming_path: str = "/api/tts_streaming",
         rate_limit_per_minute: Optional[int] = None,
+        static_dir: Optional[str] = None,
     ):
         self.asr_engine = asr_engine
         self.tts_engine = tts_engine
@@ -93,6 +94,12 @@ class App:
             r.add_get("/api/mimi/recv/{room}", self.handle_mimi_recv)
         r.add_get("/api/status", self.handle_status)
         r.add_get("/api/health", self.handle_health)
+        self.static_dir = static_dir
+        if static_dir:
+            # Static file fallback (main.rs:989-1009): files under
+            # static_dir at '/', with index.html for the root.
+            r.add_get("/", self.handle_static)
+            r.add_get("/{tail:(?!api/|metrics).*}", self.handle_static)
         r.add_get("/metrics", self.handle_metrics)
         r.add_get("/api/build_info", self.handle_build_info)
         r.add_get("/api/modules_info", self.handle_modules_info)
@@ -733,6 +740,22 @@ class App:
         while True:
             payload = await q.get()
             await ws.send_bytes(payload)
+
+    async def handle_static(self, request):
+        """Serve files from static_dir, path-traversal guarded; '/' maps to
+        index.html (reference static fallback, main.rs:989-1009)."""
+        import os
+
+        tail = request.match_info.get("tail", "") or "index.html"
+        root = os.path.realpath(self.static_dir)
+        path = os.path.realpath(os.path.join(root, tail))
+        if not path.startswith(root + os.sep) and path != root:
+            return web.Response(status=403, text="forbidden")
+        if os.path.isdir(path):
+            path = os.path.join(path, "index.html")
+        if not os.path.isfile(path):
+            return web.Response(status=404, text="not found")
+        return web.FileResponse(path)
 
     def run(
         self,

@@ -279,3 +279,30 @@ def test_tls_self_signed_serving(tmp_path):
         await runner.cleanup()
 
     asyncio.run(main())
+
+
+def test_static_file_fallback(tmp_path):
+    """Static file serving (main.rs:989-1009): index.html at '/', files by
+    path, traversal blocked, /api routes unaffected."""
+    (tmp_path / "index.html").write_text("<h1>dsm-tpu</h1>")
+    sub = tmp_path / "assets"
+    sub.mkdir()
+    (sub / "app.js").write_text("console.log(1)")
+    (tmp_path.parent / "secret.txt").write_text("nope")
+
+    app = App(instance_name="static-test", static_dir=str(tmp_path))
+
+    async def main():
+        async with TestClient(TestServer(app.web_app)) as client:
+            r = await client.get("/")
+            assert r.status == 200 and "dsm-tpu" in await r.text()
+            r = await client.get("/assets/app.js")
+            assert r.status == 200
+            r = await client.get("/missing.png")
+            assert r.status == 404
+            r = await client.get("/../secret.txt")
+            assert r.status in (403, 404)
+            r = await client.get("/api/health")
+            assert r.status == 200  # api routes take precedence
+
+    asyncio.run(main())
