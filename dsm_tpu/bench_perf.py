@@ -179,9 +179,12 @@ def bench_tts(batch: int, steps: int = 5) -> dict:
     }
 
 
-def bench_sustained(batch: int, seconds: float) -> dict:
+def bench_sustained(batch: int, seconds: float,
+                    events_out: str | None = None) -> dict:
     """Real-time-paced zero-audio run with an event timeline, like
-    moshi-backend benchmark (benchmark.rs:57-138)."""
+    moshi-backend benchmark (benchmark.rs:57-138).  With ``events_out``,
+    dumps the per-frame [InputPcm, Step, StepPostSampling] timestamp
+    triplets to a JSON file like the reference's Event log."""
     import jax
 
     from dsm_tpu.sessions import asr as ASR
@@ -197,12 +200,18 @@ def bench_sustained(batch: int, seconds: float) -> dict:
     deadline = time.time() + seconds
     frames = 0
     late = 0
+    events = []  # (t_input, t_step_done, t_post_sampling) per frame
+    t_base = time.perf_counter()
     while time.time() < deadline:
         t0 = time.perf_counter()
         out, state = step(params, state, pcm, mask, reset, rng)
-        np.asarray(out["text_token"])
-        dt = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        np.asarray(out["text_token"])  # host sync = sampling visible
+        t2 = time.perf_counter()
+        dt = t2 - t0
         rec.record(dt)
+        if events_out:
+            events.append((t0 - t_base, t1 - t_base, t2 - t_base))
         frames += 1
         if dt > 0.080:
             late += 1
@@ -211,6 +220,16 @@ def bench_sustained(batch: int, seconds: float) -> dict:
             time.sleep(sleep)
     s = rec.summary()
     s.update({"frames": frames, "late_frames": late, "batch": batch})
+    if events_out:
+        with open(events_out, "w") as f:
+            json.dump(
+                [
+                    {"InputPcm": e[0], "Step": e[1], "StepPostSampling": e[2]}
+                    for e in events
+                ],
+                f,
+            )
+        s["events_file"] = events_out
     return s
 
 
@@ -233,6 +252,8 @@ def main(argv=None):
     p.add_argument("--e2e", action="store_true")
     p.add_argument("--memory", action="store_true")
     p.add_argument("--sustained", type=float, default=0.0)
+    p.add_argument("--events", default=None,
+                   help="dump per-frame event timestamps (JSON) in sustained mode")
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--steps", type=int, default=20)
     args = p.parse_args(argv)
@@ -247,7 +268,9 @@ def main(argv=None):
     if args.e2e or not (args.mimi or args.lm or args.memory or args.sustained):
         results["e2e"] = bench_e2e(args.batch, args.steps)
     if args.sustained:
-        results["sustained"] = bench_sustained(args.batch, args.sustained)
+        results["sustained"] = bench_sustained(
+            args.batch, args.sustained, events_out=args.events
+        )
     if args.memory:
         results["memory"] = bench_memory()
     print(json.dumps(results))

@@ -67,11 +67,15 @@ class SttClient:
         token: Optional[str] = None,
         max_retries: int = 3,
         retry_delay_s: float = 1.0,
+        compress: bool = False,
     ):
         self.url = url
         self.token = token
         self.max_retries = max_retries
         self.retry_delay_s = retry_delay_s
+        # Upload as OggOpus instead of raw pcm (asr.rs InMsg::OggOpus);
+        # needs libopus/libogg on the client side.
+        self.compress = compress
 
     def _headers(self):
         return {"Authorization": f"Bearer {self.token}"} if self.token else {}
@@ -109,18 +113,34 @@ class SttClient:
             ) as ws:
                 recv_done = asyncio.Event()
 
+                opus_enc = None
+                if self.compress:
+                    from ..utils import opus as opus_mod
+
+                    opus_enc = opus_mod.OggOpusEncoder()
+
+                def _audio_msg(chunk: np.ndarray) -> bytes:
+                    if opus_enc is not None:
+                        if len(chunk) % opus_mod.PACKET_SAMPLES:
+                            pad = opus_mod.PACKET_SAMPLES - (
+                                len(chunk) % opus_mod.PACKET_SAMPLES
+                            )
+                            chunk = np.pad(chunk, (0, pad))
+                        return msgpack.packb(
+                            {"type": "OggOpus", "data": opus_enc.encode(chunk)}
+                        )
+                    return msgpack.packb(
+                        {"type": "Audio", "pcm": chunk.tolist()},
+                        use_single_float=True,
+                    )
+
                 async def sender():
                     n = len(pcm)
                     t_start = time.monotonic()
                     sent = 0
                     for i in range(0, n, FRAME):
                         chunk = np.asarray(pcm[i : i + FRAME], np.float32)
-                        await ws.send_bytes(
-                            msgpack.packb(
-                                {"type": "Audio", "pcm": chunk.tolist()},
-                                use_single_float=True,
-                            )
-                        )
+                        await ws.send_bytes(_audio_msg(chunk))
                         sent += len(chunk)
                         if rtf:
                             target = t_start + sent / 24_000.0 / rtf
@@ -133,14 +153,9 @@ class SttClient:
                     await ws.send_bytes(
                         msgpack.packb({"type": "Marker", "id": SHUTDOWN_MARKER})
                     )
-                    silence = [0.0] * FRAME
+                    silence = np.zeros(FRAME, np.float32)
                     for _ in range(16):
-                        await ws.send_bytes(
-                            msgpack.packb(
-                                {"type": "Audio", "pcm": silence},
-                                use_single_float=True,
-                            )
-                        )
+                        await ws.send_bytes(_audio_msg(silence))
 
                 send_task = asyncio.create_task(sender())
                 try:

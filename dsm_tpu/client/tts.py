@@ -44,15 +44,37 @@ class TtsClient:
             ) as ws:
                 await ws.send_str(text)
                 await ws.send_bytes(b"\0")
+                opus_dec = None
                 async for msg in ws:
                     if msg.type != aiohttp.WSMsgType.BINARY:
+                        continue
+                    if msg.data[:4] == b"OggS":
+                        # ?format=OggOpus raw pages (tts.rs Encoder::OggOpus).
+                        from ..utils import opus as opus_mod
+
+                        if opus_dec is None:
+                            opus_dec = opus_mod.OggOpusDecoder()
+                        pcm = opus_dec.decode(msg.data)
+                        if pcm.size:
+                            if ttfb is None:
+                                ttfb = time.monotonic() - t0
+                            chunks.append(pcm)
                         continue
                     m = msgpack.unpackb(msg.data, raw=False)
                     t = m.get("type")
                     if t == "Audio":
                         if ttfb is None:
                             ttfb = time.monotonic() - t0
-                        chunks.append(np.asarray(m["pcm"], np.float32))
+                        if "data" in m:  # OggOpusMessagePack envelope
+                            from ..utils import opus as opus_mod
+
+                            if opus_dec is None:
+                                opus_dec = opus_mod.OggOpusDecoder()
+                            pcm = opus_dec.decode(bytes(m["data"]))
+                            if pcm.size:
+                                chunks.append(pcm)
+                        else:
+                            chunks.append(np.asarray(m["pcm"], np.float32))
                     elif t == "Text":
                         words.append(m)
                     elif t == "Error":

@@ -166,3 +166,54 @@ def test_tts_ws_oggopus_format():
             assert words >= 1
 
     asyncio.run(main())
+
+
+def test_stt_client_compressed_upload():
+    """SttClient(compress=True) streams OggOpus (asr.rs InMsg::OggOpus) and
+    still completes the marker-flush shutdown flow."""
+    import jax
+
+    from dsm_tpu.client.stt import SHUTDOWN_MARKER, SttClient
+    from dsm_tpu.server import batched_asr as eng
+    from dsm_tpu.server.app import App
+    from tests.test_asr import make_params, small_asr_cfg
+
+    cfg = small_asr_cfg()
+    saved_fs = eng.FRAME_SIZE
+    eng.FRAME_SIZE = cfg.mimi.frame_size
+    try:
+        params = make_params(cfg, jax.random.PRNGKey(0))
+        engine = eng.BatchedAsrEngine(cfg, params, batch_size=2)
+        engine._pcm_buf = np.zeros((2, 1, cfg.mimi.frame_size), np.float32)
+        engine.start()
+        app = App(asr_engine=engine, instance_name="opus-client")
+
+        async def main():
+            server = TestServer(app.web_app)
+            await server.start_server()
+            try:
+                url = str(server.make_url("/api/asr-streaming"))
+                client = SttClient(url, compress=True)
+                pcm = _sine(1920)
+                import dsm_tpu.client.stt as stt_mod
+
+                saved = stt_mod.FRAME
+                stt_mod.FRAME = 1920  # opus needs 480-multiples
+                try:
+                    events = []
+                    await client.transcribe_pcm(pcm, on_event=events.append)
+                finally:
+                    stt_mod.FRAME = saved
+                kinds = {e.type for e in events}
+                assert "ready" in kinds and "step" in kinds
+                assert any(
+                    e.type == "marker" and e.marker_id == SHUTDOWN_MARKER
+                    for e in events
+                )
+            finally:
+                await server.close()
+
+        asyncio.run(main())
+    finally:
+        engine.stop()
+        eng.FRAME_SIZE = saved_fs
