@@ -723,9 +723,17 @@ class App:
         room = self.mimi_rooms_engine.room(request.match_info["room"])
         ws = web.WebSocketResponse(heartbeat=5.0)
         await ws.prepare(request)
+        # Per-receiver opus re-encode so late joiners get their own header
+        # pages (reference broadcasts opus pages, mimi.rs:12-215).
+        opus_enc = None
+        if request.query.get("format") == "OggOpus":
+            from ..utils import opus as opus_mod
+
+            if opus_mod.available():
+                opus_enc = opus_mod.OggOpusEncoder()
         q = room.subscribe()
         try:
-            sender = asyncio.create_task(self._room_sender(ws, q))
+            sender = asyncio.create_task(self._room_sender(ws, q, opus_enc))
             async for msg in ws:
                 if msg.type in (WSMsgType.CLOSE, WSMsgType.ERROR):
                     break
@@ -736,9 +744,22 @@ class App:
                 await ws.close()
         return ws
 
-    async def _room_sender(self, ws, q):
+    async def _room_sender(self, ws, q, opus_enc=None):
+        from .protocol import MsgType
+
         while True:
             payload = await q.get()
+            if opus_enc is not None and payload and payload[0] == MsgType.AUDIO:
+                pcm = np.frombuffer(payload[1:], "<f4")
+                from ..utils import opus as opus_mod
+
+                rem = len(pcm) % opus_mod.PACKET_SAMPLES
+                if rem:
+                    pcm = np.pad(pcm, (0, opus_mod.PACKET_SAMPLES - rem))
+                data = opus_enc.encode(pcm)
+                if data:
+                    await ws.send_bytes(bytes([MsgType.AUDIO]) + data)
+                continue
             await ws.send_bytes(payload)
 
     async def handle_static(self, request):

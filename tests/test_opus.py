@@ -217,3 +217,34 @@ def test_stt_client_compressed_upload():
     finally:
         engine.stop()
         eng.FRAME_SIZE = saved_fs
+
+
+def test_mimi_room_opus_receiver():
+    """?format=OggOpus mimi-room receiver gets opus pages with its own
+    header (late-join safe), pcm receivers unaffected."""
+    from dsm_tpu.server.app import App
+    from dsm_tpu.server.mimi_rooms import MimiRoomsEngine
+    from dsm_tpu.server.protocol import MsgType
+    from tests.test_mimi import small_cfg as small_mimi_cfg
+
+    engine = MimiRoomsEngine(cfg=small_mimi_cfg())
+    app = App(mimi_rooms_engine=engine)
+
+    async def main():
+        async with TestClient(TestServer(app.web_app)) as client:
+            rx_pcm = await client.ws_connect("/api/mimi/recv/r9")
+            rx_opus = await client.ws_connect("/api/mimi/recv/r9?format=OggOpus")
+            tx = await client.ws_connect("/api/mimi/send/r9")
+            codes = np.arange(engine.cfg.n_q, dtype="<u4")
+            await tx.send_bytes(bytes([MsgType.CODES]) + codes.tobytes())
+            async with asyncio.timeout(150):
+                m1 = await rx_pcm.receive()
+                m2 = await rx_opus.receive()
+            assert m1.data[0] == MsgType.AUDIO
+            np.frombuffer(m1.data[1:], "<f4")  # raw pcm payload
+            assert m2.data[0] == MsgType.AUDIO
+            assert m2.data[1:5] == b"OggS"  # opus pages with headers
+            dec = opus.OggOpusDecoder()
+            dec.decode(m2.data[1:])  # parses cleanly
+
+    asyncio.run(main())
