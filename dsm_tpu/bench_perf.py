@@ -254,11 +254,27 @@ def main(argv=None):
     p.add_argument("--sustained", type=float, default=0.0)
     p.add_argument("--events", default=None,
                    help="dump per-frame event timestamps (JSON) in sustained mode")
+    p.add_argument("--trace", default=None,
+                   help="capture a device profile around the benchmarks")
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--steps", type=int, default=20)
     args = p.parse_args(argv)
 
+    import contextlib
+
+    tracer = contextlib.nullcontext()
+    if args.trace:
+        from dsm_tpu.utils.tracing import device_trace
+
+        tracer = device_trace(args.trace)
+
     results = {}
+    with tracer:
+        _run_all(args, results)
+    print(json.dumps(results))
+
+
+def _run_all(args, results):
     if args.mimi:
         results["mimi"] = bench_mimi(args.batch, args.steps)
     if args.lm:
@@ -273,7 +289,6 @@ def main(argv=None):
         )
     if args.memory:
         results["memory"] = bench_memory()
-    print(json.dumps(results))
 
 
 if __name__ == "__main__":

@@ -185,7 +185,10 @@ def cmd_tts_client(args) -> int:
 
 
 def cmd_gen(args) -> int:
-    """Offline duplex generation, file -> tokens/audio (moshi-cli gen.rs)."""
+    """Offline duplex generation, file -> tokens/audio (moshi-cli gen.rs);
+    --trace captures a device profile (moshi-cli --tracing equivalent)."""
+    import contextlib
+
     import numpy as np
 
     from .models import lm as LM
@@ -204,7 +207,14 @@ def cmd_gen(args) -> int:
     )
     params = {"lm": LM.init(lm_cfg, jax.random.PRNGKey(args.seed),
                             dtype=jnp.bfloat16)}
-    texts, frames = G.generate(cfg, params, args.steps, seed=args.seed)
+    if args.trace:
+        from .utils.tracing import device_trace
+
+        tracer = device_trace(args.trace)
+    else:
+        tracer = contextlib.nullcontext()
+    with tracer:
+        texts, frames = G.generate(cfg, params, args.steps, seed=args.seed)
     print(json.dumps({
         "text_tokens": texts,
         "audio_frames": int(frames.shape[0]),
@@ -326,6 +336,8 @@ def main(argv=None) -> int:
     gn.add_argument("--steps", type=int, default=50)
     gn.add_argument("--seed", type=int, default=0)
     gn.add_argument("--out-tokens", default=None)
+    gn.add_argument("--trace", default=None,
+                    help="capture a device profile to this dir (Perfetto)")
     gn.set_defaults(fn=cmd_gen)
 
     tu = sub.add_parser("tui", help="terminal duplex client")

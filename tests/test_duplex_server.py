@@ -97,7 +97,7 @@ def test_mimi_rooms_broadcast():
             await send.send_bytes(bytes([MsgType.CODES]) + codes.tobytes())
             await send.send_bytes(bytes([MsgType.TEXT]) + b"hello room")
 
-            async with asyncio.timeout(150):
+            async with asyncio.timeout(300):
                 m1 = await recv1.receive()
                 m2 = await recv2.receive()
             assert m1.data[0] == MsgType.AUDIO and m2.data[0] == MsgType.AUDIO
