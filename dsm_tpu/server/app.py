@@ -458,7 +458,11 @@ class App:
             await ws.send_bytes(proto.tts_error(str(e)))
             await ws.close(code=int(proto.CloseCode.RESOURCE_UNAVAILABLE))
             return ws
-        session = TtsSession(self.tts_engine, ca_kv=ca_kv)
+        session = TtsSession(
+            self.tts_engine,
+            ca_kv=ca_kv,
+            condition=getattr(self.tts_engine, "default_condition", None),
+        )
         inserted_bos = False
         # Output encoding (tts.rs Encoder::{Pcm,PcmMessagePack,OggOpus,
         # OggOpusMessagePack}); pcm-msgpack is the default wire format.

@@ -150,6 +150,28 @@ def build_tts(mod: CFG.ModuleConfig) -> TtsEngine:
         voice_dir=voice_dir, preloaded=preloaded,
         speaker_cfg=spk_cfg, speaker_params=spk_params, mimi_params=mimi_params,
     )
+    # Optional attribute conditioners ([modules.tts.model.conditioners],
+    # e.g. config-tts-realtime's `description` quality Lut).  The provider's
+    # weights come from the checkpoint when present (condition_provider.*
+    # keys); default attribute = the last listed value ("very_good").
+    default_condition = None
+    cond_provider = None
+    cond_cfgs_raw = (mod.raw.get("model") or {}).get("conditioners")
+    if cond_cfgs_raw:
+        from ..models import conditioner as COND
+
+        cond_provider = COND.ConditionProvider(
+            mod.lm.transformer.d_model,
+            COND.configs_from_toml(cond_cfgs_raw),
+            jax.random.fold_in(key, 3),
+        )
+        for name, c in cond_cfgs_raw.items():
+            if c.get("type") == "Lut" and c.get("possible_values"):
+                default_condition = cond_provider.condition_lut(
+                    name, c["possible_values"][-1]
+                )
+                break
+
     if tts_batch > 1:
         # Continuous TTS batching (beyond the reference's batch=1 mutex).
         from .tts_batched import BatchedTtsEngine
@@ -159,11 +181,15 @@ def build_tts(mod: CFG.ModuleConfig) -> TtsEngine:
             batch_size=tts_batch,
         )
         engine.voices = resolver
+        engine.condition_provider = cond_provider
+        engine.default_condition = default_condition
         return engine
     engine = TtsEngine(
         tts_cfg, {"lm": lm_params}, mimi_cfg, mimi_params, tokenizer
     )
     engine.voices = resolver
+    engine.condition_provider = cond_provider
+    engine.default_condition = default_condition
     return engine
 
 

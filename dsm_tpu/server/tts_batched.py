@@ -128,6 +128,8 @@ class BatchedTtsEngine:
         self.tokenizer = tokenizer
         self.batch_size = batch_size
         self.tick_sleep = tick_sleep
+        self.condition_provider = None
+        self.default_condition = None
         self.cache_dtype = (
             jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
         )

@@ -195,6 +195,8 @@ class TtsEngine:
         )
         self.lock = threading.Lock()  # single-inference (tts.rs:31)
         self.voices = None  # optional server.voices.VoiceResolver
+        self.condition_provider = None  # models.conditioner.ConditionProvider
+        self.default_condition = None  # (1, D) attribute embedding or None
 
         def _step(params, state, mode, tok, rng, ca_kv, condition):
             return TTS.step(cfg, params, state, mode, tok, rng, ca_kv, condition)

@@ -64,3 +64,76 @@ def test_resolver_wav_voice(tmp_path):
     )
     ca = r.resolve("w.wav+0.5")
     assert ca.shape[0] == 1 and ca.shape[2] == 24
+
+
+def test_builder_wires_conditioners(tmp_path):
+    """[modules.tts.model.conditioners] produces a ConditionProvider and a
+    default attribute embedding on the engine (config-tts-realtime's
+    description Lut; reference conditioner.rs + tts.rs wiring)."""
+    cfg_text = """
+instance_name = "cond-test"
+authorized_ids = []
+
+[modules.tts]
+type = "Tts"
+path = "/api/tts"
+batch_size = 1
+
+[modules.tts.model]
+text_in_vocab_size = 33
+text_out_vocab_size = 32
+audio_vocab_size = 9
+audio_codebooks = 4
+
+[modules.tts.model.transformer]
+d_model = 32
+num_heads = 4
+num_layers = 2
+dim_feedforward = 64
+causal = true
+context = 64
+gating = "silu"
+norm = "RmsNorm"
+positional_embedding = "Rope"
+
+[modules.tts.model.depformer]
+num_slices = 4
+
+[modules.tts.model.depformer.transformer]
+d_model = 16
+num_heads = 2
+num_layers = 2
+dim_feedforward = 32
+causal = true
+context = 4
+gating = "silu"
+norm = "RmsNorm"
+positional_embedding = "None"
+
+[modules.tts.model.conditioners.description]
+type = "Lut"
+n_bins = 31
+dim = 16
+possible_values = ["very_bad", "bad", "neutral", "good", "very_good"]
+
+[modules.tts.generation]
+speaker_cond_dim = 32
+speaker_cond_n_speakers = 2
+speaker_cond_duration_s = 0.96
+"""
+    p = tmp_path / "cond.toml"
+    p.write_text(cfg_text)
+
+    from dsm_tpu.server import builder
+    from dsm_tpu.server.config import Config
+
+    cfg = Config.load(str(p))
+    engine = builder.build_tts(cfg.modules["tts"])
+    assert engine.condition_provider is not None
+    assert engine.default_condition is not None
+    assert engine.default_condition.shape == (1, 32)
+    # "very_good" is the default; a different value embeds differently.
+    other = engine.condition_provider.condition_lut("description", "bad")
+    assert not np.allclose(
+        np.asarray(other), np.asarray(engine.default_condition)
+    )
