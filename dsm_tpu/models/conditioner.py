@@ -108,6 +108,29 @@ class ConditionProvider:
     def learnt_padding(self, name: str) -> jax.Array:
         return self.params[name]["learnt_padding"]
 
+    def load_params(
+        self, tensors: Dict[str, jnp.ndarray],
+        prefix: str = "condition_provider.conditioners",
+    ) -> int:
+        """Overwrite provider weights from a checkpoint tensor dict
+        (reference key layout conditioner.rs:41-44,74-76:
+        ``<prefix>.<name>.{embed.weight,output_proj.weight,learnt_padding}``).
+        Returns the number of tensors adopted."""
+        n = 0
+        for name in self.params:
+            for ours, theirs in (
+                ("embed", f"{prefix}.{name}.embed.weight"),
+                ("output_proj", f"{prefix}.{name}.output_proj.weight"),
+                ("learnt_padding", f"{prefix}.{name}.learnt_padding"),
+            ):
+                if theirs in tensors and ours in self.params[name]:
+                    t = jnp.asarray(tensors[theirs])
+                    if ours == "learnt_padding":
+                        t = t.reshape(1, -1)
+                    self.params[name][ours] = t
+                    n += 1
+        return n
+
 
 def configs_from_toml(raw: Dict[str, dict]) -> Dict[str, ConditionerConfig]:
     """Parse a [modules.x.conditioners] table (serde tag `type`)."""

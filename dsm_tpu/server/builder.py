@@ -165,6 +165,10 @@ def build_tts(mod: CFG.ModuleConfig) -> TtsEngine:
             COND.configs_from_toml(cond_cfgs_raw),
             jax.random.fold_in(key, 3),
         )
+        lm_path = CFG.resolve_path(mod.lm_model_file) if mod.lm_model_file else None
+        if lm_path:
+            adopted = cond_provider.load_params(CK.load_safetensors(lm_path))
+            log.info("conditioner weights adopted from checkpoint: %d", adopted)
         for name, c in cond_cfgs_raw.items():
             if c.get("type") == "Lut" and c.get("possible_values"):
                 default_condition = cond_provider.condition_lut(

@@ -146,3 +146,32 @@ def test_lm_gen_simple_generate():
     assert frames.shape[1] == 3
     assert frames.shape[0] >= 6  # frames flow after max delay
     assert frames.max() < lm_cfg.audio_vocab_size - 1
+
+
+def test_condition_provider_checkpoint_load():
+    """ConditionProvider.load_params adopts reference-layout checkpoint keys
+    (conditioner.rs:41-44,74-76)."""
+    lut = C.LutConfig(n_bins=4, dim=8, possible_values=("a", "b"))
+    provider = C.ConditionProvider(16, {"style": lut}, jax.random.PRNGKey(0))
+    before = np.asarray(provider.condition_lut("style", "a"))
+
+    rng = np.random.default_rng(0)
+    tensors = {
+        "condition_provider.conditioners.style.embed.weight":
+            rng.standard_normal((5, 8)).astype(np.float32),
+        "condition_provider.conditioners.style.output_proj.weight":
+            rng.standard_normal((16, 8)).astype(np.float32),
+        "condition_provider.conditioners.style.learnt_padding":
+            rng.standard_normal((1, 1, 16)).astype(np.float32),
+    }
+    assert provider.load_params(tensors) == 3
+    after = np.asarray(provider.condition_lut("style", "a"))
+    assert not np.allclose(before, after)
+    assert provider.learnt_padding("style").shape == (1, 16)
+    # Deterministic from the loaded weights.
+    want = tensors[
+        "condition_provider.conditioners.style.embed.weight"
+    ][0] @ tensors[
+        "condition_provider.conditioners.style.output_proj.weight"
+    ].T
+    np.testing.assert_allclose(after[0], want, rtol=1e-5)
