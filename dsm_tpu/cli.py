@@ -114,6 +114,12 @@ def cmd_stt(args) -> int:
 
 
 def cmd_tts(args) -> int:
+    if args.jsonl:
+        from .offline import synthesize_jsonl
+
+        manifest = synthesize_jsonl(args.text, args.out, config_path=args.config)
+        print(json.dumps(manifest))
+        return 0
     from .offline import synthesize_file
 
     out = synthesize_file(args.text, args.out, config_path=args.config)
@@ -300,9 +306,11 @@ def main(argv=None) -> int:
     s.set_defaults(fn=cmd_stt)
 
     t = sub.add_parser("tts", help="offline synthesis")
-    t.add_argument("text")
-    t.add_argument("out")
+    t.add_argument("text", help="text, or a tts.jsonl path with --jsonl")
+    t.add_argument("out", help="output wav, or a directory with --jsonl")
     t.add_argument("--config", default=None)
+    t.add_argument("--jsonl", action="store_true",
+                   help="batch mode: input is the reference tts.jsonl format")
     t.set_defaults(fn=cmd_tts)
 
     g = sub.add_parser("token-gen", help="mint a JWT")

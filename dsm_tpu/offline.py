@@ -110,10 +110,9 @@ def transcribe_file(
     return result
 
 
-def synthesize_file(text: str, out_path: str, config_path: Optional[str] = None) -> dict:
+def _build_tts_engine(config_path: Optional[str]):
     from .server import builder
     from .server.config import Config, ModuleConfig
-    from .utils.audio import write_wav
 
     if config_path:
         cfg = Config.load(config_path)
@@ -128,7 +127,13 @@ def synthesize_file(text: str, out_path: str, config_path: Optional[str] = None)
             audio_tokenizer_file="hf://kyutai/tts-1.6b-en_fr/tokenizer-e351c8d8-checkpoint125.safetensors",
             text_tokenizer_file="hf://kyutai/tts-1.6b-en_fr/tokenizer_spm_8k_en_fr_audio.model",
         )
-    engine = builder.build_tts(mod)
+    return builder.build_tts(mod)
+
+
+def synthesize_file(text: str, out_path: str, config_path: Optional[str] = None) -> dict:
+    from .utils.audio import write_wav
+
+    engine = _build_tts_engine(config_path)
     pcm, transcript = engine.synthesize(text)
     write_wav(out_path, pcm, 24_000)
     return {
@@ -139,3 +144,55 @@ def synthesize_file(text: str, out_path: str, config_path: Optional[str] = None)
             for w in transcript
         ],
     }
+
+
+def synthesize_jsonl(
+    jsonl_path: str,
+    out_dir: str,
+    config_path: Optional[str] = None,
+    engine=None,
+) -> list:
+    """Batch synthesis from the reference's audio/tts.jsonl input format:
+    one JSON object per line with ``id``, ``turns`` (list of utterances) and
+    ``voices`` (voice specs resolved like ?voice=).  Writes ``<id>.wav``
+    per line and returns a manifest."""
+    import inspect
+    import json
+    import os
+
+    from .utils.audio import write_wav
+
+    if engine is None:
+        engine = _build_tts_engine(config_path)
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = []
+    with open(jsonl_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            item = json.loads(line)
+            text = " ".join(item.get("turns", []))
+            voice = (item.get("voices") or [None])[0]
+            kw = {}
+            sig = inspect.signature(engine.synthesize).parameters
+            if voice:
+                try:
+                    if "voice" in sig:
+                        kw["voice"] = voice
+                    elif "ca_kv" in sig and hasattr(engine, "voice_kv"):
+                        kw["ca_kv"] = engine.voice_kv(voice)
+                    elif "voice_ca" in sig and hasattr(engine, "voice_kv"):
+                        kw["voice_ca"] = engine.voice_kv(voice)
+                except FileNotFoundError:
+                    pass  # voice files absent locally: synthesize unconditioned
+            pcm, transcript = engine.synthesize(text, **kw)
+            out_path = os.path.join(out_dir, f"{item.get('id', len(manifest))}.wav")
+            write_wav(out_path, pcm, 24_000)
+            manifest.append({
+                "id": item.get("id"),
+                "out": out_path,
+                "duration_s": round(len(pcm) / 24_000.0, 3),
+                "words": len(transcript),
+            })
+    return manifest

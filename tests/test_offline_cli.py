@@ -146,3 +146,45 @@ def test_sentencepiece_parser_and_viterbi():
     # Unknown characters fall back without crashing.
     ids = model.encode("hz")
     assert isinstance(ids, list) and ids
+
+
+def test_synthesize_jsonl(tmp_path):
+    """Batch TTS from the reference audio/tts.jsonl input format."""
+    import json
+
+    import jax
+
+    from dsm_tpu.models import lm as LM
+    from dsm_tpu.models import mimi as MIMI
+    from dsm_tpu.offline import synthesize_jsonl
+    from dsm_tpu.server.tts_module import TtsEngine
+    from dsm_tpu.utils.tokenizer import FallbackTokenizer
+    from tests.test_mimi import small_cfg as small_mimi_cfg
+    from tests.test_tts import small_tts_cfg
+
+    import dataclasses
+
+    cfg = small_tts_cfg(max_steps=64)
+    lm = dataclasses.replace(
+        cfg.lm, transformer=dataclasses.replace(
+            cfg.lm.transformer, cross_attention=False, ca_dim=None
+        )
+    )
+    cfg = dataclasses.replace(cfg, lm=lm)
+    mimi_cfg = small_mimi_cfg()
+    engine = TtsEngine(
+        cfg, {"lm": LM.init(cfg.lm, jax.random.PRNGKey(0))},
+        mimi_cfg, MIMI.init(mimi_cfg, jax.random.PRNGKey(1)),
+        FallbackTokenizer(),
+    )
+
+    src = tmp_path / "in.jsonl"
+    src.write_text(
+        json.dumps({"id": "a", "turns": ["hello there"], "voices": []}) + "\n"
+        + json.dumps({"id": "b", "turns": ["again", "twice"], "voices": []}) + "\n"
+    )
+    manifest = synthesize_jsonl(str(src), str(tmp_path / "out"), engine=engine)
+    assert [m["id"] for m in manifest] == ["a", "b"]
+    for m in manifest:
+        assert (tmp_path / "out" / f"{m['id']}.wav").exists()
+        assert m["duration_s"] >= 0.0
