@@ -281,7 +281,7 @@ def _run_all(args, results):
         results["lm"] = bench_lm(args.batch, args.steps)
     if args.tts:
         results["tts"] = bench_tts(min(args.batch, 8))
-    if args.e2e or not (args.mimi or args.lm or args.memory or args.sustained):
+    if args.e2e or not (args.mimi or args.lm or args.tts or args.memory or args.sustained):
         results["e2e"] = bench_e2e(args.batch, args.steps)
     if args.sustained:
         results["sustained"] = bench_sustained(
