@@ -20,10 +20,22 @@ import time
 import numpy as np
 
 
-def _setup(batch, small=False):
+def _setup(batch, small=False, serving=False):
     import jax.numpy as jnp
     import __graft_entry__ as ge
 
+    if serving:
+        # Serving profile (= bench.py headline): int8 KV rings, bf16 codec,
+        # weight-only int8 LM.
+        cfg, fn, (params, *rest) = ge._asr_setup(
+            batch, jnp.bfloat16, jnp.bfloat16,
+            kv_quant=True, mimi_dtype="bfloat16",
+        )
+        from dsm_tpu.ops import transformer as T
+
+        params = dict(params)
+        params["lm"] = T.quantize_weights(params["lm"])
+        return cfg, fn, (params, *rest)
     return ge._asr_setup(batch, jnp.bfloat16, jnp.bfloat16, small=small)
 
 
@@ -231,6 +243,117 @@ def bench_sustained(batch: int, seconds: float,
             )
         s["events_file"] = events_out
     return s
+
+
+def bench_server_sustained(batch: int, seconds: float) -> dict:
+    """Drive the production ``BatchedAsrEngine`` with ``batch`` live
+    synthetic-mailbox sessions for ``seconds`` — the host path included:
+    native frame packer, marker heap, word post-process, per-slot dispatch
+    (VERDICT r1 #2; reference claim surface batched_asr.rs:432-521).
+
+    Reports p50/p95/p99 of the dispatch->host-visible step latency, batch
+    utilization, per-slot cadence, marker completion.  Note: this
+    environment adds ~60-80 ms tunnel RTT per dispatch that a production
+    local-PJRT host does not have; ``null_dispatch_rtt_ms`` quantifies it.
+    """
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from dsm_tpu.server.batched_asr import BatchedAsrEngine
+
+    cfg, _, (params, _st, _pcm, _m, _r, _rng) = _setup(batch, serving=True)
+    engine = BatchedAsrEngine(cfg, params, batch_size=batch, pipeline_depth=1)
+
+    lat, util = [], []
+    engine.step_observer = lambda dt, u: (lat.append(dt), util.append(u))
+
+    # Null-dispatch RTT: the tunnel tax on any host->device->host turnaround.
+    x = jnp.zeros((8,), jnp.float32)
+    f = jax.jit(lambda a: a + 1)
+    np.asarray(f(x))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        np.asarray(f(x))
+    rtt = (time.perf_counter() - t0) / 5
+
+    per_slot_events = [[] for _ in range(batch)]
+    markers_seen = [False] * batch
+
+    def mk_deliver(i):
+        def deliver(ev):
+            per_slot_events[i].append(ev.step_idx)
+            if ev.markers:
+                markers_seen[i] = True
+
+        return deliver
+
+    chans = []
+    for i in range(batch):
+        ch = engine.open_channel(mk_deliver(i))
+        assert ch is not None, f"no slot for session {i}"
+        chans.append(ch)
+
+    rng = np.random.default_rng(0)
+    frame_batch = (
+        rng.standard_normal((batch, cfg.mimi.frame_size)).astype(np.float32)
+        * 0.1
+    )
+    stop = threading.Event()
+
+    def feeder():
+        # Real-time pacing: one 80 ms frame per channel per 80 ms, plus one
+        # frame of lead so the mailboxes never starve on jitter.
+        for ch, pcm in zip(chans, frame_batch):
+            ch.push_pcm(pcm)
+        next_t = time.perf_counter()
+        while not stop.is_set():
+            for ch, pcm in zip(chans, frame_batch):
+                ch.push_pcm(pcm)
+            next_t += 0.080
+            dt = next_t - time.perf_counter()
+            if dt > 0:
+                time.sleep(dt)
+
+    engine.warmup()
+    lat.clear()
+    util.clear()
+    engine.start()
+    feed_thread = threading.Thread(target=feeder, daemon=True)
+    t_start = time.perf_counter()
+    feed_thread.start()
+    time.sleep(seconds)
+    stop.set()
+    feed_thread.join(timeout=2)
+    for ch in chans:
+        engine.add_marker(ch, 1)
+    deadline = time.time() + 10
+    while not all(markers_seen) and time.time() < deadline:
+        time.sleep(0.05)
+    wall = time.perf_counter() - t_start
+    engine.stop()
+
+    steps_per_slot = [len(ev) for ev in per_slot_events]
+    expected = seconds / 0.080
+    lat_ms = np.asarray(lat) * 1e3
+    return {
+        "batch": batch,
+        "seconds": round(wall, 1),
+        "sessions": batch,
+        "engine_steps": len(lat),
+        "step_ms_p50": round(float(np.percentile(lat_ms, 50)), 1),
+        "step_ms_p95": round(float(np.percentile(lat_ms, 95)), 1),
+        "step_ms_p99": round(float(np.percentile(lat_ms, 99)), 1),
+        "null_dispatch_rtt_ms": round(rtt * 1e3, 1),
+        "batch_utilization_mean": round(float(np.mean(util)), 3),
+        "slot_steps_min": int(np.min(steps_per_slot)),
+        "slot_steps_mean": round(float(np.mean(steps_per_slot)), 1),
+        "expected_steps_realtime": round(expected, 1),
+        "realtime_ok": bool(np.min(steps_per_slot) >= 0.95 * expected),
+        "markers_completed": int(sum(markers_seen)),
+        "late_frac": round(float((lat_ms > 80.0).mean()), 4),
+    }
 
 
 def bench_memory() -> dict:

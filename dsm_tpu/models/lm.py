@@ -402,8 +402,9 @@ def depformer_sample(
     forced_next: jax.Array,
     key: jax.Array,
     samp: S.SamplingConfig,
-    cfg_alpha: Optional[float] = None,
+    cfg_alpha=None,
     temperature: Optional[jax.Array] = None,
+    slot_keys: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Sample all audio codebooks for the current frame.
 
@@ -413,9 +414,11 @@ def depformer_sample(
     (-1 = use the sample), the ForcedAudioTokens mechanism that
     teacher-forces audio pads during the acoustic delay (lm.rs:1196-1221).
 
-    With ``cfg_alpha`` set, rows are [cond..., uncond...] halves and logits
-    combine as a*cond - (a-1)*uncond (lm.rs:687-732); every row then receives
-    the same sampled token.
+    With ``cfg_alpha`` set (static float or traced per-slot (B/2,) array),
+    rows are [cond..., uncond...] halves and logits combine as
+    a*cond - (a-1)*uncond (lm.rs:687-732); every row then receives the same
+    sampled token.  ``slot_keys (B',2)`` (B' = cond rows) switches sampling
+    to independent per-slot PRNG streams (per-request seeds).
 
     Returns ``tokens (B, S)`` int32.
     """
@@ -429,7 +432,14 @@ def depformer_sample(
         forced_next = jnp.broadcast_to(forced_next[None, :], (b, n_slices))
 
     kv = T.init_state(dcfg, b, cache_dtype=hidden.dtype)
-    keys = jax.random.split(key, n_slices)
+    if slot_keys is not None:
+        # (n_slices, B', 2): per-slot streams, draw index = slice index.
+        keys = jnp.stack(
+            [S.fold_keys(slot_keys, 100 + i) for i in range(n_slices)]
+        )
+    else:
+        keys = jax.random.split(key, n_slices)
+    n_draw = b // 2 if cfg_alpha is not None else b
 
     def slice_logits(i_params, kv, x_in):
         h, kv = T.step(dcfg, i_params["transformer"], kv, x_in[:, None, :])
@@ -437,17 +447,27 @@ def depformer_sample(
         return logits, kv
 
     def _draw(logits, k):
-        # Traced per-slot temperature (serving) or static config.
+        # Per-slot keyed streams, traced per-slot temperature, or static cfg.
+        if slot_keys is not None:
+            t = (
+                temperature[:n_draw]
+                if temperature is not None
+                else jnp.full((n_draw,), samp.temperature, jnp.float32)
+            )
+            return S.sample_per_slot(logits, k, t, samp.top_k)
         if temperature is not None:
-            return S.sample_dynamic(logits, k, temperature, samp.top_k)
+            return S.sample_dynamic(logits, k, temperature[:n_draw], samp.top_k)
         return S.sample(samp, logits, k)
 
     def combine_and_sample(logits, k):
         if cfg_alpha is not None:
             half = b // 2
+            a = jnp.asarray(cfg_alpha, jnp.float32)
+            if a.ndim == 1:
+                a = a[:, None]
             lc = logits[:half].astype(jnp.float32)
             lu = logits[half:].astype(jnp.float32)
-            mixed = cfg_alpha * lc - (cfg_alpha - 1.0) * lu
+            mixed = a * lc - (a - 1.0) * lu
             tok = _draw(mixed, k)
             return jnp.concatenate([tok, tok], axis=0)
         return _draw(logits, k)

@@ -36,6 +36,49 @@ def sample(
     return jnp.argmax(logits + gumbel, axis=-1).astype(jnp.int32)
 
 
+def slot_keys(seeds: jax.Array, steps: jax.Array) -> jax.Array:
+    """Per-slot PRNG keys from per-request seeds + per-slot step counters.
+
+    Sampling then depends only on (seed, step, draw index) — per-request
+    determinism independent of batch composition, the TPU analogue of the
+    reference's per-connection LogitsProcessor seeded from TtsQuery.seed
+    (moshi-server/src/main.rs:1045-1074).
+    """
+    def one(seed, step):
+        return jax.random.fold_in(jax.random.PRNGKey(seed), step)
+
+    return jax.vmap(one)(seeds.astype(jnp.uint32), steps.astype(jnp.uint32))
+
+
+def fold_keys(keys: jax.Array, idx) -> jax.Array:
+    """Fold a draw index into a batch of keys ((B, 2) -> (B, 2))."""
+    return jax.vmap(lambda k: jax.random.fold_in(k, idx))(keys)
+
+
+def sample_per_slot(
+    logits: jax.Array,
+    keys: jax.Array,
+    temperature: jax.Array,
+    top_k: Optional[int] = None,
+) -> jax.Array:
+    """``sample_dynamic`` with an independent PRNG key per row.
+
+    ``logits (B, V)``, ``keys (B, 2)`` (from :func:`slot_keys`),
+    ``temperature (B,)``; <= 0 rows decode greedily.
+    """
+    logits = logits.astype(jnp.float32)
+    if top_k is not None and 0 < top_k < logits.shape[-1]:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    t = jnp.asarray(temperature, jnp.float32)
+    gumbel = jax.vmap(
+        lambda k, lg: jax.random.gumbel(k, lg.shape, dtype=jnp.float32)
+    )(keys, logits)
+    stoch = jnp.argmax(logits + gumbel * jnp.maximum(t[:, None], 1e-6), axis=-1)
+    greedy = jnp.argmax(logits, axis=-1)
+    return jnp.where(t > 0, stoch, greedy).astype(jnp.int32)
+
+
 def sample_dynamic(
     logits: jax.Array,
     key: jax.Array,

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from . import attention as attn
 from . import mlp as mlp_mod
 from . import norm as norm_mod
+from . import ring_kernels as rkern
 
 
 @dataclasses.dataclass(frozen=True)
@@ -126,11 +127,16 @@ def init_state(
     """
     h, hd = cfg.num_heads, cfg.hd
     cap = cfg.context + step_t - 1
-    # Round capacity to a multiple of step_t: a fixed-cadence stream then
-    # always appends a contiguous, non-wrapping block, which keeps the KV
-    # update a single in-place slice (see attention.ring_write_global).
-    if cap % step_t:
-        cap += step_t - cap % step_t
+    # Round capacity up so a fixed-cadence stream always appends a
+    # contiguous, non-wrapping block (multiple of step_t — keeps the KV
+    # update a single in-place slice, see attention.ring_write_global) that
+    # is also aligned for the Pallas ring-commit kernel's row blocks
+    # (ops/ring_kernels.py: 32 sublane rows for int8 K/V, 128 lane slots for
+    # the f32 scale rings).  Extra rows just stay invalid one lap longer.
+    align = 128 if kv_quant else 32
+    assert align % step_t == 0, (align, step_t)
+    if cap % align:
+        cap += align - cap % align
     layers = []
     for _ in range(cfg.num_layers):
         if kv_quant:
@@ -343,27 +349,54 @@ def step(
         # Split attention: read the OLD ring + fresh K/V; the ring update
         # below then has the state carry as its only consumer, so XLA keeps
         # it in place instead of copying the cache (see attend_global_split).
+        # Two orderings, bitwise-identical results (the rows written this
+        # step are masked out of the cache read either way — the fresh K/V
+        # attend separately in exact dtype):
+        #  * Pallas kernel: COMMIT first, then attend over the kernel's
+        #    *output* — the carry-in cache then has exactly one consumer
+        #    (the aliased kernel), so XLA keeps it in place; reading the
+        #    carry-in alongside an aliased custom call makes XLA
+        #    copy-protect the whole ring (~400 MB/layer at stt-1b B=128).
+        #  * XLA DUS: attend the OLD ring first, update after — here it's
+        #    the reverse order that keeps the update in place
+        #    (attend_global_split docstring).
         if kv_quant:
-            y = attn.attend_global_split_q(
-                q, k_l, v_l, layer_st["ks"], layer_st["vs"], k, v, plan,
-                valid_old, window=cfg.context,
-            )
             kq, vq, ks_new, vs_new = attn.quantize_kv_rows(k, v)
-            k_l, v_l = attn.ring_write_global(k_l, v_l, kq, vq, plan)
-            ks, vs = layer_st["ks"], layer_st["vs"]
-            for ti in range(t):
-                ks = jax.lax.dynamic_update_slice_in_dim(
-                    ks, ks_new[:, :, ti : ti + 1], plan["w"][ti], axis=2
+            if rkern.ring_kernel_enabled() and rkern.supported(k_l, kq, True):
+                k_l, v_l, ks, vs = rkern.ring_commit(
+                    k_l, v_l, kq, vq, plan["w"][0],
+                    layer_st["ks"], layer_st["vs"], ks_new, vs_new,
                 )
-                vs = jax.lax.dynamic_update_slice_in_dim(
-                    vs, vs_new[:, :, ti : ti + 1], plan["w"][ti], axis=2
+                y = attn.attend_global_split_q(
+                    q, k_l, v_l, ks, vs, k, v, plan, valid_old,
+                    window=cfg.context,
                 )
+            else:
+                y = attn.attend_global_split_q(
+                    q, k_l, v_l, layer_st["ks"], layer_st["vs"], k, v, plan,
+                    valid_old, window=cfg.context,
+                )
+                k_l, v_l = attn.ring_write_global(k_l, v_l, kq, vq, plan)
+                ks, vs = layer_st["ks"], layer_st["vs"]
+                for ti in range(t):
+                    ks = jax.lax.dynamic_update_slice_in_dim(
+                        ks, ks_new[:, :, ti : ti + 1], plan["w"][ti], axis=2
+                    )
+                    vs = jax.lax.dynamic_update_slice_in_dim(
+                        vs, vs_new[:, :, ti : ti + 1], plan["w"][ti], axis=2
+                    )
             new_layers.append({"k": k_l, "v": v_l, "ks": ks, "vs": vs})
         else:
-            y = attn.attend_global_split(
-                q, k_l, v_l, k, v, plan, valid_old, window=cfg.context
-            )
-            k_l, v_l = attn.ring_write_global(k_l, v_l, k, v, plan)
+            if rkern.ring_kernel_enabled() and rkern.supported(k_l, k, False):
+                k_l, v_l = rkern.ring_commit(k_l, v_l, k, v, plan["w"][0])
+                y = attn.attend_global_split(
+                    q, k_l, v_l, k, v, plan, valid_old, window=cfg.context
+                )
+            else:
+                y = attn.attend_global_split(
+                    q, k_l, v_l, k, v, plan, valid_old, window=cfg.context
+                )
+                k_l, v_l = attn.ring_write_global(k_l, v_l, k, v, plan)
             new_layers.append({"k": k_l, "v": v_l})
         y = _proj_out(cfg, lp, y, b, t)
         if "layer_scale_1" in lp:

@@ -102,3 +102,28 @@ def shard_batched_state(mesh: Mesh, state, batch: int):
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("dp"))
+
+
+# -- sharding trees (for AOT lowering from abstract avals; no materialized
+#    weights needed to compile the flagship serving step on a mesh) --
+
+
+def param_shardings(mesh: Mesh, params, tp: bool = True):
+    """NamedSharding tree for a params pytree (same rules as
+    :func:`shard_transformer_params`, but no device_put — usable with
+    ``jax.jit(fn, in_shardings=...)`` + abstract lowering)."""
+
+    def spec(path, leaf):
+        s = _spec_for_param(_path_str(path), leaf) if tp else P()
+        if len(s) > getattr(leaf, "ndim", 0):
+            s = P()
+        return NamedSharding(mesh, s)
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def state_shardings(mesh: Mesh, state, batch: int):
+    """NamedSharding tree for a session state pytree (batch over dp)."""
+    return jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(mesh, _batch_spec(leaf, batch)), state
+    )

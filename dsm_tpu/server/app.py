@@ -203,7 +203,14 @@ class App:
         def deliver(ev: Events):
             loop.call_soon_threadsafe(out_q.put_nowait, ev)
 
-        ch = self.asr_engine.open_channel(deliver)
+        seed_q = request.query.get("seed")
+        seed = (
+            int(seed_q) if seed_q and seed_q.lstrip("-").isdigit() else None
+        )
+        try:
+            ch = self.asr_engine.open_channel(deliver, seed=seed)
+        except TypeError:  # engines without per-request seeding
+            ch = self.asr_engine.open_channel(deliver)
         if ch is None:
             metrics.WS_CLOSE_ERRORS.labels(
                 code=str(int(proto.CloseCode.SERVER_AT_CAPACITY))
@@ -415,6 +422,12 @@ class App:
 
         sig = inspect.signature(self.tts_engine.synthesize)
         kw = {"seed": seed} if "seed" in sig.parameters else {}
+        if (
+            "cfg_alpha" in sig.parameters
+            and body.get("cfg_alpha") is not None
+            and getattr(self.tts_engine, "cfg_enabled", False)
+        ):
+            kw["cfg_alpha"] = float(body["cfg_alpha"])
         if "ca_kv" in sig.parameters:
             kw["ca_kv"] = ca_kv
         elif "voice_ca" in sig.parameters:
@@ -579,10 +592,22 @@ class App:
             except ValueError:
                 return None
 
+        open_kw = {}
+        import inspect as _inspect
+
+        _osig = _inspect.signature(self.tts_engine.open_session)
+        if "cfg_alpha" in _osig.parameters and getattr(
+            self.tts_engine, "cfg_enabled", False
+        ):
+            open_kw["cfg_alpha"] = _qf("cfg_alpha")
+        if "seed" in _osig.parameters:
+            sv = request.query.get("seed")
+            open_kw["seed"] = int(sv) if sv and sv.lstrip("-").isdigit() else None
         slot = self.tts_engine.open_session(
             deliver, voice_ca=voice_ca,
             text_temperature=_qf("text_temperature") or _qf("temperature"),
             audio_temperature=_qf("audio_temperature") or _qf("temperature"),
+            **open_kw,
         )
         if slot is None:
             metrics.WS_CLOSE_ERRORS.labels(

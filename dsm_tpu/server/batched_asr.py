@@ -144,9 +144,13 @@ class BatchedAsrEngine:
         self.tick_sleep = tick_sleep
         self.mesh = mesh
 
+        self._seeded_step = step_fn is None
         if step_fn is None:
-            def _step(params, state, pcm, mask, reset, rng):
-                return ASR.step(cfg, params, state, pcm, mask, reset, rng, condition)
+            def _step(params, state, pcm, mask, reset, rng, seeds):
+                return ASR.step(
+                    cfg, params, state, pcm, mask, reset, rng, condition,
+                    seeds=seeds,
+                )
 
             step_fn = jax.jit(_step, donate_argnums=(1,))
         self.step_fn = step_fn
@@ -175,6 +179,8 @@ class BatchedAsrEngine:
         self.slots: List[Optional[Channel]] = [None] * batch_size
         self.free: deque = deque(range(batch_size))
         self.pending_resets = np.zeros(batch_size, bool)
+        self._seeds = np.zeros(batch_size, np.uint32)
+        self._seed_counter = int(time.time()) & 0x7FFFFFFF
         self.slot_lock = threading.Lock()
         self.running = False
         self.thread: Optional[threading.Thread] = None
@@ -186,6 +192,9 @@ class BatchedAsrEngine:
         # overlap; batched_asr.rs:291-524).
         self.pipeline_depth = max(pipeline_depth, 0)
         self._pending: deque = deque()
+        # Optional (dt_seconds, batch_utilization) callback per drained step
+        # (the bench harness records percentiles; metrics.rs:21-26 analogue).
+        self.step_observer = None
         # Optional utils.session_log.SessionLogger: per-slot text+audio
         # token dumps for offline replay (batched_asr.rs Logger :133-214).
         self.session_logger = session_logger
@@ -207,11 +216,21 @@ class BatchedAsrEngine:
         with self.slot_lock:
             return self.batch_size - len(self.free)
 
-    def open_channel(self, deliver: Callable[[Events], None]) -> Optional[Channel]:
+    def open_channel(
+        self, deliver: Callable[[Events], None], seed: Optional[int] = None
+    ) -> Optional[Channel]:
+        """``seed``: per-request sampling seed (``?seed=`` query param) — with
+        temperature > 0 the text sampling stream is then keyed by (seed,
+        step), so a session replays identically from its token log whatever
+        the co-resident batch looks like."""
         with self.slot_lock:
             if not self.free:
                 return None
             slot = self.free.popleft()
+            if seed is None:
+                self._seed_counter = (self._seed_counter + 1) & 0xFFFFFFFF
+                seed = self._seed_counter
+            self._seeds[slot] = np.uint32(int(seed) & 0xFFFFFFFF)
             if self.packer is not None:
                 self.packer.reset_slot(slot)
             ch = Channel(slot, deliver, packer=self.packer,
@@ -254,6 +273,22 @@ class BatchedAsrEngine:
         if self.thread:
             self.thread.join(timeout=5)
 
+    def _invoke_step(self, pcm, mask, reset):
+        """Dispatch one jitted step (per-slot seeds when supported)."""
+        import jax
+
+        self.rng, sub = jax.random.split(self.rng)
+        if self._seeded_step:
+            out, self.state = self.step_fn(
+                self.params, self.state, pcm, mask, reset, sub,
+                self._seeds.copy(),
+            )
+        else:
+            out, self.state = self.step_fn(
+                self.params, self.state, pcm, mask, reset, sub
+            )
+        return out
+
     def warmup(self, steps: int = 2) -> None:
         """Run zero-frames through the full stack (batched_asr.rs:227-240)."""
         import jax
@@ -263,10 +298,7 @@ class BatchedAsrEngine:
         reset = np.zeros(self.batch_size, bool)
         try:
             for _ in range(steps):
-                self.rng, sub = jax.random.split(self.rng)
-                out, self.state = self.step_fn(
-                    self.params, self.state, zeros, mask, reset, sub
-                )
+                out = self._invoke_step(zeros, mask, reset)
             jax.block_until_ready(out["text_token"])
             metrics.WARMUP_SUCCESS.inc()
         except Exception:
@@ -313,10 +345,7 @@ class BatchedAsrEngine:
             return False
 
         t0 = time.perf_counter()
-        self.rng, sub = jax.random.split(self.rng)
-        out, self.state = self.step_fn(
-            self.params, self.state, self._pcm_buf, mask, reset, sub
-        )
+        out = self._invoke_step(self._pcm_buf, mask, reset)
         self.step_count += 1
         metrics.LM_BATCH_UTILIZATION.set(float(mask.mean()))
         self._pending.append((out, mask.copy(), chans, t0))
@@ -331,7 +360,10 @@ class BatchedAsrEngine:
         text_tokens = np.asarray(out["text_token"])
         step_idx = np.asarray(out["step_idx"])
         prs = np.asarray(out["prs"]) if out["prs"].shape[-1] else None
-        metrics.ASR_MODEL_STEP_DURATION.observe(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        metrics.ASR_MODEL_STEP_DURATION.observe(dt)
+        if self.step_observer is not None:
+            self.step_observer(dt, float(mask.mean()))
 
         if self.session_logger is not None:
             codes = np.asarray(out["codes"])

@@ -35,7 +35,7 @@ def _load_or_init_lm(mod: CFG.ModuleConfig, key, dtype):
     path = CFG.resolve_path(mod.lm_model_file) if mod.lm_model_file else None
     if path:
         log.info("loading LM weights from %s", path)
-        return CK.build_lm_params(mod.lm, CK.load_safetensors(path), dtype), True
+        return CK.build_lm_params(mod.lm, CK.load_tensors(path), dtype), True
     log.warning(
         "LM weights %s not available locally; using random init",
         mod.lm_model_file,
@@ -49,7 +49,7 @@ def _load_or_init_mimi(mod: CFG.ModuleConfig, cfg_mimi, key):
     )
     if path:
         log.info("loading Mimi weights from %s", path)
-        return CK.build_mimi_params(cfg_mimi, CK.load_safetensors(path)), True
+        return CK.build_mimi_params(cfg_mimi, CK.load_tensors(path)), True
     log.warning(
         "Mimi weights %s not available locally; using random init",
         mod.audio_tokenizer_file,
@@ -167,7 +167,7 @@ def build_tts(mod: CFG.ModuleConfig) -> TtsEngine:
         )
         lm_path = CFG.resolve_path(mod.lm_model_file) if mod.lm_model_file else None
         if lm_path:
-            adopted = cond_provider.load_params(CK.load_safetensors(lm_path))
+            adopted = cond_provider.load_params(CK.load_tensors(lm_path))
             log.info("conditioner weights adopted from checkpoint: %d", adopted)
         for name, c in cond_cfgs_raw.items():
             if c.get("type") == "Lut" and c.get("possible_values"):
@@ -183,6 +183,10 @@ def build_tts(mod: CFG.ModuleConfig) -> TtsEngine:
         engine = BatchedTtsEngine(
             tts_cfg, {"lm": lm_params}, mimi_cfg, mimi_params, tokenizer,
             batch_size=tts_batch,
+            # CFG in batched mode doubles the model rows; enabled when the
+            # config allows guidance (reference serves cfg_alpha per request,
+            # main.rs:1045-1074).
+            cfg_enabled=bool(mod.raw.get("cfg_enabled", False)),
         )
         engine.voices = resolver
         engine.condition_provider = cond_provider

@@ -45,14 +45,42 @@ def resolve_path(spec: str, cache_dir: Optional[str] = None) -> Optional[str]:
     cache = cache_dir or os.environ.get(
         "DSM_HF_CACHE", os.path.expanduser("~/.cache/huggingface/dsm")
     )
+    hub = os.environ.get(
+        "HF_HUB_CACHE", os.path.expanduser("~/.cache/huggingface/hub")
+    )
     if spec.startswith("hf://"):
         rel = spec[len("hf://"):]
         p = os.path.join(cache, rel)
-        return p if os.path.exists(p) else None
+        if os.path.exists(p):
+            return p
+        # Standard huggingface_hub snapshot layout too, so real checkpoints
+        # are picked up the moment they land in the local cache
+        # (hub/models--org--repo/snapshots/<rev>/<file>).
+        parts = rel.split("/", 2)
+        if len(parts) == 3:
+            org, repo, fname = parts
+            pat = os.path.join(
+                hub, f"models--{org}--{repo}", "snapshots", "*", fname
+            )
+            matches = sorted(globlib.glob(pat))
+            if matches:
+                return matches[0]
+        return None
     if spec.startswith("hf-snapshot://"):
         rel = spec[len("hf-snapshot://"):]
         matches = sorted(globlib.glob(os.path.join(cache, rel), recursive=True))
-        return matches[0] if matches else None
+        if matches:
+            return matches[0]
+        parts = rel.split("/", 2)
+        if len(parts) == 3:
+            org, repo, pattern = parts
+            pat = os.path.join(
+                hub, f"models--{org}--{repo}", "snapshots", "*", pattern
+            )
+            matches = sorted(globlib.glob(pat, recursive=True))
+            if matches:
+                return matches[0]
+        return None
     return spec if os.path.exists(spec) else None
 
 

@@ -116,11 +116,15 @@ class BatchedTtsEngine:
         batch_size: int = 8,
         ca_len: Optional[int] = None,
         tick_sleep: float = 0.002,
+        cfg_enabled: bool = False,
     ):
         import jax
         import jax.numpy as jnp
 
-        assert cfg.cfg_alpha is None, "CFG unsupported in batched mode"
+        assert cfg.cfg_alpha is None, (
+            "set cfg_enabled=True for batched CFG (per-request alpha); the "
+            "static session-level cfg_alpha is for unbatched sessions"
+        )
         self.cfg = cfg
         self.mimi_cfg = mimi_cfg
         self.params = params
@@ -130,6 +134,14 @@ class BatchedTtsEngine:
         self.tick_sleep = tick_sleep
         self.condition_provider = None
         self.default_condition = None
+        # Classifier-free guidance in continuous batching: the model batch is
+        # doubled [cond rows..., uncond rows...] (uncond = zero voice CA);
+        # per-request alpha rides as a traced vector, alpha=1 slots reduce to
+        # unguided output, so guided and unguided sessions share the program.
+        # The reference serves cfg_alpha per request but only batch=1
+        # (main.rs:1045-1074, tts.rs:31,374).
+        self.cfg_enabled = cfg_enabled
+        self.rows = batch_size * 2 if cfg_enabled else batch_size
         self.cache_dtype = (
             jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
         )
@@ -137,19 +149,22 @@ class BatchedTtsEngine:
         tcfg = cfg.lm.transformer
         self.ca_len = ca_len or (125 * cfg.speaker_cond_n_speakers)
         self._ca_k = np.zeros(
-            (tcfg.num_layers, batch_size, tcfg.num_heads, self.ca_len, tcfg.hd),
+            (tcfg.num_layers, self.rows, tcfg.num_heads, self.ca_len, tcfg.hd),
             np.float32,
         )
         self._ca_v = np.zeros_like(self._ca_k)
         self._ca_dirty = True
         self._ca_dev = None
 
-        self.state = TTS.init_state(cfg, batch_size, self.cache_dtype)
+        self.state = TTS.init_state(cfg, self.rows, self.cache_dtype)
         self.mimi_state = MIMI.init_decode_state(mimi_cfg, batch_size)
-        # Per-slot sampling temperatures (traced -> no recompiles across
-        # requests; reference TtsQuery temp params).
+        # Per-slot sampling params (traced -> no recompiles across requests;
+        # reference TtsQuery temp/seed/cfg_alpha params).
         self._text_temp = np.full(batch_size, cfg.text_temperature, np.float32)
         self._audio_temp = np.full(batch_size, cfg.temperature, np.float32)
+        self._cfg_alpha = np.ones(batch_size, np.float32)
+        self._seeds = np.zeros(batch_size, np.uint32)
+        self._seed_counter = int(time.time()) & 0x7FFFFFFF
         self.rng = jax.random.PRNGKey(int(time.time()))
 
         self.slots: List[Optional[TtsSlot]] = [None] * batch_size
@@ -159,11 +174,25 @@ class BatchedTtsEngine:
         self.running = False
         self.thread = None
 
-        def _step(params, state, mode, tok, rng, ca_kv, mask, reset, temps):
-            return TTS.step(
-                cfg, params, state, mode, tok, rng, ca_kv=ca_kv,
-                mask=mask, reset=reset, temps=temps,
-            )
+        if cfg_enabled:
+
+            def _step(params, state, mode, tok, rng, ca_kv, mask, reset,
+                      temps, seeds, alpha):
+                return TTS.step(
+                    cfg, params, state, mode, tok, rng, ca_kv=ca_kv,
+                    mask=mask, reset=reset, temps=temps, seeds=seeds,
+                    cfg_alpha=alpha,
+                )
+
+        else:
+
+            def _step(params, state, mode, tok, rng, ca_kv, mask, reset,
+                      temps, seeds, alpha):
+                del alpha
+                return TTS.step(
+                    cfg, params, state, mode, tok, rng, ca_kv=ca_kv,
+                    mask=mask, reset=reset, temps=temps, seeds=seeds,
+                )
 
         self._step = jax.jit(_step, donate_argnums=(1,))
 
@@ -181,8 +210,14 @@ class BatchedTtsEngine:
     def open_session(
         self, deliver: Callable[[object], None], voice_ca=None,
         text_temperature=None, audio_temperature=None,
+        cfg_alpha=None, seed=None,
     ) -> Optional[TtsSlot]:
-        """voice_ca: per-layer (L, 1, H, S, Dh) K/V pair or None (no voice)."""
+        """voice_ca: per-layer (L, 1, H, S, Dh) K/V pair or None (no voice).
+
+        ``cfg_alpha`` (guidance strength, needs ``cfg_enabled``) and ``seed``
+        are per-request, matching TtsQuery (main.rs:1045-1074)."""
+        if cfg_alpha is not None and not self.cfg_enabled:
+            raise ValueError("engine built without cfg_enabled")
         with self.slot_lock:
             if not self.free:
                 return None
@@ -195,6 +230,11 @@ class BatchedTtsEngine:
                 self.cfg.temperature if audio_temperature is None
                 else float(audio_temperature)
             )
+            self._cfg_alpha[slot] = 1.0 if cfg_alpha is None else float(cfg_alpha)
+            if seed is None:
+                self._seed_counter = (self._seed_counter + 1) & 0xFFFFFFFF
+                seed = self._seed_counter
+            self._seeds[slot] = np.uint32(int(seed) & 0xFFFFFFFF)
             drv = TtsSlot(slot, deliver)
             self.slots[slot] = drv
             self.pending_resets[slot] = True
@@ -210,6 +250,10 @@ class BatchedTtsEngine:
             else:
                 self._ca_k[:, slot] = 0.0
                 self._ca_v[:, slot] = 0.0
+            # The uncond twin row (CFG) always runs without the voice.
+            if self.cfg_enabled:
+                self._ca_k[:, self.batch_size + slot] = 0.0
+                self._ca_v[:, self.batch_size + slot] = 0.0
             self._ca_dirty = True
         return drv
 
@@ -274,14 +318,25 @@ class BatchedTtsEngine:
 
         t0 = time.perf_counter()
         self.rng, sub = jax.random.split(self.rng)
-        temps = {"text": self._text_temp.copy(), "audio": self._audio_temp.copy()}
+        if self.cfg_enabled:
+            # Doubled layout: the uncond twin rows mirror tokens/masks/resets
+            # so both halves stay in lock-step (tts_streaming.rs:161-173).
+            dup = lambda a: np.concatenate([a, a])
+            modes_m, toks_m, mask_m, reset_m = map(dup, (modes, toks, mask, reset))
+            temps = {"text": dup(self._text_temp), "audio": dup(self._audio_temp)}
+            seeds_m = dup(self._seeds)
+        else:
+            modes_m, toks_m, mask_m, reset_m = modes, toks, mask, reset
+            temps = {"text": self._text_temp.copy(), "audio": self._audio_temp.copy()}
+            seeds_m = self._seeds.copy()
         out, self.state = self._step(
-            self.params, self.state, modes, toks, sub, self._ca(), mask, reset,
-            temps,
+            self.params, self.state, modes_m, toks_m, sub, self._ca(), mask_m,
+            reset_m, temps, seeds_m, self._cfg_alpha.copy(),
         )
-        text_tokens = np.asarray(out["text_token"])
-        frame_valid = np.asarray(out["frame_valid"])
-        steps = np.asarray(out["step_idx"])
+        n = self.batch_size
+        text_tokens = np.asarray(out["text_token"])[:n]
+        frame_valid = np.asarray(out["frame_valid"])[:n]
+        steps = np.asarray(out["step_idx"])[:n]
         metrics.LM_STEP_DURATION.observe(time.perf_counter() - t0)
 
         # Batched Mimi decode for slots with completed audio frames that are
@@ -291,7 +346,7 @@ class BatchedTtsEngine:
         )
         dec_mask = frame_valid & past_delay & mask
         if dec_mask.any():
-            codes = np.asarray(out["frame"], np.int32)[:, :, None]
+            codes = np.asarray(out["frame"], np.int32)[:n, :, None]
             pcm, self.mimi_state = self._decode(
                 self.mimi_params, self.mimi_state, codes, dec_mask
             )
@@ -312,8 +367,13 @@ class BatchedTtsEngine:
                 drv.deliver(AudioEvent(pcm=pcm[slot]))
         if overwrite_slots.any():
             # Teacher-force a pad over the final eop (tts.rs:607-610).
+            ow = (
+                np.concatenate([overwrite_slots, overwrite_slots])
+                if self.cfg_enabled
+                else overwrite_slots
+            )
             self.state = TTS.overwrite_last_text_token(
-                self.state, self.cfg.text_pad_token, overwrite_slots
+                self.state, self.cfg.text_pad_token, ow
             )
         return True
 
@@ -361,7 +421,8 @@ class BatchedTtsEngine:
             words.append(ids)
         return words, inserted_bos
 
-    def synthesize(self, text: str, voice_ca=None, seed: int = 0, timeout_s=300.0):
+    def synthesize(self, text: str, voice_ca=None, seed: int = 0, timeout_s=300.0,
+                   cfg_alpha=None):
         """Offline HTTP TTS over the batched engine: occupies one slot."""
         done = threading.Event()
         pcm_chunks: List[np.ndarray] = []
@@ -378,7 +439,10 @@ class BatchedTtsEngine:
         slot = None
         deadline = time.time() + timeout_s
         while slot is None and time.time() < deadline:
-            slot = self.open_session(sink, voice_ca=voice_ca)
+            slot = self.open_session(
+                sink, voice_ca=voice_ca, seed=seed if seed else None,
+                cfg_alpha=cfg_alpha,
+            )
             if slot is None:
                 time.sleep(0.05)
         if slot is None:

@@ -73,11 +73,18 @@ def step(
     reset: jax.Array,
     rng: jax.Array,
     condition: Optional[jax.Array] = None,
+    seeds: Optional[jax.Array] = None,
 ):
     """One batched ASR frame step; fully jittable.
 
     Returns ``(out, state')`` with ``out = {text_token (B,), prs (B, n_vad),
     step_idx (B,)}`` — step_idx is the post-increment per-slot step counter.
+
+    ``seeds`` (per-slot uint32) switches text sampling to per-request PRNG
+    streams keyed by (seed, step) — deterministic replay independent of the
+    batch composition (the seeding contract shared with TTS; with the
+    default ``temperature=0`` greedy decode, seeds are a no-op exactly like
+    the reference's LogitsProcessor at temp 0, asr.rs:208-216).
     """
     state = reset_slots(cfg, state, reset)
 
@@ -106,7 +113,14 @@ def step(
         prs = jnp.zeros((pcm.shape[0], 0), jnp.float32)
 
     samp = S.SamplingConfig(temperature=cfg.temperature)
-    text_token = S.sample(samp, text_logits.astype(jnp.float32), rng)
+    if seeds is not None and cfg.temperature > 0:
+        keys = S.fold_keys(S.slot_keys(seeds, state["step_idx"]), 1)
+        text_token = S.sample_per_slot(
+            text_logits.astype(jnp.float32), keys,
+            jnp.full((pcm.shape[0],), cfg.temperature, jnp.float32),
+        )
+    else:
+        text_token = S.sample(samp, text_logits.astype(jnp.float32), rng)
 
     new_text = jnp.where(mask, text_token, state["text_token"])
     new_step = state["step_idx"] + jnp.where(mask, 1, 0)

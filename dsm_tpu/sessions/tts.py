@@ -142,6 +142,8 @@ def step(
     mask: Optional[jax.Array] = None,
     reset: Optional[jax.Array] = None,
     temps: Optional[dict] = None,
+    seeds: Optional[jax.Array] = None,
+    cfg_alpha=None,
 ):
     """One TTS frame step, continuously batched.
 
@@ -150,9 +152,12 @@ def step(
     while the acoustic delay hasn't elapsed.  ``mask`` freezes inactive
     slots; ``reset`` re-initialises reused slots before stepping.
 
-    With classifier-free guidance (cfg.cfg_alpha), the batch is layout
-    [cond rows..., uncond rows...]; the uncond half runs without the voice
-    ca_kv and both halves receive identical tokens.
+    With classifier-free guidance (static ``cfg.cfg_alpha`` or the traced
+    per-slot ``cfg_alpha`` argument), the batch is layout [cond rows...,
+    uncond rows...]; the uncond half runs without the voice ca_kv and both
+    halves receive identical tokens (tts_streaming.rs:161-173).  ``seeds``
+    (per-slot uint32) switches sampling to per-request PRNG streams keyed by
+    (seed, step, draw) — deterministic replay independent of the batch.
     """
     lm_cfg = cfg.lm
     b = allowed_mode.shape[0]
@@ -170,21 +175,43 @@ def step(
         mask=mask, ca_kv=ca_kv, condition=condition,
     )
 
+    alpha = cfg_alpha if cfg_alpha is not None else cfg.cfg_alpha
+    n_draw = b // 2 if alpha is not None else b
+
     rng, k_text, k_dep = jax.random.split(rng, 3)
-    if cfg.cfg_alpha is not None:
-        half = b // 2
-        lc = text_logits[:half].astype(jnp.float32)
-        lu = text_logits[half:].astype(jnp.float32)
-        mixed = cfg.cfg_alpha * lc - (cfg.cfg_alpha - 1.0) * lu
+    key_rows = dep_keys = None
+    if seeds is not None:
+        key_rows = S.slot_keys(seeds[:n_draw], s[:n_draw])
+        dep_keys = S.fold_keys(key_rows, 2)
+
+    if alpha is not None:
+        a = jnp.asarray(alpha, jnp.float32)
+        if a.ndim == 1:
+            a = a[:, None]
+        lc = text_logits[:n_draw].astype(jnp.float32)
+        lu = text_logits[n_draw:].astype(jnp.float32)
+        mixed = a * lc - (a - 1.0) * lu
         text_logits_eff = jnp.concatenate([mixed, mixed], axis=0)
     else:
         text_logits_eff = text_logits.astype(jnp.float32)
 
-    if temps is not None:
+    if seeds is not None:
+        t = (
+            temps["text"][:n_draw]
+            if temps is not None
+            else jnp.full((n_draw,), cfg.text_temperature, jnp.float32)
+        )
+        sampled = S.sample_per_slot(
+            text_logits_eff[:n_draw], S.fold_keys(key_rows, 1), t,
+            cfg.text_top_k,
+        )
+        sampled = jnp.concatenate([sampled] * (b // n_draw), axis=0)
+    elif temps is not None:
         # Per-slot traced temperatures (reference TtsQuery temp/seed params)
         # — no recompilation across requests.
         sampled = S.sample_dynamic(
-            text_logits_eff, k_text, temps["text"], cfg.text_top_k
+            text_logits_eff, k_text, jnp.broadcast_to(temps["text"], (b,)),
+            cfg.text_top_k,
         )
     else:
         sampled = S.sample(
@@ -225,8 +252,9 @@ def step(
     dep_tokens = LM.depformer_sample(
         lm_cfg, params["lm"], hidden, text_token, forced, k_dep,
         S.SamplingConfig(cfg.temperature, cfg.top_k),
-        cfg_alpha=cfg.cfg_alpha,
+        cfg_alpha=alpha,
         temperature=None if temps is None else temps["audio"],
+        slot_keys=dep_keys,
     )
     audio_tokens = jnp.where(
         (s < cfg.text_audio_delay_in_tokens)[:, None],

@@ -43,6 +43,22 @@ def load_safetensors(path: str) -> Dict[str, np.ndarray]:
     return load_file(path)
 
 
+def load_tensors(path: str) -> Dict[str, np.ndarray]:
+    """Load a reference checkpoint: safetensors or GGUF by extension.
+
+    The reference dispatches the same way (moshi-core/src/lm.rs:1113-1124):
+    ``.gguf`` goes through the quantized loader (released q8 checkpoints,
+    same tensor names), anything else is mmap'd safetensors.  GGUF quantized
+    tensors dequantise here; the serving profile re-quantises weight-only
+    int8 in the TPU-friendly per-output-channel layout afterwards.
+    """
+    if str(path).endswith(".gguf"):
+        from . import gguf
+
+        return gguf.read_gguf(path)[1]
+    return load_safetensors(path)
+
+
 # ---------------------------------------------------------------------------
 # Native checkpoints: our param trees flattened to path-keyed safetensors
 # (training/finetuning output; distinct from the reference-layout loaders)

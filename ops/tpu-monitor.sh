@@ -1,29 +1,233 @@
 #!/usr/bin/env bash
-# Live serving monitor (reference: ops/gpu-monitor.sh nvidia-smi TUI).
-# Polls /api/status, /metrics and device memory; renders a compact dashboard.
-set -euo pipefail
+# tpu-monitor — live terminal monitor for a dsm-tpu serving host.
+#
+# TPU-native analogue of ops/gpu-monitor.sh (reference: an nvidia-smi TUI):
+# where the GPU monitor polls the driver, a TPU host exposes its accelerator
+# state through the serving process itself, so this monitor reads the
+# server's /api/status JSON + /metrics Prometheus text (HBM gauges, step
+# latency histogram, batch utilization, open channels) plus /proc for host
+# CPU/RAM and the process table for serving workers.
+#
+# Usage: tpu-monitor.sh [interval_seconds]
+#   DSM_SERVER=http://127.0.0.1:8088  target server (default)
+#   SHOW_PROCS=1                       python process table
+#   NO_COLOR=1                         disable colors
+# Keys: q quit, p toggle processes, r force refresh
 
-HOST="${DSM_HOST:-127.0.0.1:8080}"
-INTERVAL="${INTERVAL:-2}"
+set -uo pipefail
+
+INTERVAL_SECONDS="${1:-2}"
+SERVER="${DSM_SERVER:-http://127.0.0.1:8088}"
+SHOW_PROCS="${SHOW_PROCS:-1}"
+BAR_WIDTH="${BAR_WIDTH:-24}"
+
+if ! [[ "$INTERVAL_SECONDS" =~ ^[0-9]+$ ]]; then
+  echo "Interval must be an integer number of seconds." >&2
+  exit 1
+fi
+
+COLOR=1
+[[ -n "${NO_COLOR:-}" || "${TERM:-}" == "dumb" || ! -t 1 ]] && COLOR=0
+
+c() { # c <code> <text>
+  if [[ $COLOR -eq 1 ]]; then printf '\033[%sm%s\033[0m' "$1" "$2"; else printf '%s' "$2"; fi
+}
+
+cleanup() {
+  printf '\033[?25h\033[?1049l'
+  stty sane 2>/dev/null || true
+  exit 0
+}
+trap cleanup INT TERM EXIT
+
+make_bar() { # make_bar <pct> <width>
+  local pct=$1 width=$2 filled rest color
+  (( pct > 100 )) && pct=100
+  (( pct < 0 )) && pct=0
+  filled=$(( pct * width / 100 ))
+  rest=$(( width - filled ))
+  if (( pct >= 90 )); then color="31"; elif (( pct >= 70 )); then color="33"; else color="32"; fi
+  printf '['
+  c "$color" "$(printf '%*s' "$filled" '' | tr ' ' '#')"
+  printf '%*s] %3d%%' "$rest" '' "$pct"
+}
+
+fetch() { # fetch <path> -> stdout (empty on failure)
+  curl -ks --max-time 2 "$SERVER$1" 2>/dev/null || true
+}
+
+json_get() { # json_get <json> <python-expr over d>
+  python3 - "$2" <<PYEOF 2>/dev/null
+import json, sys
+try:
+    d = json.loads('''$1''')
+    v = eval(sys.argv[1], {"d": d})
+    print(v if v is not None else "")
+except Exception:
+    print("")
+PYEOF
+}
+
+metric() { # metric <metrics-text-file> <name> -> last value
+  awk -v n="$2" '$1 == n { v=$2 } END { if (v != "") print v }' "$1" 2>/dev/null
+}
+
+metric_sum() { # metric_sum <file> <prefix> -> sum of matching series
+  awk -v n="$2" 'index($1, n) == 1 { s += $2 } END { printf "%.0f", s }' "$1" 2>/dev/null
+}
+
+hist_pcts() { # hist_pcts <file> <histogram-name> -> "p50 p95 p99" (ms)
+  python3 - "$1" "$2" <<'PYEOF' 2>/dev/null
+import sys, re
+path, name = sys.argv[1], sys.argv[2]
+buckets = []
+count = 0
+try:
+    for line in open(path):
+        m = re.match(rf'{re.escape(name)}_bucket{{.*le="([^"]+)"}} (\S+)', line)
+        if m:
+            le = float('inf') if m.group(1) == '+Inf' else float(m.group(1))
+            buckets.append((le, float(m.group(2))))
+        m = re.match(rf'{re.escape(name)}_count(?:{{[^}}]*}})? (\S+)', line)
+        if m:
+            count = float(m.group(1))
+except OSError:
+    sys.exit()
+if not buckets or count == 0:
+    sys.exit()
+buckets.sort()
+out = []
+for q in (0.5, 0.95, 0.99):
+    target = q * count
+    val = buckets[-1][0]
+    for le, c_ in buckets:
+        if c_ >= target:
+            val = le
+            break
+    out.append('inf' if val == float('inf') else f'{val*1000:.0f}')
+print(' '.join(out))
+PYEOF
+}
+
+host_stats() { # -> "cpu_pct mem_used_mb mem_total_mb"
+  local cpu mem
+  cpu=$(awk -v prev="${PREV_CPU:-}" '
+    /^cpu / {
+      idle=$5; total=0; for(i=2;i<=NF;i++) total+=$i
+      if (prev != "") {
+        split(prev, p, ",")
+        dt = total - p[1]; di = idle - p[2]
+        if (dt > 0) printf "%.0f %d,%d", (1 - di/dt) * 100, total, idle
+        else printf "0 %d,%d", total, idle
+      } else printf "0 %d,%d", total, idle
+      exit
+    }' /proc/stat)
+  PREV_CPU="${cpu#* }"
+  mem=$(awk '/MemTotal/{t=$2}/MemAvailable/{a=$2} END{printf "%d %d", (t-a)/1024, t/1024}' /proc/meminfo)
+  echo "${cpu%% *} $mem"
+}
+
+render() {
+  local mfile status rows cols line
+  rows=$(tput lines 2>/dev/null || echo 40)
+  cols=$(tput cols 2>/dev/null || echo 100)
+  mfile=$(mktemp)
+  fetch /metrics > "$mfile"
+  status=$(fetch /api/status)
+
+  printf '\033[H\033[2J'
+  # -- header --
+  line="dsm-tpu monitor — $SERVER — $(date '+%H:%M:%S') — ${INTERVAL_SECONDS}s"
+  c "1;36" "$line"; printf '\n'
+  printf '%s\n' "$(printf '%*s' "$cols" '' | tr ' ' '-')"
+
+  # -- server status --
+  if [[ -n "$status" ]]; then
+    local uptime batch used modules
+    uptime=$(json_get "$status" "int(d.get('uptime_s', d.get('uptime_secs', 0)))")
+    modules=$(json_get "$status" "', '.join(m.get('path', m.get('name','?')) for m in d.get('modules', []))")
+    batch=$(json_get "$status" "sum(m.get('total_slots', m.get('batch_size', 0)) for m in d.get('modules', []))")
+    used=$(json_get "$status" "sum(m.get('used_slots', 0) for m in d.get('modules', []))")
+    printf '%-10s up %ss   modules: %s\n' "$(c '1;32' 'SERVER ok')" "${uptime:-?}" "${modules:-none}"
+    if [[ -n "$batch" && "$batch" != "0" ]]; then
+      local pct=$(( ${used:-0} * 100 / batch ))
+      printf '%-10s %s/%s slots ' 'capacity' "${used:-0}" "$batch"
+      make_bar "$pct" "$BAR_WIDTH"; printf '\n'
+    fi
+  else
+    printf '%s — is the server running at %s?\n' "$(c '1;31' 'SERVER DOWN')" "$SERVER"
+  fi
+
+  # -- accelerator (HBM gauges exported by the server) --
+  local hbm_used hbm_total util
+  hbm_used=$(metric "$mfile" moshi_system_vram_used_mb)
+  hbm_total=$(metric "$mfile" moshi_system_vram_total_mb)
+  util=$(metric "$mfile" moshi_lm_batch_utilization)
+  printf '\n'; c "1;35" "ACCELERATOR"; printf '\n'
+  if [[ -n "$hbm_used" && -n "$hbm_total" && "${hbm_total%.*}" -gt 0 ]]; then
+    local pct=$(( ${hbm_used%.*} * 100 / ${hbm_total%.*} ))
+    printf '  HBM %6s / %6s MB ' "${hbm_used%.*}" "${hbm_total%.*}"
+    make_bar "$pct" "$BAR_WIDTH"; printf '\n'
+  else
+    printf '  HBM: n/a (server exports moshi_system_vram_* when a chip is attached)\n'
+  fi
+  if [[ -n "$util" ]]; then
+    printf '  batch utilization      '
+    make_bar "$(python3 -c "print(int(float('$util')*100))" 2>/dev/null || echo 0)" "$BAR_WIDTH"
+    printf '\n'
+  fi
+
+  # -- latency histograms --
+  printf '\n'; c "1;35" "LATENCY (ms: p50/p95/p99 from histogram buckets)"; printf '\n'
+  local name label pcts
+  for name in moshi_asr_model_step_duration_seconds moshi_lm_step_duration_seconds \
+              moshi_mimi_encode_duration_seconds moshi_mimi_decode_duration_seconds; do
+    label=${name#moshi_}; label=${label%_duration_seconds}
+    pcts=$(hist_pcts "$mfile" "$name")
+    [[ -n "$pcts" ]] && printf '  %-22s %s\n' "$label" "$pcts"
+  done
+  local conns steps errs
+  conns=$(metric_sum "$mfile" moshi_asr_open_channels)
+  steps=$(metric_sum "$mfile" moshi_asr_model_step_duration_seconds_count)
+  errs=$(metric_sum "$mfile" moshi_connection_errors)
+  printf '  open channels %s   engine steps %s   errors %s\n' \
+    "${conns:-0}" "${steps:-0}" "${errs:-0}"
+
+  # -- host --
+  printf '\n'; c "1;35" "HOST"; printf '\n'
+  read -r cpu_pct mem_used mem_total <<< "$(host_stats)"
+  printf '  CPU  '; make_bar "${cpu_pct:-0}" "$BAR_WIDTH"; printf '\n'
+  if [[ -n "$mem_total" && "$mem_total" -gt 0 ]]; then
+    printf '  RAM  '; make_bar "$(( mem_used * 100 / mem_total ))" "$BAR_WIDTH"
+    printf '  %d / %d MB\n' "$mem_used" "$mem_total"
+  fi
+
+  # -- processes --
+  if [[ "$SHOW_PROCS" == "1" ]]; then
+    printf '\n'; c "1;35" "SERVING PROCESSES"; printf '\n'
+    printf '  %-8s %-6s %-9s %s\n' PID CPU%% RSS_MB CMD
+    ps -eo pid,pcpu,rss,args --sort=-rss 2>/dev/null \
+      | awk '/dsm_tpu|moshi|bench|pytest/ && !/awk/ {printf "  %-8s %-6s %-9d %.80s\n", $1, $2, $3/1024, substr($0, index($0,$4))}' \
+      | head -n 8
+  fi
+
+  printf '\n%s\n' "$(c '2' 'q quit  p procs  r refresh')"
+  rm -f "$mfile"
+}
+
+printf '\033[?1049h\033[?25l'
+stty -echo -icanon time 0 min 0 2>/dev/null || true
 
 while true; do
-  clear
-  echo "dsm-tpu monitor — $HOST — $(date '+%H:%M:%S')"
-  echo "────────────────────────────────────────────"
-  status=$(curl -sf "http://$HOST/api/status" || echo '{}')
-  python3 - "$status" <<'EOF'
-import json, sys
-s = json.loads(sys.argv[1] or "{}")
-cap = s.get("capacity", {})
-print(f" instance : {s.get('instance_name','-')}")
-print(f" uptime   : {s.get('uptime_s','-')} s")
-used, total = cap.get("used", 0), cap.get("total", 0)
-bar = "#" * used + "." * max(total - used, 0)
-print(f" slots    : [{bar}] {used}/{total}")
-EOF
-  echo "────────────────────────────────────────────"
-  curl -sf "http://$HOST/metrics" | grep -E \
-    "^(asr_open_channels|lm_batch_utilization|device_memory|tts_rtf)" \
-    | sed 's/^/ /' || echo " (metrics unavailable)"
-  sleep "$INTERVAL"
+  render
+  # keypress poll during the sleep interval
+  for _ in $(seq $(( INTERVAL_SECONDS * 10 ))); do
+    key=$(dd bs=1 count=1 2>/dev/null || true)
+    case "$key" in
+      q) cleanup ;;
+      p) if [[ "$SHOW_PROCS" == "1" ]]; then SHOW_PROCS=0; else SHOW_PROCS=1; fi; break ;;
+      r) break ;;
+    esac
+    sleep 0.1
+  done
 done

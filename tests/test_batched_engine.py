@@ -143,3 +143,51 @@ def test_session_token_logging(tmp_path):
         assert audio.min() >= 0
     finally:
         eng.FRAME_SIZE = saved
+
+
+def test_per_request_seed_replay_determinism():
+    """Stochastic ASR (temperature > 0): same seed -> identical token
+    sequence regardless of which slot serves it or what else is co-resident
+    (VERDICT r1 #10 seeding contract; sampling keyed by (seed, step))."""
+    import dataclasses
+
+    import jax
+
+    cfg0 = small_asr_cfg()
+    cfg = dataclasses.replace(cfg0, temperature=0.9)
+    params = make_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    pcm = rng.standard_normal(cfg.mimi.frame_size * 6).astype(np.float32) * 0.2
+
+    def run(seed, with_other_session):
+        e = eng.BatchedAsrEngine(cfg, params, batch_size=2, pipeline_depth=0,
+                                 use_native_packer=False)
+        saved = eng.FRAME_SIZE
+        eng.FRAME_SIZE = cfg.mimi.frame_size
+        try:
+            toks = []
+            others = []
+            if with_other_session:
+                # Occupy slot 0 so the seeded session lands on slot 1.
+                other = e.open_channel(others.append, seed=777)
+                other.push_pcm(pcm)
+            ch = e.open_channel(
+                lambda ev: toks.extend(
+                    t for w in ev.words for t in getattr(w, "tokens", [])
+                ),
+                seed=seed,
+            )
+            ch.push_pcm(pcm)
+            for _ in range(8):
+                e.tick()
+            e.flush()
+            return list(toks)
+        finally:
+            eng.FRAME_SIZE = saved
+
+    a = run(42, with_other_session=False)
+    b = run(42, with_other_session=True)
+    c = run(43, with_other_session=False)
+    assert a == b  # same seed, different slot + co-resident load
+    assert a  # produced tokens at all
+    assert a != c or len(a) < 3  # different seed diverges (stochastic)

@@ -228,3 +228,34 @@ def test_bare_model_toml_loading():
     assert lm.depformer.transformer.dim_feedforward == 4096
     assert conds["description"]["type"] == "Lut"
     assert len(conds["description"]["possible_values"]) == 5
+
+
+def test_hf_cache_resolution(tmp_path, monkeypatch):
+    """hf:// / hf-snapshot:// cache-hit paths (utils.rs:53-186 analogue):
+    flat DSM cache, standard huggingface_hub snapshot layout, and miss ->
+    None (zero-egress: no download attempted)."""
+    from dsm_tpu.server import config as CFG
+
+    flat = tmp_path / "flat"
+    (flat / "org" / "repo").mkdir(parents=True)
+    (flat / "org" / "repo" / "model.safetensors").write_bytes(b"x")
+    monkeypatch.setenv("DSM_HF_CACHE", str(flat))
+
+    hub = tmp_path / "hub"
+    snap = hub / "models--kyutai--stt-1b-en_fr-candle" / "snapshots" / "abc123"
+    snap.mkdir(parents=True)
+    (snap / "tokenizer.model").write_bytes(b"t")
+    (snap / "voice.safetensors").write_bytes(b"v")
+    monkeypatch.setenv("HF_HUB_CACHE", str(hub))
+
+    # flat cache hit
+    p = CFG.resolve_path("hf://org/repo/model.safetensors")
+    assert p == str(flat / "org" / "repo" / "model.safetensors")
+    # hub snapshot layout hit
+    p = CFG.resolve_path("hf://kyutai/stt-1b-en_fr-candle/tokenizer.model")
+    assert p == str(snap / "tokenizer.model")
+    # hf-snapshot glob over the hub layout
+    p = CFG.resolve_path("hf-snapshot://kyutai/stt-1b-en_fr-candle/*.safetensors")
+    assert p == str(snap / "voice.safetensors")
+    # miss -> None, no exception
+    assert CFG.resolve_path("hf://missing/repo/file.bin") is None
