@@ -375,6 +375,10 @@ def main(argv=None):
     p.add_argument("--e2e", action="store_true")
     p.add_argument("--memory", action="store_true")
     p.add_argument("--sustained", type=float, default=0.0)
+    p.add_argument("--server-sustained", type=float, default=0.0,
+                   help="drive BatchedAsrEngine with --batch live "
+                        "synthetic-mailbox sessions for N seconds "
+                        "(host path included)")
     p.add_argument("--events", default=None,
                    help="dump per-frame event timestamps (JSON) in sustained mode")
     p.add_argument("--trace", default=None,
@@ -403,12 +407,17 @@ def _run_all(args, results):
     if args.lm:
         results["lm"] = bench_lm(args.batch, args.steps)
     if args.tts:
-        results["tts"] = bench_tts(min(args.batch, 8))
-    if args.e2e or not (args.mimi or args.lm or args.tts or args.memory or args.sustained):
+        results["tts"] = bench_tts(args.batch)
+    if args.e2e or not (args.mimi or args.lm or args.tts or args.memory
+                        or args.sustained or args.server_sustained):
         results["e2e"] = bench_e2e(args.batch, args.steps)
     if args.sustained:
         results["sustained"] = bench_sustained(
             args.batch, args.sustained, events_out=args.events
+        )
+    if args.server_sustained:
+        results["server_sustained"] = bench_server_sustained(
+            args.batch, args.server_sustained
         )
     if args.memory:
         results["memory"] = bench_memory()

@@ -65,6 +65,10 @@ def cmd_worker(args) -> int:
         asr_engine.start()
     if tts_engine is not None and hasattr(tts_engine, "start"):
         tts_engine.start()
+    if duplex_engine is not None:
+        duplex_engine.warmup()
+    if mimi_rooms_engine is not None:
+        mimi_rooms_engine.warmup()
     import os
 
     auth_ctx = AuthContext(enabled=bool(os.environ.get("BETTER_AUTH_SECRET")))
@@ -145,18 +149,55 @@ def cmd_stt_client(args) -> int:
     import asyncio
 
     from .client.stt import SttClient
-    from .utils.audio import decode_audio
 
-    pcm = decode_audio(args.audio, 24_000)
     client = SttClient(args.url, token=args.token)
 
     def on_event(ev):
-        if args.verbose and ev.type == "step":
+        if ev.type == "word" and (args.mic or args.verbose):
+            print(ev.text, end=" ", flush=True, file=sys.stderr)
+        elif args.verbose and ev.type == "step":
             print(f"\rstep {ev.step_idx}", end="", file=sys.stderr)
 
-    transcript = asyncio.run(
-        client.transcribe_pcm(pcm, rtf=args.rtf, on_event=on_event)
-    )
+    if args.mic:
+        # Live capture (kyutai-cli `stt mic`): one 80 ms frame per read,
+        # optionally bounded by --duration.  Degrades with a clear error
+        # when no audio backend exists on this host.
+        from .client.audio_io import AudioUnavailable, MicSource, require_backend
+
+        try:
+            require_backend()
+        except AudioUnavailable as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+
+        def frames():
+            import time as _t
+
+            try:
+                with MicSource() as mic:
+                    t_end = _t.monotonic() + args.duration if args.duration else None
+                    while t_end is None or _t.monotonic() < t_end:
+                        f = mic.read_frame()
+                        if f is None:
+                            break
+                        yield f
+            except AudioUnavailable as e:
+                raise SystemExit(f"error: {e}")
+
+        transcript = asyncio.run(
+            client.transcribe_frames(frames(), on_event=on_event)
+        )
+        print(file=sys.stderr)
+    else:
+        if not args.audio:
+            print("error: audio file required without --mic", file=sys.stderr)
+            return 2
+        from .utils.audio import decode_audio
+
+        pcm = decode_audio(args.audio, 24_000)
+        transcript = asyncio.run(
+            client.transcribe_pcm(pcm, rtf=args.rtf, on_event=on_event)
+        )
     if args.json:
         print(json.dumps({
             "text": transcript.text,
@@ -178,7 +219,27 @@ def cmd_tts_client(args) -> int:
     from .client.tts import TtsClient
     from .utils.audio import write_wav
 
-    result = asyncio.run(TtsClient(args.url, token=args.token).synthesize(args.text))
+    on_audio = None
+    sink = None
+    if args.play:
+        # Live playback through the prebuffered ring (client-core
+        # audio.rs AudioPlayer); gated on the optional backend.
+        from .client.audio_io import AudioUnavailable, SpeakerSink
+
+        try:
+            sink = SpeakerSink().__enter__()
+        except AudioUnavailable as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        on_audio = sink.push
+
+    result = asyncio.run(
+        TtsClient(args.url, token=args.token).synthesize(
+            args.text, on_audio=on_audio
+        )
+    )
+    if sink is not None:
+        sink.__exit__(None, None, None)
     write_wav(args.out, result.pcm, 24_000)
     print(json.dumps({
         "out": args.out,
@@ -322,12 +383,17 @@ def main(argv=None) -> int:
     b = sub.add_parser("bench", help="serving benchmark")
     b.set_defaults(fn=cmd_bench)
 
-    sc = sub.add_parser("stt-client", help="stream a wav to a server")
-    sc.add_argument("audio")
+    sc = sub.add_parser("stt-client", help="stream a wav (or live mic) to a server")
+    sc.add_argument("audio", nargs="?", default=None)
     sc.add_argument("--url", default="ws://127.0.0.1:8080/api/asr-streaming")
     sc.add_argument("--token", default=None)
     sc.add_argument("--rtf", type=float, default=None,
                     help="pace upload (1.0 = realtime)")
+    sc.add_argument("--mic", action="store_true",
+                    help="capture from the default input device "
+                         "(requires the optional sounddevice backend)")
+    sc.add_argument("--duration", type=float, default=None,
+                    help="stop mic capture after N seconds")
     sc.add_argument("--json", action="store_true")
     sc.add_argument("--verbose", action="store_true")
     sc.set_defaults(fn=cmd_stt_client)
@@ -337,6 +403,9 @@ def main(argv=None) -> int:
     tc.add_argument("out")
     tc.add_argument("--url", default="ws://127.0.0.1:8080/api/tts_streaming")
     tc.add_argument("--token", default=None)
+    tc.add_argument("--play", action="store_true",
+                    help="play audio live through the default output device "
+                         "(requires the optional sounddevice backend)")
     tc.set_defaults(fn=cmd_tts_client)
 
     gn = sub.add_parser("gen", help="offline duplex generation (token-level)")

@@ -103,7 +103,34 @@ class SttClient:
                     raise
                 await asyncio.sleep(self.retry_delay_s)
 
-    async def _run_once(self, pcm, rtf, on_event) -> Transcript:
+    async def transcribe_frames(self, frames, on_event=None) -> Transcript:
+        """Stream frames from a (sync or async) iterator of float32 chunks —
+        e.g. live mic capture (mic.rs capture loop) — then flush.  The
+        iterator paces the session (a mic yields one frame per 80 ms)."""
+
+        async def gen():
+            if hasattr(frames, "__aiter__"):
+                async for f in frames:
+                    yield np.asarray(f, np.float32)
+            else:
+                loop = asyncio.get_running_loop()
+                it = iter(frames)
+
+                def _next():
+                    try:
+                        return next(it)
+                    except StopIteration:
+                        return None
+
+                while True:
+                    f = await loop.run_in_executor(None, _next)
+                    if f is None:
+                        break
+                    yield np.asarray(f, np.float32)
+
+        return await self._run_once(None, None, on_event, frame_iter=gen())
+
+    async def _run_once(self, pcm, rtf, on_event, frame_iter=None) -> Transcript:
         import aiohttp
 
         transcript = Transcript()
@@ -135,18 +162,22 @@ class SttClient:
                     )
 
                 async def sender():
-                    n = len(pcm)
-                    t_start = time.monotonic()
-                    sent = 0
-                    for i in range(0, n, FRAME):
-                        chunk = np.asarray(pcm[i : i + FRAME], np.float32)
-                        await ws.send_bytes(_audio_msg(chunk))
-                        sent += len(chunk)
-                        if rtf:
-                            target = t_start + sent / 24_000.0 / rtf
-                            delay = target - time.monotonic()
-                            if delay > 0:
-                                await asyncio.sleep(delay)
+                    if frame_iter is not None:
+                        async for chunk in frame_iter:
+                            await ws.send_bytes(_audio_msg(chunk))
+                    else:
+                        n = len(pcm)
+                        t_start = time.monotonic()
+                        sent = 0
+                        for i in range(0, n, FRAME):
+                            chunk = np.asarray(pcm[i : i + FRAME], np.float32)
+                            await ws.send_bytes(_audio_msg(chunk))
+                            sent += len(chunk)
+                            if rtf:
+                                target = t_start + sent / 24_000.0 / rtf
+                                delay = target - time.monotonic()
+                                if delay > 0:
+                                    await asyncio.sleep(delay)
                     # Graceful flush: marker, then trailing silence pushes it
                     # (+ the delayed words) through the decode delay
                     # (stt/ws.rs:17-20 completion flow).

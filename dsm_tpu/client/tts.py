@@ -30,11 +30,18 @@ class TtsClient:
         self.url = url
         self.token = token
 
-    async def synthesize(self, text: str) -> TtsResult:
+    async def synthesize(self, text: str, on_audio=None) -> TtsResult:
+        """``on_audio``: optional callback invoked with each decoded pcm
+        chunk as it streams (live playback, kyutai-cli tts.rs)."""
         import aiohttp
 
         headers = {"Authorization": f"Bearer {self.token}"} if self.token else {}
         chunks: List[np.ndarray] = []
+
+        def _emit(pcm):
+            chunks.append(pcm)
+            if on_audio is not None:
+                on_audio(pcm)
         words: List[dict] = []
         t0 = time.monotonic()
         ttfb = None
@@ -58,7 +65,7 @@ class TtsClient:
                         if pcm.size:
                             if ttfb is None:
                                 ttfb = time.monotonic() - t0
-                            chunks.append(pcm)
+                            _emit(pcm)
                         continue
                     m = msgpack.unpackb(msg.data, raw=False)
                     t = m.get("type")
@@ -72,9 +79,9 @@ class TtsClient:
                                 opus_dec = opus_mod.OggOpusDecoder()
                             pcm = opus_dec.decode(bytes(m["data"]))
                             if pcm.size:
-                                chunks.append(pcm)
+                                _emit(pcm)
                         else:
-                            chunks.append(np.asarray(m["pcm"], np.float32))
+                            _emit(np.asarray(m["pcm"], np.float32))
                     elif t == "Text":
                         words.append(m)
                     elif t == "Error":

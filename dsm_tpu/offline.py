@@ -79,7 +79,13 @@ def transcribe_file(
     for i in range(n_frames):
         chunk = pcm[i * frame : (i + 1) * frame][None, None, :]
         rng, sub = jax.random.split(rng)
-        out, state = step(engine.params, state, chunk, mask, reset, sub)
+        if engine._seeded_step:
+            out, state = step(
+                engine.params, state, chunk, mask, reset, sub,
+                np.zeros(1, np.uint32),
+            )
+        else:
+            out, state = step(engine.params, state, chunk, mask, reset, sub)
         text = np.asarray(out["text_token"])
         steps = np.asarray(out["step_idx"])
         if vad and out["prs"].shape[-1]:

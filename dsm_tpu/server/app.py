@@ -375,9 +375,7 @@ class App:
             done = False
             t_end = time.time() + 300.0
             while not done and time.time() < t_end:
-                # Generous first-event timeout: the step function may still
-                # be compiling on a cold engine.
-                ev = await asyncio.wait_for(events_q.get(), timeout=120.0)
+                ev = await asyncio.wait_for(events_q.get(), timeout=60.0)
                 for w in ev.words:
                     if isinstance(w, WordEvent):
                         words.append({

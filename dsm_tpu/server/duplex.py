@@ -58,6 +58,28 @@ class DuplexEngine:
             lambda p, s, a, k: lm_gen.step(cfg, p, s, a, k), donate_argnums=(1,)
         )
 
+    def warmup(self) -> None:
+        """Compile encode/step/decode before serving (main.rs module
+        warmup) so the first chat frame pays no XLA compile in-request."""
+        import jax
+        import numpy as np
+
+        sess = DuplexSession(self)
+        enc_state = MIMI.init_encode_state(self.mimi_cfg, 1)
+        pcm = np.zeros((1, 1, self.mimi_cfg.frame_size), np.float32)
+        codes, enc_state = self._enc(self.mimi_params, enc_state, pcm)
+        user_tokens = np.asarray(codes[..., 0], np.int32)[
+            :, : self.cfg.input_audio_codebooks
+        ]
+        out, _ = self._step(self.params, sess.state, user_tokens,
+                            jax.random.PRNGKey(0))
+        dec_state = MIMI.init_decode_state(self.mimi_cfg, 1)
+        frame = np.zeros(
+            (1, self.cfg.generated_audio_codebooks, 1), np.int32
+        )
+        pcm_out, _ = self._dec(self.mimi_params, dec_state, frame)
+        np.asarray(pcm_out)
+
 
 class DuplexSession:
     """One dialogue: pcm frames in, (pcm, text) out via callback."""

@@ -66,6 +66,14 @@ class MimiRoomsEngine:
             lambda p, s, c: MIMI.decode_step(self.cfg, p, s, c), donate_argnums=(1,)
         )
 
+    def warmup(self) -> None:
+        """Compile the decode step before serving (main.rs module warmup):
+        the first room frame must not pay XLA compile inside a request."""
+        state = MIMI.init_decode_state(self.cfg, 1)
+        codes = np.zeros((1, self.cfg.n_q, 1), np.int32)
+        pcm, _ = self._decode(self.params, state, codes)
+        np.asarray(pcm)
+
     def room(self, name: str) -> Room:
         with self.lock:
             if name not in self.rooms:

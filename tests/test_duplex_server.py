@@ -50,6 +50,10 @@ def make_duplex_engine():
 
 def test_duplex_chat_roundtrip():
     engine, mimi_cfg = make_duplex_engine()
+    # Warm up exactly like `cli worker` does: compiles happen at startup,
+    # so the receive timeouts below cover serving only (this was the
+    # load-sensitive flake — first-frame XLA compile inside the window).
+    engine.warmup()
     app = App(duplex_engine=engine)
 
     async def main():
@@ -84,6 +88,7 @@ def test_mimi_rooms_broadcast():
     from tests.test_mimi import small_cfg as small_mimi_cfg
 
     engine = MimiRoomsEngine(cfg=small_mimi_cfg())
+    engine.warmup()  # compile at startup, like `cli worker`
     app = App(mimi_rooms_engine=engine)
 
     async def main():
@@ -97,7 +102,7 @@ def test_mimi_rooms_broadcast():
             await send.send_bytes(bytes([MsgType.CODES]) + codes.tobytes())
             await send.send_bytes(bytes([MsgType.TEXT]) + b"hello room")
 
-            async with asyncio.timeout(300):
+            async with asyncio.timeout(60):
                 m1 = await recv1.receive()
                 m2 = await recv2.receive()
             assert m1.data[0] == MsgType.AUDIO and m2.data[0] == MsgType.AUDIO
