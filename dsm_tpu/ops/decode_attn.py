@@ -1,0 +1,176 @@
+"""Pallas TPU fused decode-attention over the int8 KV ring (T = 1).
+
+After the ring-commit kernel removed the KV *write* cost, the serving-profile
+LM step is dominated by the attention *read*: `attend_global_split_q`
+(ops/attention.py) lowers to two XLA dots whose int8->bf16 operand conversion
+materialises dequantised copies of the ring in HBM — roughly tripling the
+traffic of the 402 MB/layer int8 ring at stt-1b B=128 shapes (measured
+18.98 ms LM step vs a ~9 ms bandwidth floor; docs/PERFORMANCE.md).
+
+This kernel fuses the whole decode-attention read into one pass:
+
+    scores = q . K_ring^T        (dequant int8 in VMEM, per-row k_scale)
+    mask   = ring validity (scalar pos + window + per-slot bitmap)
+    p      = softmax(scores ++ fresh-row score)
+    out    = (p * v_scale) . V_ring  +  p_new * v_fresh
+
+so the only HBM traffic is the int8 ring itself (plus the small scales),
+once.  Semantics are identical to `attend_global_split_q` with T=1 over the
+*committed* ring (the row written this step is masked out of the ring read
+and the fresh K/V attend separately in exact bf16, same as the XLA path).
+
+Replaces the reference's per-step cache read + masked softmax
+(moshi-core/src/batched_transformer.rs:64-121, kv_cache.rs:119-173) with a
+single fused TPU pass.
+
+Environment note: like ops/ring_kernels.py, only block loads + vector ops +
+MXU dots — no manual DMA (the remote kernel compiler crashes on those).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "interpret")
+)
+def _decode_attend_q(
+    q, k_cache, v_cache, k_scale, v_scale, k_new, v_new, valid, pos,
+    *, window: int, interpret: bool = False
+):
+    b, h, dh = q.shape
+    c = k_cache.shape[2]
+    scale = 1.0 / (dh ** 0.5)
+
+    def kernel(pos_ref, q_ref, kc, vc, ks, vs, kn, vn, va, out):
+        p = pos_ref[0]
+        w = p % c
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+        k_pos = p - ((w - j) % c)
+        ok = (k_pos >= 0) & (p - k_pos < window) & (j != w)  # (1, C)
+        ok = ok & (va[...][:, 0, :] != 0)  # va (bb, 1, C) -> (bb, C)
+
+        qv = q_ref[...]  # (bb, H, Dh) bf16
+        bb = qv.shape[0]
+        g = bb * h
+        qf = qv.reshape(g, 1, dh)
+        kcf = kc[...].reshape(g, c, dh)
+        scores = jax.lax.dot_general(
+            qf, kcf.astype(qv.dtype),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(bb, h, c)
+        scores = scores * (ks[...] * scale)
+        scores = jnp.where(ok[:, None, :], scores, NEG_INF)
+
+        s_new = jnp.sum(
+            qv.astype(jnp.float32) * kn[...].astype(jnp.float32), axis=-1
+        ) * scale  # (bb, H)
+
+        m = jnp.maximum(jnp.max(scores, axis=-1), s_new)
+        e_c = jnp.exp(scores - m[..., None])  # masked rows underflow to 0
+        e_n = jnp.exp(s_new - m)
+        denom = jnp.sum(e_c, axis=-1) + e_n
+
+        p_c = (e_c * vs[...]).astype(jnp.bfloat16)
+        vcf = vc[...].reshape(g, c, dh)
+        out_c = jax.lax.dot_general(
+            p_c.reshape(g, 1, c), vcf.astype(jnp.bfloat16),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(bb, h, dh)
+        res = (out_c + e_n[..., None] * vn[...].astype(jnp.float32)) / denom[
+            ..., None
+        ]
+        out[...] = res.astype(out.dtype)
+
+    bb = 1  # one batch row per block: K+V int8 + dequant copies fit VMEM
+    kv_spec = pl.BlockSpec((bb, h, c, dh), lambda i, p_ref: (i, 0, 0, 0))
+    s_spec = pl.BlockSpec((bb, h, c), lambda i, p_ref: (i, 0, 0))
+    row_spec = pl.BlockSpec((bb, h, dh), lambda i, p_ref: (i, 0, 0))
+    # (B, 1, C): TPU block shapes need the second-minor dim to be a
+    # multiple of 8 or the full array dim — a singleton middle axis
+    # satisfies that for the per-slot bitmap.
+    va_spec = pl.BlockSpec((bb, 1, c), lambda i, p_ref: (i, 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // bb,),
+        in_specs=[row_spec, kv_spec, kv_spec, s_spec, s_spec,
+                  row_spec, row_spec, va_spec],
+        out_specs=row_spec,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, dh), q.dtype),
+        interpret=interpret,
+    )(pos, q, k_cache, v_cache, k_scale, v_scale, k_new, v_new, valid)
+
+
+def supported(q, k_cache, plan) -> bool:
+    """T=1 decode over an int8 ring big enough to beat the XLA path."""
+    if q.ndim != 4 or q.shape[2] != 1:
+        return False
+    b, h, _, dh = q.shape
+    c = k_cache.shape[2]
+    if k_cache.dtype != jnp.int8:
+        return False
+    if c < 256 or c % 128 or dh % 128 or h % 8:
+        return False
+    return plan["w"].shape[0] == 1
+
+
+def decode_attend(
+    q, k_cache, v_cache, k_scale, v_scale, k_new, v_new, plan, valid_old,
+    *, window: int, interpret=None
+):
+    """Drop-in for ``attend_global_split_q`` at T=1 over the committed ring.
+
+    ``k_cache``/``v_cache``/``k_scale``/``v_scale`` are the ring *after* this
+    step's commit (ops/ring_kernels.ring_commit); the committed row is masked
+    from the ring read and the fresh ``k_new``/``v_new`` attend in exact
+    dtype, so results match the XLA split path.
+    """
+    if interpret is None:
+        try:
+            interpret = jax.devices()[0].platform != "tpu"
+        except Exception:
+            interpret = True
+    b, h, t, dh = q.shape
+    pos = jnp.asarray(plan["q_pos"][0], jnp.int32).reshape((1,))
+    out = _decode_attend_q(
+        q[:, :, 0, :],
+        k_cache, v_cache,
+        k_scale.astype(jnp.float32), v_scale.astype(jnp.float32),
+        k_new[:, :, 0, :], v_new[:, :, 0, :],
+        valid_old.astype(jnp.int8)[:, None, :], pos,
+        window=window, interpret=bool(interpret),
+    )
+    return out[:, :, None, :]
+
+
+def decode_attn_enabled() -> bool:
+    """Serving-profile switch, same contract as ring_kernel_enabled():
+    default ON on a real TPU backend; force with ``DSM_DECODE_ATTN=1``
+    (interpret-mode tests) or disable with ``DSM_DECODE_ATTN=0``."""
+    from . import ring_kernels as _rk
+
+    if _rk.kernels_override() is not None:
+        return _rk.kernels_override()
+    env = os.environ.get("DSM_DECODE_ATTN")
+    if env is not None:
+        return env not in ("0", "false", "")
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False

@@ -49,6 +49,10 @@ def init(
 def _mm(x, w):
     # Dense or weight-only int8 ({"q", "s"}; ops/transformer.quantize_weights).
     if isinstance(w, dict) and "q" in w:
+        from . import qmm as qmm_mod
+
+        if qmm_mod.qmm_enabled() and qmm_mod.supported(x, w["q"]):
+            return qmm_mod.qmm(x, w["q"], w["s"])  # on-chip dequant
         return (x @ w["q"].astype(x.dtype).T) * w["s"].astype(x.dtype)
     return x @ w.astype(x.dtype).T
 

@@ -21,8 +21,8 @@ ring head), no scatter, no per-slot work — the global ring design makes every
 slot's write index identical.
 
 Environment note: manual ``make_async_copy`` DMA kernels crash this
-environment's remote kernel compiler (ops/kernels.py is the blocked round-1
-attempt).  This kernel uses only block copies + scalar prefetch + vector
+environment's remote kernel compiler (a first attempt written that way was
+dropped).  This kernel uses only block copies + scalar prefetch + vector
 selects.
 """
 
@@ -215,6 +215,25 @@ def ring_commit(
     )
 
 
+# Global kernel gate: None = per-kernel env/platform default; False = all
+# Pallas serving kernels off.  Meshed engines set False — pallas_call is a
+# custom call GSPMD cannot partition, so under a dp/tp-sharded jit the XLA
+# paths (which GSPMD shards cleanly) are the multi-chip implementation.
+_KERNELS_OVERRIDE = None
+
+
+def set_kernels_enabled(value) -> None:
+    """Force all Pallas serving kernels on (True), off (False), or back to
+    the per-kernel env/platform default (None).  Takes effect at trace
+    time; callers that jit must set this before their first dispatch."""
+    global _KERNELS_OVERRIDE
+    _KERNELS_OVERRIDE = value
+
+
+def kernels_override():
+    return _KERNELS_OVERRIDE
+
+
 def ring_kernel_enabled() -> bool:
     """Serving-profile switch: use the Pallas commit kernel on TPU.
 
@@ -222,6 +241,8 @@ def ring_kernel_enabled() -> bool:
     ``DSM_RING_KERNEL=1`` (interpret-mode tests force the path on CPU) or
     disable with ``DSM_RING_KERNEL=0``.
     """
+    if _KERNELS_OVERRIDE is not None:
+        return _KERNELS_OVERRIDE
     env = os.environ.get("DSM_RING_KERNEL")
     if env is not None:
         return env not in ("0", "false", "")

@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from . import attention as attn
 from . import mlp as mlp_mod
 from . import norm as norm_mod
+from . import decode_attn as dattn
+from . import qmm as qmm_mod
 from . import ring_kernels as rkern
 
 
@@ -181,6 +183,11 @@ def mm(x: jax.Array, w) -> jax.Array:
     dict ``{"q": int8 (O, I), "s": f32 (O,)}`` with per-output-channel
     scales (see :func:`quantize_weights`)."""
     if isinstance(w, dict) and "q" in w:
+        if qmm_mod.qmm_enabled() and qmm_mod.supported(x, w["q"]):
+            # Fused on-chip dequant (ops/qmm.py): the int8 weight is read
+            # once — XLA's lowering materialises a dequantised bf16 copy
+            # in HBM first (~3.2 GB/step extra traffic at stt-1b B=128).
+            return qmm_mod.qmm(x, w["q"], w["s"])
         y = x @ w["q"].astype(x.dtype).T
         return y * w["s"].astype(x.dtype)
     return x @ w.astype(x.dtype).T
@@ -367,10 +374,22 @@ def step(
                     k_l, v_l, kq, vq, plan["w"][0],
                     layer_st["ks"], layer_st["vs"], ks_new, vs_new,
                 )
-                y = attn.attend_global_split_q(
-                    q, k_l, v_l, ks, vs, k, v, plan, valid_old,
-                    window=cfg.context,
-                )
+                if dattn.decode_attn_enabled() and dattn.supported(
+                    q, k_l, plan
+                ):
+                    # Fully fused decode attention: int8 dequant + masked
+                    # softmax + both dots in one Pallas pass — the ring is
+                    # read once as int8 (the XLA dots materialise bf16
+                    # dequant copies; ops/decode_attn.py).
+                    y = dattn.decode_attend(
+                        q, k_l, v_l, ks, vs, k, v, plan, valid_old,
+                        window=cfg.context,
+                    )
+                else:
+                    y = attn.attend_global_split_q(
+                        q, k_l, v_l, ks, vs, k, v, plan, valid_old,
+                        window=cfg.context,
+                    )
             else:
                 y = attn.attend_global_split_q(
                     q, k_l, v_l, layer_st["ks"], layer_st["vs"], k, v, plan,

@@ -157,7 +157,13 @@ class BatchedAsrEngine:
         self.cache_dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
         state = ASR.init_state(cfg, batch_size, self.cache_dtype)
         if mesh is not None:
+            from ..ops import ring_kernels as _rk
             from ..parallel import mesh as M
+
+            # The Pallas serving kernels are custom calls GSPMD can't
+            # partition; under a dp/tp-sharded jit the XLA paths are the
+            # multi-chip implementation (ops/ring_kernels.py).
+            _rk.set_kernels_enabled(False)
 
             params = {
                 "mimi": M.replicate(mesh, params["mimi"]),

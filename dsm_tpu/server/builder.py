@@ -81,6 +81,13 @@ def build_batched_asr(mod: CFG.ModuleConfig) -> BatchedAsrEngine:
         mimi_params = jax.tree_util.tree_map(
             lambda a: jnp.asarray(a, jnp.bfloat16), mimi_params
         )
+        if mod.raw.get("weight_quant", True):
+            # Weight-only int8 LM matmuls: the rest of the serving profile
+            # (bench.py headline) — halves the weight read and feeds the
+            # fused dequant kernel (ops/qmm.py).
+            from ..ops import transformer as T
+
+            lm_params = T.quantize_weights(lm_params)
     params = {"mimi": mimi_params, "lm": lm_params}
 
     batch = auto_batch_size(mod.batch_size, mod.lm)

@@ -1,0 +1,137 @@
+"""Fused decode-attention kernel equivalence (interpret mode on CPU).
+
+ops/decode_attn.decode_attend must match attention.attend_global_split_q
+(the XLA path it replaces on the serving hot path) over the committed int8
+ring, including ring-wrap, window trimming, per-slot validity, and the
+fresh-row handling.  Tolerances are fp-association-level (the kernel uses a
+streaming max-subtract softmax; the XLA path concatenates then softmaxes).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dsm_tpu.ops import attention as attn
+from dsm_tpu.ops import decode_attn as da
+from dsm_tpu.ops import ring_kernels as rk
+
+
+def _mk(B, H, C, Dh, pos, seed=0, valid_frac=1.0):
+    """Build a committed int8 ring + fresh rows + matching XLA inputs."""
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 8)
+    q = (jax.random.normal(ks[0], (B, H, 1, Dh)) * 0.5).astype(jnp.bfloat16)
+    k_new = (jax.random.normal(ks[1], (B, H, 1, Dh)) * 0.5).astype(jnp.bfloat16)
+    v_new = (jax.random.normal(ks[2], (B, H, 1, Dh)) * 0.5).astype(jnp.bfloat16)
+    kc = jax.random.randint(ks[3], (B, H, C, Dh), -127, 128, jnp.int8)
+    vc = jax.random.randint(ks[4], (B, H, C, Dh), -127, 128, jnp.int8)
+    k_scale = jax.random.uniform(ks[5], (B, H, C), jnp.float32, 0.001, 0.02)
+    v_scale = jax.random.uniform(ks[6], (B, H, C), jnp.float32, 0.001, 0.02)
+    valid = jax.random.uniform(ks[7], (B, C)) < valid_frac
+    plan = attn.global_ring_plan(jnp.int32(pos), C, 1)
+    return q, kc, vc, k_scale, v_scale, k_new, v_new, valid, plan
+
+
+@pytest.mark.parametrize(
+    "B,H,C,Dh,pos,window,valid_frac",
+    [
+        (2, 8, 256, 128, 0, 250, 1.0),      # first step after reset
+        (2, 8, 256, 128, 40, 250, 1.0),     # partial fill
+        (2, 8, 256, 128, 255, 250, 1.0),    # last pre-wrap write
+        (2, 8, 256, 128, 1000, 250, 1.0),   # deep wrap, window < capacity
+        (2, 8, 256, 128, 1000, 250, 0.6),   # per-slot validity holes
+        (1, 16, 768, 128, 3000, 750, 0.9),  # stt-1b serving shape
+    ],
+)
+def test_decode_attend_matches_xla(B, H, C, Dh, pos, window, valid_frac):
+    q, kc, vc, ksc, vsc, k_new, v_new, valid, plan = _mk(
+        B, H, C, Dh, pos, seed=pos + B, valid_frac=valid_frac
+    )
+    assert da.supported(q, kc, plan)
+
+    # XLA reference path reads the PRE-commit ring (the committed row is
+    # masked either way); commit first to produce the kernel's input.
+    y_ref = attn.attend_global_split_q(
+        q, kc, vc, ksc, vsc, k_new, v_new, plan, valid, window=window
+    )
+
+    kq, vq, ksn, vsn = attn.quantize_kv_rows(k_new, v_new)
+    kc2, vc2, ksc2, vsc2 = rk.ring_commit(
+        kc, vc, kq, vq, plan["w"][0], ksc, vsc, ksn, vsn, interpret=True
+    )
+    y_kern = da.decode_attend(
+        q, kc2, vc2, ksc2, vsc2, k_new, v_new, plan, valid,
+        window=window, interpret=True,
+    )
+    assert y_kern.shape == y_ref.shape and y_kern.dtype == y_ref.dtype
+    np.testing.assert_allclose(
+        np.asarray(y_kern, np.float32),
+        np.asarray(y_ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_decode_attend_first_step_ignores_garbage_ring():
+    """At pos=0 with an all-False bitmap, only the fresh row attends: the
+    output must equal v_new exactly (softmax over a single score)."""
+    B, H, C, Dh = 2, 8, 256, 128
+    q, kc, vc, ksc, vsc, k_new, v_new, _, plan = _mk(B, H, C, Dh, 0, seed=7)
+    valid = jnp.zeros((B, C), bool)
+    kq, vq, ksn, vsn = attn.quantize_kv_rows(k_new, v_new)
+    kc2, vc2, ksc2, vsc2 = rk.ring_commit(
+        kc, vc, kq, vq, plan["w"][0], ksc, vsc, ksn, vsn, interpret=True
+    )
+    y = da.decode_attend(
+        q, kc2, vc2, ksc2, vsc2, k_new, v_new, plan, valid,
+        window=250, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(y[:, :, 0, :], np.float32),
+        np.asarray(v_new[:, :, 0, :], np.float32),
+        atol=1e-2, rtol=1e-2,
+    )
+
+
+def test_supported_gates():
+    q = jnp.zeros((2, 8, 1, 128), jnp.bfloat16)
+    plan = attn.global_ring_plan(jnp.int32(0), 256, 1)
+    assert da.supported(q, jnp.zeros((2, 8, 256, 128), jnp.int8), plan)
+    # bf16 ring -> XLA path
+    assert not da.supported(q, jnp.zeros((2, 8, 256, 128), jnp.bfloat16), plan)
+    # tiny ring (DepFormer shapes) -> XLA path
+    assert not da.supported(q, jnp.zeros((2, 8, 32, 128), jnp.int8), plan)
+    # multi-frame step -> XLA path
+    plan2 = attn.global_ring_plan(jnp.int32(0), 256, 2)
+    q2 = jnp.zeros((2, 8, 2, 128), jnp.bfloat16)
+    assert not da.supported(q2, jnp.zeros((2, 8, 256, 128), jnp.int8), plan2)
+
+
+def test_transformer_step_kernel_vs_xla(monkeypatch):
+    """Whole transformer step: kernels forced on (interpret) vs off must
+    agree at serving-like small shapes with int8 KV."""
+    from dsm_tpu.ops import transformer as T
+
+    cfg = T.TransformerConfig(
+        d_model=256, num_heads=8, num_layers=2, dim_feedforward=512,
+        context=250, positional_embedding="rope",
+    )
+    key = jax.random.PRNGKey(0)
+    params = T.init(cfg, key, dtype=jnp.bfloat16)
+    x = (jax.random.normal(jax.random.PRNGKey(1), (2, 1, 256)) * 0.3).astype(
+        jnp.bfloat16
+    )
+
+    def run(kern: str):
+        monkeypatch.setenv("DSM_RING_KERNEL", kern)
+        monkeypatch.setenv("DSM_DECODE_ATTN", kern)
+        st = T.init_state(cfg, 2, jnp.bfloat16, kv_quant=True)
+        ys = []
+        for i in range(5):
+            y, st = T.step(cfg, params, st, x)
+            ys.append(np.asarray(y, np.float32))
+        return np.stack(ys)
+
+    y_off = run("0")
+    y_on = run("1")
+    np.testing.assert_allclose(y_on, y_off, atol=3e-2, rtol=3e-2)
