@@ -152,7 +152,12 @@ def bench_tts(batch: int, steps: int = 5) -> dict:
 
     lm_cfg = LM.tts_1_6b_en_fr()
     cfg = TTS.TtsConfig(lm=lm_cfg, kv_quant=True, max_steps=2048)
-    params = {"lm": LM.init(lm_cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)}
+    # Serving profile, like the ASR bench: weight-only int8 LM.
+    params = {
+        "lm": T.quantize_weights(
+            LM.init(lm_cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        )
+    }
     state = TTS.init_state(cfg, batch, jnp.bfloat16)
     ca_tokens = jax.random.normal(
         jax.random.PRNGKey(1), (batch, 625, 2048), jnp.bfloat16

@@ -481,7 +481,7 @@ def depformer_sample(
         },
         0,
     )
-    lr0 = dp["low_rank"][0] if "low_rank" in dp else None
+    lr0 = _tree_index(dp["low_rank"], 0) if "low_rank" in dp else None
     x0 = T.mm(hidden, p0["linear_in"]) + _dep_embed(
         dp, dp["text_emb"], text_token, lr0
     ).astype(hidden.dtype)
@@ -492,14 +492,16 @@ def depformer_sample(
     if n_slices == 1:
         return tok0[:, None]
 
+    tail = lambda t: jax.tree_util.tree_map(lambda a: a[1:], t)  # noqa: E731
     rest = {
-        "transformer": jax.tree_util.tree_map(lambda a: a[1:], dp["transformer"]),
-        "linear_in": dp["linear_in"][1:],
-        "linear_out": dp["linear_out"][1:],
+        "transformer": tail(dp["transformer"]),
+        # tree_map: weight-only int8 leaves are {"q", "s"} dicts.
+        "linear_in": tail(dp["linear_in"]),
+        "linear_out": tail(dp["linear_out"]),
         "emb": dp["audio_embs"],
     }
     if "low_rank" in dp:
-        rest["low_rank"] = dp["low_rank"][1:]
+        rest["low_rank"] = tail(dp["low_rank"])
 
     def body(carry, xs):
         kv, last = carry

@@ -118,6 +118,10 @@ def build_tts(mod: CFG.ModuleConfig) -> TtsEngine:
         speaker_cond_duration_s=gen.get("speaker_cond_duration_s", 10.0),
         speaker_cond_dim=gen.get("speaker_cond_dim", 2048),
         speaker_cond_n_speakers=gen.get("speaker_cond_n_speakers", 5),
+        # Serving profile on accelerators (same as the ASR builder + the
+        # TTS bench): int8 KV rings.
+        kv_quant=jax.default_backend() != "cpu"
+        and bool(mod.raw.get("kv_quant", True)),
     )
     mimi_cfg = MIMI.v0_1(mod.lm.generated_codebooks or mod.lm.audio_codebooks)
     dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
@@ -133,6 +137,11 @@ def build_tts(mod: CFG.ModuleConfig) -> TtsEngine:
         mimi_params = jax.tree_util.tree_map(
             lambda a: jnp.asarray(a, jnp.bfloat16), mimi_params
         )
+        if mod.raw.get("weight_quant", True):
+            # Serving profile, like the ASR builder: weight-only int8 LM.
+            from ..ops import transformer as T
+
+            lm_params = T.quantize_weights(lm_params)
 
     # Voice sources: preloaded embeddings + voice dir (tts.rs:304-365).
     from ..models import speaker as SPK
