@@ -127,3 +127,63 @@ def state_shardings(mesh: Mesh, state, batch: int):
     return jax.tree_util.tree_map(
         lambda leaf: NamedSharding(mesh, _batch_spec(leaf, batch)), state
     )
+
+
+# -- dp shard_map: per-chip Pallas kernels ----------------------------------
+#
+# The GSPMD path above (plain jit + NamedSharding) cannot partition
+# pallas_call custom calls, so meshed engines fall back to the XLA KV paths
+# (ops/ring_kernels.set_kernels_enabled).  For pure data-parallel meshes the
+# continuous batch is embarrassingly parallel: shard_map runs the FULL
+# serving step per chip on its own B/dp slots — Pallas kernels included,
+# zero collectives (the reference has no cross-stream coupling either;
+# SURVEY.md §5 distributed backend).
+
+
+def _dp_spec(leaf, batch: int) -> P:
+    nd = getattr(leaf, "ndim", 0)
+    shape = getattr(leaf, "shape", ())
+    if nd >= 1 and shape[0] == batch:
+        return P(*(("dp",) + (None,) * (nd - 1)))
+    return P()
+
+
+def dp_shard_step(mesh: Mesh, fn, batch: int, params, *example_args):
+    """Wrap ``fn(params, *args)`` with shard_map over a dp-only mesh.
+
+    ``params`` is replicated wholesale (weight leaves can accidentally have
+    a leading dim equal to the batch — never shard by heuristic there).
+    Every other arg/output leaf whose leading dim == ``batch`` is split
+    over ``dp``; the rest (scalar tick counters, rng keys) replicate.
+    Requires ``mesh.shape['tp'] == 1`` and dp | batch.  Returns the wrapped
+    fn (jit it yourself, with donation if wanted).
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    if mesh.shape.get("tp", 1) != 1:
+        raise ValueError("dp_shard_step requires a dp-only mesh (tp=1)")
+    dp = mesh.shape["dp"]
+    if batch % dp:
+        raise ValueError(f"batch {batch} not divisible by dp={dp}")
+
+    in_specs = (jax.tree_util.tree_map(lambda _: P(), params),) + tuple(
+        jax.tree_util.tree_map(lambda leaf: _dp_spec(leaf, batch), a)
+        for a in example_args
+    )
+    out_shape = jax.eval_shape(fn, params, *example_args)
+    out_specs = jax.tree_util.tree_map(
+        lambda leaf: _dp_spec(leaf, batch), out_shape
+    )
+    try:
+        return shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    except TypeError:  # older jax spells it check_rep
+        return shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )

@@ -145,25 +145,21 @@ class BatchedAsrEngine:
         self.mesh = mesh
 
         self._seeded_step = step_fn is None
-        if step_fn is None:
-            def _step(params, state, pcm, mask, reset, rng, seeds):
-                return ASR.step(
-                    cfg, params, state, pcm, mask, reset, rng, condition,
-                    seeds=seeds,
-                )
-
-            step_fn = jax.jit(_step, donate_argnums=(1,))
-        self.step_fn = step_fn
         self.cache_dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
         state = ASR.init_state(cfg, batch_size, self.cache_dtype)
+        dp_only = mesh is not None and mesh.shape.get("tp", 1) == 1
         if mesh is not None:
-            from ..ops import ring_kernels as _rk
             from ..parallel import mesh as M
 
-            # The Pallas serving kernels are custom calls GSPMD can't
-            # partition; under a dp/tp-sharded jit the XLA paths are the
-            # multi-chip implementation (ops/ring_kernels.py).
-            _rk.set_kernels_enabled(False)
+            if not dp_only:
+                from ..ops import ring_kernels as _rk
+
+                # The Pallas serving kernels are custom calls GSPMD can't
+                # partition; under a tp-sharded jit the XLA paths are the
+                # multi-chip implementation (ops/ring_kernels.py).  Pure-dp
+                # meshes instead run the kernels per shard via shard_map
+                # (parallel/mesh.dp_shard_step) below.
+                _rk.set_kernels_enabled(False)
 
             params = {
                 "mimi": M.replicate(mesh, params["mimi"]),
@@ -177,6 +173,56 @@ class BatchedAsrEngine:
                 },
             }
             state = M.shard_batched_state(mesh, state, batch_size)
+        if step_fn is None:
+            # Packing concatenates batch segments, which would interleave
+            # per-shard blocks under dp shard_map — single-device only
+            # (sharded serving runs local PJRT where per-array fetch is
+            # cheap anyway).
+            pack_outputs = mesh is None
+
+            def _step(params, state, pcm, mask, reset, rng, seeds):
+                out, st = ASR.step(
+                    cfg, params, state, pcm, mask, reset, rng, condition,
+                    seeds=seeds,
+                )
+                if not pack_outputs:
+                    return out, st
+                # Pack the per-tick host-bound outputs into ONE int32 array
+                # so the post-process fetch is a single device->host
+                # transfer (each separate fetch pays a full round-trip —
+                # ~28 ms each over this env's dev tunnel; batched_asr.rs
+                # avoids the same hazard with its pinned output buffer).
+                # prs ride as 1e-6 fixed-point, ample for VAD probabilities.
+                parts = [
+                    out["text_token"].astype(jnp.int32),
+                    out["step_idx"].astype(jnp.int32),
+                ]
+                if out["prs"].shape[-1]:
+                    parts.append(
+                        (out["prs"].astype(jnp.float32) * 1e6)
+                        .astype(jnp.int32).reshape(-1)
+                    )
+                out = dict(out)
+                out["packed"] = jnp.concatenate(parts)
+                return out, st
+
+            base = _step
+            if dp_only:
+                from ..parallel import mesh as M
+
+                # Each chip steps its own B/dp slots — full serving step,
+                # Pallas kernels included, zero collectives.
+                base = M.dp_shard_step(
+                    mesh, _step, batch_size,
+                    params, state,
+                    jnp.zeros((batch_size, 1, cfg.mimi.frame_size), jnp.float32),
+                    jnp.zeros((batch_size,), bool),
+                    jnp.zeros((batch_size,), bool),
+                    jax.random.PRNGKey(0),
+                    jnp.zeros((batch_size,), jnp.uint32),
+                )
+            step_fn = jax.jit(base, donate_argnums=(1,))
+        self.step_fn = step_fn
         self.params = params
         self.state = state
         self.word_state = ASR.WordState(cfg, batch_size)
@@ -198,6 +244,15 @@ class BatchedAsrEngine:
         # overlap; batched_asr.rs:291-524).
         self.pipeline_depth = max(pipeline_depth, 0)
         self._pending: deque = deque()
+        # Threaded post-process (the reference's post_process_loop,
+        # batched_asr.rs:655-717): result transfer + word decode + dispatch
+        # run on their own thread so the next tick's frame gather/upload
+        # overlaps them.  Over this env's dev tunnel that overlap is worth
+        # ~3 host round-trips per tick.  tick()-driven tests (no start())
+        # keep the inline drain.
+        self._pending_cv = threading.Condition()
+        self._inflight = 0
+        self._drain_thread: Optional[threading.Thread] = None
         # Optional (dt_seconds, batch_utilization) callback per drained step
         # (the bench harness records percentiles; metrics.rs:21-26 analogue).
         self.step_observer = None
@@ -271,13 +326,22 @@ class BatchedAsrEngine:
 
     def start(self) -> None:
         self.running = True
+        self._drain_thread = threading.Thread(
+            target=self._drain_loop, name="asr-post-loop", daemon=True
+        )
+        self._drain_thread.start()
         self.thread = threading.Thread(target=self._loop, name="asr-model-loop", daemon=True)
         self.thread.start()
 
     def stop(self) -> None:
         self.running = False
+        with self._pending_cv:
+            self._pending_cv.notify_all()
         if self.thread:
             self.thread.join(timeout=5)
+        if self._drain_thread:
+            self._drain_thread.join(timeout=5)
+            self._drain_thread = None
 
     def _invoke_step(self, pcm, mask, reset):
         """Dispatch one jitted step (per-slot seeds when supported)."""
@@ -344,8 +408,9 @@ class BatchedAsrEngine:
                         chans[slot] = ch
 
         if not mask.any() and not reset.any():
-            # Idle tick: flush any in-flight results so events don't stall.
-            if self._pending:
+            # Idle tick: flush any in-flight results so events don't stall
+            # (the drain thread handles this when running).
+            if self._pending and self._drain_thread is None:
                 self._drain_one()
                 return True
             return False
@@ -354,18 +419,75 @@ class BatchedAsrEngine:
         out = self._invoke_step(self._pcm_buf, mask, reset)
         self.step_count += 1
         metrics.LM_BATCH_UTILIZATION.set(float(mask.mean()))
-        self._pending.append((out, mask.copy(), chans, t0))
-        metrics.LM_QUEUE_DEPTH.set(len(self._pending))
-        while len(self._pending) > self.pipeline_depth:
-            self._drain_one()
+        with self._pending_cv:
+            self._pending.append((out, mask.copy(), chans, t0))
+            self._inflight += 1
+            metrics.LM_QUEUE_DEPTH.set(self._inflight)
+            self._pending_cv.notify_all()
+            if self._drain_thread is not None:
+                # Backpressure: bound dispatch-ahead, overlapping this
+                # tick's post-process (drain thread) with the next tick's
+                # frame gather + upload.
+                while self._inflight > self.pipeline_depth and self.running:
+                    self._pending_cv.wait(timeout=0.5)
+        if self._drain_thread is None:
+            while self._inflight > self.pipeline_depth:
+                self._drain_one()
         return True
 
+    def _drain_loop(self) -> None:
+        """Post-process thread (batched_asr.rs post_process_loop)."""
+        while True:
+            with self._pending_cv:
+                while not self._pending and self.running:
+                    self._pending_cv.wait(timeout=0.5)
+                if not self._pending:
+                    if not self.running:
+                        return
+                    continue
+                item = self._pending.popleft()
+            try:
+                self._process_item(item)
+            except Exception:
+                metrics.CONNECTION_ERRORS.inc()
+                import traceback
+
+                traceback.print_exc()
+            finally:
+                with self._pending_cv:
+                    self._inflight -= 1
+                    self._pending_cv.notify_all()
+
     def _drain_one(self) -> None:
-        """Transfer + post-process the oldest in-flight step."""
-        out, mask, chans, t0 = self._pending.popleft()
-        text_tokens = np.asarray(out["text_token"])
-        step_idx = np.asarray(out["step_idx"])
-        prs = np.asarray(out["prs"]) if out["prs"].shape[-1] else None
+        """Inline transfer + post-process of the oldest in-flight step
+        (tick()-driven tests and shutdown; the drain thread otherwise)."""
+        with self._pending_cv:
+            if not self._pending:
+                return
+            item = self._pending.popleft()
+        try:
+            self._process_item(item)
+        finally:
+            with self._pending_cv:
+                self._inflight -= 1
+                self._pending_cv.notify_all()
+
+    def _process_item(self, item) -> None:
+        out, mask, chans, t0 = item
+        if "packed" in out:
+            packed = np.asarray(out["packed"])  # one transfer
+            b = self.batch_size
+            text_tokens = packed[:b]
+            step_idx = packed[b : 2 * b]
+            prs = (
+                packed[2 * b :].reshape(b, -1).astype(np.float32) * 1e-6
+                if packed.shape[0] > 2 * b
+                else None
+            )
+        else:
+            text_tokens = np.asarray(out["text_token"])
+            step_idx = np.asarray(out["step_idx"])
+            prs = np.asarray(out["prs"]) if out["prs"].shape[-1] else None
         dt = time.perf_counter() - t0
         metrics.ASR_MODEL_STEP_DURATION.observe(dt)
         if self.step_observer is not None:
@@ -406,6 +528,11 @@ class BatchedAsrEngine:
 
     def flush(self) -> None:
         """Drain every in-flight step (tests / shutdown)."""
+        if self._drain_thread is not None:
+            with self._pending_cv:
+                while self._inflight > 0:
+                    self._pending_cv.wait(timeout=0.5)
+            return
         while self._pending:
             self._drain_one()
 

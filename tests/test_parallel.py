@@ -118,3 +118,71 @@ def test_batched_asr_engine_on_mesh(mesh):
         assert events[-1].step_idx == 2
     finally:
         eng.FRAME_SIZE = saved
+
+
+def test_dp_shard_step_engine_with_kernels(monkeypatch):
+    """Pure-dp mesh: the engine wraps its step with shard_map so the Pallas
+    serving kernels run PER SHARD (parallel/mesh.dp_shard_step) — forced on
+    here (interpret mode on CPU) and compared against an unsharded engine
+    step with kernels off.  This is the multi-chip path that keeps the
+    kernels; GSPMD-only meshes (tp>1) fall back to the XLA KV paths."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from dsm_tpu.models import mimi as MIMI
+    from dsm_tpu.sessions import asr as ASR
+    from dsm_tpu.server.batched_asr import BatchedAsrEngine
+    from tests.test_mimi import small_cfg as small_mimi_cfg
+
+    monkeypatch.setenv("DSM_RING_KERNEL", "1")
+    monkeypatch.setenv("DSM_DECODE_ATTN", "1")
+
+    mesh_dp = M.make_mesh(dp=8, tp=1)
+    mimi_cfg = small_mimi_cfg()
+    # Shapes that satisfy decode_attn.supported (C>=256 via context, Dh=128,
+    # H=8) while staying CPU-feasible at batch 8.
+    lm_cfg = LM.LmConfig(
+        transformer=T.TransformerConfig(
+            d_model=1024, num_heads=8, num_layers=1, dim_feedforward=256,
+            context=250,
+        ),
+        depformer=None,
+        text_in_vocab_size=33, text_out_vocab_size=32,
+        audio_vocab_size=mimi_cfg.bins + 1, audio_codebooks=mimi_cfg.n_q,
+    )
+    acfg = ASR.AsrConfig(lm=lm_cfg, mimi=mimi_cfg, asr_delay_in_tokens=1,
+                         temperature=0.0, kv_quant=True)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "lm": LM.init(lm_cfg, key, dtype=jnp.float32),
+        "mimi": MIMI.init(mimi_cfg, jax.random.fold_in(key, 1)),
+    }
+    b = 8
+    pcm = (np.random.default_rng(0)
+           .standard_normal((b, 1, mimi_cfg.frame_size)).astype(np.float32) * 0.1)
+    mask = jnp.ones((b,), bool)
+    reset = jnp.zeros((b,), bool)
+    rng = jax.random.PRNGKey(7)
+    seeds = jnp.arange(b, dtype=jnp.uint32)
+
+    eng = BatchedAsrEngine(acfg, params, batch_size=b, mesh=mesh_dp,
+                           use_native_packer=False)
+    toks_sharded = []
+    state = eng.state
+    for i in range(3):
+        out, state = eng.step_fn(eng.params, state, jnp.asarray(pcm), mask,
+                                 reset, rng, seeds)
+        toks_sharded.append(np.asarray(out["text_token"]))
+
+    # Unsharded reference with kernels off (the XLA path).
+    monkeypatch.setenv("DSM_RING_KERNEL", "0")
+    monkeypatch.setenv("DSM_DECODE_ATTN", "0")
+    state_ref = ASR.init_state(acfg, b, jnp.float32)
+    toks_ref = []
+    for i in range(3):
+        out_ref, state_ref = ASR.step(acfg, params, state_ref,
+                                      jnp.asarray(pcm), mask, reset, rng,
+                                      seeds=seeds)
+        toks_ref.append(np.asarray(out_ref["text_token"]))
+
+    # Greedy text tokens must agree exactly across all steps.
+    np.testing.assert_array_equal(np.stack(toks_sharded), np.stack(toks_ref))
