@@ -162,8 +162,12 @@ def bench_tts(batch: int, steps: int = 5) -> dict:
     ca_tokens = jax.random.normal(
         jax.random.PRNGKey(1), (batch, 625, 2048), jnp.bfloat16
     )
-    ca_kv = T.precompute_ca_kv(
-        lm_cfg.transformer, params["lm"]["transformer"], ca_tokens
+    # int8 voice source, like the serving engine (fused CA decode kernel).
+    ca_kv = T.quantize_ca_kv(
+        T.precompute_ca_kv(
+            lm_cfg.transformer, params["lm"]["transformer"], ca_tokens
+        ),
+        s_len=625,
     )
     mode = jnp.full((batch,), TTS.ALLOW_PAD, jnp.int32)
     tok = jnp.zeros((batch,), jnp.int32)
@@ -331,9 +335,15 @@ def bench_server_sustained(batch: int, seconds: float) -> dict:
     time.sleep(seconds)
     stop.set()
     feed_thread.join(timeout=2)
+    # Marker + trailing silence so delayed words/markers flush (the client
+    # shutdown flow, stt/ws.rs:17-20): markers fire only when the slot
+    # steps past its due step, which needs frames through the ASR delay.
+    silence = np.zeros(cfg.mimi.frame_size, np.float32)
     for ch in chans:
         engine.add_marker(ch, 1)
-    deadline = time.time() + 10
+        for _ in range(cfg.asr_delay_in_tokens + 4):
+            ch.push_pcm(silence)
+    deadline = time.time() + 15
     while not all(markers_seen) and time.time() < deadline:
         time.sleep(0.05)
     wall = time.perf_counter() - t_start

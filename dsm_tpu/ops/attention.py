@@ -459,6 +459,36 @@ def attend(q: jax.Array, cache: dict, plan: dict) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def cross_attend_q(
+    q: jax.Array,
+    k_src: jax.Array,   # int8 (B, H, S_pad, Dh)
+    v_src: jax.Array,
+    k_scale: jax.Array,  # f32 (B, H, S_pad)
+    v_scale: jax.Array,
+    s_len,
+) -> jax.Array:
+    """cross_attend over an int8-quantised source (scales folded as post-
+    scaling, padding rows masked).  XLA fallback for the fused kernel
+    (ops/decode_attn.ca_decode_attend)."""
+    head_dim = q.shape[-1]
+    scale = 1.0 / math.sqrt(head_dim)
+    s = k_src.shape[2]
+    scores = jnp.einsum(
+        "bhtd,bhsd->bhts", q, k_src.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores * (k_scale[:, :, None, :] * scale)
+    ok = jnp.arange(s) < s_len
+    scores = jnp.where(ok[None, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = probs * v_scale[:, :, None, :]
+    out = jnp.einsum(
+        "bhts,bhsd->bhtd", probs.astype(q.dtype), v_src.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
 def cross_attend(q: jax.Array, ca_k: jax.Array, ca_v: jax.Array) -> jax.Array:
     """q (B,H,T,Dh) over static source K/V (B,H,S,Dh); no mask (full vision)."""
     head_dim = q.shape[-1]

@@ -159,6 +159,91 @@ def decode_attend(
     return out[:, :, None, :]
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _ca_decode_attend_q(q, k_src, v_src, k_scale, v_scale, s_len,
+                        *, interpret: bool = False):
+    b, h, dh = q.shape
+    s = k_src.shape[2]
+    scale = 1.0 / (dh ** 0.5)
+
+    def kernel(slen_ref, q_ref, kc, vc, ks, vs, out):
+        n = slen_ref[0]
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+        ok = j < n  # mask the int8-tile padding rows
+        qv = q_ref[...]
+        bb = qv.shape[0]
+        g = bb * h
+        qf = qv.reshape(g, 1, dh)
+        scores = jax.lax.dot_general(
+            qf, kc[...].reshape(g, s, dh).astype(qv.dtype),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(bb, h, s)
+        scores = scores * (ks[...] * scale)
+        scores = jnp.where(ok[:, None, :], scores, NEG_INF)
+        m = jnp.max(scores, axis=-1)
+        e = jnp.exp(scores - m[..., None])
+        denom = jnp.sum(e, axis=-1)
+        p = (e * vs[...]).astype(jnp.bfloat16)
+        out_c = jax.lax.dot_general(
+            p.reshape(g, 1, s), vc[...].reshape(g, s, dh).astype(jnp.bfloat16),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(bb, h, dh)
+        out[...] = (out_c / denom[..., None]).astype(out.dtype)
+
+    bb = 1
+    kv_spec = pl.BlockSpec((bb, h, s, dh), lambda i, n_ref: (i, 0, 0, 0))
+    s_spec = pl.BlockSpec((bb, h, s), lambda i, n_ref: (i, 0, 0))
+    row_spec = pl.BlockSpec((bb, h, dh), lambda i, n_ref: (i, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // bb,),
+        in_specs=[row_spec, kv_spec, kv_spec, s_spec, s_spec],
+        out_specs=row_spec,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, dh), q.dtype),
+        interpret=interpret,
+    )(s_len, q, k_src, v_src, k_scale, v_scale)
+
+
+def ca_supported(q, k_src) -> bool:
+    """T=1 decode over an int8-quantised static CA source."""
+    if q.ndim != 4 or q.shape[2] != 1:
+        return False
+    b, h, _, dh = q.shape
+    if k_src.dtype != jnp.int8:
+        return False
+    s = k_src.shape[2]
+    return s >= 128 and s % 128 == 0 and dh % 128 == 0 and h % 8 == 0
+
+
+def ca_decode_attend(q, k_src, v_src, k_scale, v_scale, s_len,
+                     *, interpret=None):
+    """Fused decode cross-attention over a quantised voice-conditioning
+    source (the TTS CaSrc::KeysValues read, transformer.rs:961-980): int8
+    dequant + softmax + both dots in one pass, source read once as int8.
+
+    ``k_src/v_src (B, H, S_pad, Dh)`` int8 with per-row scales
+    ``(B, H, S_pad)``; rows at ``j >= s_len`` are tile padding, masked out.
+    """
+    if interpret is None:
+        try:
+            interpret = jax.devices()[0].platform != "tpu"
+        except Exception:
+            interpret = True
+    n = jnp.asarray(s_len, jnp.int32).reshape((1,))
+    out = _ca_decode_attend_q(
+        q[:, :, 0, :], k_src, v_src,
+        k_scale.astype(jnp.float32), v_scale.astype(jnp.float32),
+        n, interpret=bool(interpret),
+    )
+    return out[:, :, None, :]
+
+
 def decode_attn_enabled() -> bool:
     """Serving-profile switch, same contract as ring_kernel_enabled():
     default ON on a real TPU backend; force with ``DSM_DECODE_ATTN=1``

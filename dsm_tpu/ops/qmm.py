@@ -109,8 +109,11 @@ def qmm_enabled() -> bool:
     offline generation) XLA hoists the weight dequant out of the loop and
     amortises it, and the kernel's per-matmul launches then cost more than
     they save (measured +2.3 ms/step at stt-1b B=128).  For strictly
-    frame-at-a-time dispatch the dequant re-materialises every call and the
-    kernel wins — enable it there explicitly.
+    frame-at-a-time dispatch the dequant re-materialises every call but the
+    measured win is marginal (~0.9 ms).  Also A/B'd in the TTS depformer
+    scan (per-slice weights ride as scan xs, so no hoisting): 31.85 vs
+    30.6 ms/frame at batch 32 — the per-matmul launches still lose.  Kept
+    as a measured, tested lever, not a default.
     """
     from . import ring_kernels as _rk
 

@@ -261,12 +261,29 @@ def _ca_gate(cfg, lp, x_normed, y):
     return y * a
 
 
-def _cross_block(cfg, lp, x, ca_k, ca_v):
+def _cross_block(cfg, lp, x, ca_k, ca_v, ca_q=None):
+    """``ca_q``: optional int8-quantised source layer
+    ``{"k","v" int8, "ks","vs" f32, "s_len"}`` (precompute_ca_kv quant=True);
+    takes precedence over ``ca_k/ca_v``."""
     b, t, _ = x.shape
     xn = norm_mod.apply_norm(cfg.ca_norm or cfg.norm_kind, lp["norm_cross"], x)
     q = mm(xn, lp["ca_q_w"])
     q = q.reshape(b, t, cfg.num_heads, cfg.hd).transpose(0, 2, 1, 3)
-    y = attn.cross_attend(q, ca_k, ca_v)
+    if ca_q is not None:
+        if (
+            dattn.decode_attn_enabled()
+            and t == 1
+            and dattn.ca_supported(q, ca_q["k"])
+        ):
+            y = dattn.ca_decode_attend(
+                q, ca_q["k"], ca_q["v"], ca_q["ks"], ca_q["vs"], ca_q["s_len"]
+            )
+        else:
+            y = attn.cross_attend_q(
+                q, ca_q["k"], ca_q["v"], ca_q["ks"], ca_q["vs"], ca_q["s_len"]
+            )
+    else:
+        y = attn.cross_attend(q, ca_k, ca_v)
     y = y.transpose(0, 2, 1, 3).reshape(b, t, cfg.num_heads * cfg.hd)
     y = mm(y, lp["ca_out_w"])
     return x + _ca_gate(cfg, lp, xn, y)
@@ -297,6 +314,39 @@ def precompute_ca_kv(
         return kv[:, :, 0].transpose(0, 2, 1, 3), kv[:, :, 1].transpose(0, 2, 1, 3)
 
     return jax.vmap(proj)(params["ca_kv_w"])
+
+
+def quantize_ca_kv(ca_kv, s_len: Optional[int] = None) -> dict:
+    """Quantise a precomputed CA source to int8 with per-row scales.
+
+    The voice-conditioning KV is the dominant TTS attention read (16 layers
+    x 625 source rows of bf16 at dsm-tts-1.6b shapes); int8 halves it and
+    the fused kernel (ops/decode_attn.ca_decode_attend) reads it once.
+    Source rows are zero-padded up to a 128 multiple (int8 lane tiles);
+    ``s_len`` marks the real length, padding is masked in the attention.
+    """
+    k, v = ca_kv
+    s = k.shape[3]
+    s_len = s if s_len is None else s_len
+    pad = (-s) % 128
+    if pad:
+        cfgpad = [(0, 0)] * k.ndim
+        cfgpad[3] = (0, pad)
+        k = jnp.pad(k, cfgpad)
+        v = jnp.pad(v, cfgpad)
+
+    def quant(x):  # per (L,B,H,S) row over Dh
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        q = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+        ).astype(jnp.int8)
+        return q, scale
+
+    kq, ks = quant(k)
+    vq, vs = quant(v)
+    return {"k": kq, "v": vq, "ks": ks, "vs": vs,
+            "s_len": jnp.int32(s_len)}
 
 
 def _pos_embed_sin(cfg, x, positions):
@@ -422,7 +472,15 @@ def step(
             y = y * lp["layer_scale_1"].astype(y.dtype)
         x = x + y
         if ca_kv is not None:
-            x = _cross_block(cfg, lp, x, ca_kv[0][l], ca_kv[1][l])
+            if isinstance(ca_kv, dict):  # int8-quantised source
+                layer_src = {
+                    "k": ca_kv["k"][l], "v": ca_kv["v"][l],
+                    "ks": ca_kv["ks"][l], "vs": ca_kv["vs"][l],
+                    "s_len": ca_kv["s_len"],
+                }
+                x = _cross_block(cfg, lp, x, None, None, ca_q=layer_src)
+            else:
+                x = _cross_block(cfg, lp, x, ca_kv[0][l], ca_kv[1][l])
         x = _mlp_block(cfg, lp, x)
 
     return x, {"layers": new_layers, "pos": plan["new_pos"], "valid": valid}
@@ -439,6 +497,11 @@ def forward(
     Matches step-by-step streaming exactly (window = `context` most recent
     positions).  Used for offline paths and the streaming-equivalence tests.
     """
+    if isinstance(ca_kv, dict):
+        raise ValueError(
+            "quantised CA sources (quantize_ca_kv) are decode-only; "
+            "pass the bf16 (k, v) tuple to forward()"
+        )
     b, t, _ = x.shape
     positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
 

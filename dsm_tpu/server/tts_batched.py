@@ -117,6 +117,7 @@ class BatchedTtsEngine:
         ca_len: Optional[int] = None,
         tick_sleep: float = 0.002,
         cfg_enabled: bool = False,
+        ca_quant: Optional[bool] = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -145,6 +146,11 @@ class BatchedTtsEngine:
         self.cache_dtype = (
             jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
         )
+        # int8 voice source: perf-neutral at batch 32 (the frame is
+        # depformer-bound, measured 31.8 vs 30.6 ms) but HALVES the CA
+        # memory (2.6 -> 1.3 GB at B=32), which is what gates larger
+        # batches — opt-in for memory-bound deployments.
+        self.ca_quant = bool(ca_quant)
 
         tcfg = cfg.lm.transformer
         self.ca_len = ca_len or (125 * cfg.speaker_cond_n_speakers)
@@ -282,10 +288,16 @@ class BatchedTtsEngine:
         import jax.numpy as jnp
 
         if self._ca_dirty or self._ca_dev is None:
-            self._ca_dev = (
+            kv = (
                 jnp.asarray(self._ca_k, self.cache_dtype),
                 jnp.asarray(self._ca_v, self.cache_dtype),
             )
+            if self.ca_quant:
+                # int8 voice source with per-row scales: the CA read is the
+                # dominant TTS attention traffic (16L x 625 rows); the fused
+                # kernel reads it once as int8 (ops/decode_attn).
+                kv = T.quantize_ca_kv(kv, s_len=self.ca_len)
+            self._ca_dev = kv
             self._ca_dirty = False
         return self._ca_dev
 

@@ -135,3 +135,67 @@ def test_transformer_step_kernel_vs_xla(monkeypatch):
     y_off = run("0")
     y_on = run("1")
     np.testing.assert_allclose(y_on, y_off, atol=3e-2, rtol=3e-2)
+
+
+# -- quantised cross-attention (voice conditioning) --------------------------
+
+
+def _mk_ca(B, H, S, Dh, seed=0):
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 3)
+    q = (jax.random.normal(ks[0], (B, H, 1, Dh)) * 0.5).astype(jnp.bfloat16)
+    ca_k = (jax.random.normal(ks[1], (B, H, S, Dh)) * 0.5).astype(jnp.bfloat16)
+    ca_v = (jax.random.normal(ks[2], (B, H, S, Dh)) * 0.5).astype(jnp.bfloat16)
+    return q, ca_k, ca_v
+
+
+@pytest.mark.parametrize("B,H,S,Dh", [(2, 8, 256, 128), (1, 16, 625, 128)])
+def test_ca_decode_attend_matches_fallback_and_float(B, H, S, Dh):
+    from dsm_tpu.ops import transformer as T
+
+    q, ca_k, ca_v = _mk_ca(B, H, S, Dh, seed=S)
+    # Quantise via the production path (stacked per-layer (L=1, ...)).
+    cq = T.quantize_ca_kv((ca_k[None], ca_v[None]), s_len=S)
+    kq, vq = cq["k"][0], cq["v"][0]
+    ksc, vsc = cq["ks"][0], cq["vs"][0]
+    assert kq.shape[2] % 128 == 0  # padded to lane tiles
+    assert da.ca_supported(q, kq)
+
+    y_kern = da.ca_decode_attend(q, kq, vq, ksc, vsc, cq["s_len"],
+                                 interpret=True)
+    y_xla = attn.cross_attend_q(q, kq, vq, ksc, vsc, cq["s_len"])
+    np.testing.assert_allclose(
+        np.asarray(y_kern, np.float32), np.asarray(y_xla, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+    # Against the unquantised float reference: int8-level error only.
+    y_ref = attn.cross_attend(q, ca_k, ca_v)
+    err = np.abs(np.asarray(y_kern, np.float32) - np.asarray(y_ref, np.float32))
+    ref_scale = np.abs(np.asarray(y_ref, np.float32)).mean()
+    assert err.mean() < 0.03 * max(ref_scale, 1e-3) + 2e-3
+
+
+def test_quantized_ca_through_transformer_step():
+    """transformer.step accepts the quantised CA dict and matches the bf16
+    CA path within int8 error at serving-like shapes."""
+    from dsm_tpu.ops import transformer as T
+
+    cfg = T.TransformerConfig(
+        d_model=256, num_heads=8, num_layers=2, dim_feedforward=512,
+        context=128, cross_attention=True, ca_norm="layer_norm",
+    )
+    params = T.init(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    x = (jax.random.normal(jax.random.PRNGKey(1), (2, 1, 256)) * 0.3).astype(
+        jnp.float32
+    )
+    ca_tokens = jax.random.normal(jax.random.PRNGKey(2), (2, 130, 256))
+    ca_kv = T.precompute_ca_kv(cfg, params, ca_tokens)
+    ca_q = T.quantize_ca_kv(ca_kv)
+
+    st = T.init_state(cfg, 2, jnp.float32)
+    y_ref, _ = T.step(cfg, params, st, x, ca_kv=ca_kv)
+    st = T.init_state(cfg, 2, jnp.float32)
+    y_q, _ = T.step(cfg, params, st, x, ca_kv=ca_q)
+    np.testing.assert_allclose(
+        np.asarray(y_q), np.asarray(y_ref), atol=5e-2, rtol=5e-2
+    )
