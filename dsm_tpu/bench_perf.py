@@ -371,6 +371,128 @@ def bench_server_sustained(batch: int, seconds: float) -> dict:
     }
 
 
+def bench_tts_sustained(batch: int, seconds: float, engine=None,
+                        n_words: int = 50, drain_s: float = 120.0) -> dict:
+    """Drive the continuous-batching TTS engine with ``batch`` live
+    sessions for ``seconds`` — the beyond-reference claim surface (the
+    reference serves ONE TTS session behind a mutex; tts.rs:31,374).
+
+    Sessions synthesize from a rotating word feed; each delivered
+    AudioEvent is 80 ms of audio, so a session stays realtime iff its
+    audio-delivery rate >= 1x wall clock after its first frame.  Closed
+    sessions are replaced immediately (continuous batching, not a fixed
+    cohort).  Reports per-session delivered-audio RTF and slot churn.
+    """
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from dsm_tpu.models import lm as LM
+    from dsm_tpu.models import mimi as MIMI
+    from dsm_tpu.ops import transformer as T
+    from dsm_tpu.sessions import tts as TTS
+    from dsm_tpu.server.tts_batched import (
+        AudioEvent, BatchedTtsEngine, DoneEvent,
+    )
+    from dsm_tpu.utils.tokenizer import FallbackTokenizer
+
+    if engine is None:
+        lm_cfg = LM.tts_1_6b_en_fr()
+        cfg = TTS.TtsConfig(lm=lm_cfg, kv_quant=True, max_steps=4096)
+        params = {
+            "lm": T.quantize_weights(
+                LM.init(lm_cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+            )
+        }
+        mimi_cfg = MIMI.v0_1(lm_cfg.generated_codebooks)
+        mimi_params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.bfloat16),
+            MIMI.init(mimi_cfg, jax.random.PRNGKey(1)),
+        )
+        engine = BatchedTtsEngine(
+            cfg, params, mimi_cfg, mimi_params, FallbackTokenizer(),
+            batch_size=batch,
+        )
+    mimi_cfg = engine.mimi_cfg
+
+    # Tunnel tax per tick (a production local host pays ~none of this).
+    x = jnp.zeros((8,), jnp.float32)
+    f = jax.jit(lambda a: a + 1)
+    np.asarray(f(x))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        np.asarray(f(x))
+    rtt = (time.perf_counter() - t0) / 5
+
+    engine.warmup()  # compile outside the timed window
+    engine.start()
+
+    lock = threading.Lock()
+    finished = []  # (audio_s, wall_s, ttfb_s)
+    live = {}
+    vocab = engine.cfg.lm.text_in_vocab_size
+    words = [40 + (i * 7) % max(vocab - 41, 1) for i in range(n_words)]
+
+    def launch(idx):
+        t0 = time.perf_counter()
+        stats = {"audio": 0.0, "t0": t0, "ttfb": None}
+
+        def sink(ev):
+            if isinstance(ev, AudioEvent):
+                if stats["ttfb"] is None:
+                    stats["ttfb"] = time.perf_counter() - stats["t0"]
+                stats["audio"] += len(ev.pcm) / mimi_cfg.sample_rate
+            elif isinstance(ev, DoneEvent):
+                wall = time.perf_counter() - stats["t0"]
+                with lock:
+                    finished.append((stats["audio"], wall, stats["ttfb"]))
+                    live.pop(idx, None)
+
+        drv = engine.open_session(sink, seed=idx + 1)
+        if drv is None:
+            return False
+        drv.feed_words([[w] for w in words])
+        drv.end_input()
+        with lock:
+            live[idx] = drv
+        return True
+
+    idx = 0
+    deadline = time.time() + seconds
+    while time.time() < deadline:
+        while engine.used_slots() < batch and time.time() < deadline:
+            if launch(idx):
+                idx += 1
+            else:
+                break
+        time.sleep(0.05)
+    t_end = time.time() + drain_s
+    while live and time.time() < t_end:
+        time.sleep(0.2)
+    engine.stop()
+
+    if not finished:
+        return {"batch": batch, "sessions_completed": 0, "error": "none finished"}
+    audio = np.asarray([f[0] for f in finished])
+    wall = np.asarray([f[1] for f in finished])
+    ttfb = np.asarray([f[2] for f in finished if f[2] is not None])
+    rtf = audio / wall
+    return {
+        "batch": batch,
+        "seconds": seconds,
+        "sessions_completed": len(finished),
+        "sessions_launched": idx,
+        "audio_s_total": round(float(audio.sum()), 1),
+        "rtf_per_session_p50": round(float(np.percentile(rtf, 50)), 2),
+        "rtf_per_session_p05": round(float(np.percentile(rtf, 5)), 2),
+        "realtime_sessions_frac": round(float((rtf >= 1.0).mean()), 3),
+        "ttfb_s_p50": round(float(np.percentile(ttfb, 50)), 2) if ttfb.size else None,
+        "aggregate_realtime_streams": round(float(audio.sum() / seconds), 1),
+        "null_dispatch_rtt_ms": round(rtt * 1e3, 1),
+    }
+
+
 def bench_memory() -> dict:
     import jax
 
@@ -394,6 +516,9 @@ def main(argv=None):
                    help="drive BatchedAsrEngine with --batch live "
                         "synthetic-mailbox sessions for N seconds "
                         "(host path included)")
+    p.add_argument("--tts-sustained", type=float, default=0.0,
+                   help="drive the continuous-batching TTS engine with "
+                        "--batch live sessions for N seconds")
     p.add_argument("--events", default=None,
                    help="dump per-frame event timestamps (JSON) in sustained mode")
     p.add_argument("--trace", default=None,
@@ -424,7 +549,8 @@ def _run_all(args, results):
     if args.tts:
         results["tts"] = bench_tts(args.batch)
     if args.e2e or not (args.mimi or args.lm or args.tts or args.memory
-                        or args.sustained or args.server_sustained):
+                        or args.sustained or args.server_sustained
+                        or args.tts_sustained):
         results["e2e"] = bench_e2e(args.batch, args.steps)
     if args.sustained:
         results["sustained"] = bench_sustained(
@@ -433,6 +559,10 @@ def _run_all(args, results):
     if args.server_sustained:
         results["server_sustained"] = bench_server_sustained(
             args.batch, args.server_sustained
+        )
+    if args.tts_sustained:
+        results["tts_sustained"] = bench_tts_sustained(
+            args.batch, args.tts_sustained
         )
     if args.memory:
         results["memory"] = bench_memory()

@@ -63,6 +63,8 @@ def cmd_worker(args) -> int:
     if asr_engine is not None:
         asr_engine.warmup()
         asr_engine.start()
+    if tts_engine is not None and hasattr(tts_engine, "warmup"):
+        tts_engine.warmup()
     if tts_engine is not None and hasattr(tts_engine, "start"):
         tts_engine.start()
     if duplex_engine is not None:

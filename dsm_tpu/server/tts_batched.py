@@ -154,11 +154,28 @@ class BatchedTtsEngine:
 
         tcfg = cfg.lm.transformer
         self.ca_len = ca_len or (125 * cfg.speaker_cond_n_speakers)
-        self._ca_k = np.zeros(
-            (tcfg.num_layers, self.rows, tcfg.num_heads, self.ca_len, tcfg.hd),
-            np.float32,
+        # Voice-conditioning source lives ON DEVICE; open_session touches
+        # only its slot via a jitted dynamic_update_slice.  (Keeping a host
+        # mirror and re-uploading on change moves the full L x rows x H x S
+        # x Dh buffer — 5.2 GB at dsm-tts-1.6b B=32 — per slot churn; the
+        # reference keeps per-connection ca_src on device too, tts.rs:304.)
+        ca_shape = (
+            tcfg.num_layers, self.rows, tcfg.num_heads, self.ca_len, tcfg.hd
         )
-        self._ca_v = np.zeros_like(self._ca_k)
+        self._ca_raw = (
+            jnp.zeros(ca_shape, self.cache_dtype),
+            jnp.zeros(ca_shape, self.cache_dtype),
+        )
+        self._zero_voice = jnp.zeros(
+            (tcfg.num_layers, 1, tcfg.num_heads, self.ca_len, tcfg.hd),
+            self.cache_dtype,
+        )
+        self._ca_write = jax.jit(
+            lambda ca, kv, slot: jax.lax.dynamic_update_slice(
+                ca, kv.astype(ca.dtype), (0, slot, 0, 0, 0)
+            ),
+            donate_argnums=(0,),
+        )
         self._ca_dirty = True
         self._ca_dev = None
 
@@ -244,6 +261,7 @@ class BatchedTtsEngine:
             drv = TtsSlot(slot, deliver)
             self.slots[slot] = drv
             self.pending_resets[slot] = True
+            ck, cv = self._ca_raw
             if voice_ca is not None:
                 k, v = voice_ca
                 if k.shape[3] != self.ca_len:
@@ -251,15 +269,16 @@ class BatchedTtsEngine:
                         f"voice source length {k.shape[3]} != engine ca_len "
                         f"{self.ca_len}"
                     )
-                self._ca_k[:, slot] = np.asarray(k[:, 0], np.float32)
-                self._ca_v[:, slot] = np.asarray(v[:, 0], np.float32)
+                ck = self._ca_write(ck, k, slot)
+                cv = self._ca_write(cv, v, slot)
             else:
-                self._ca_k[:, slot] = 0.0
-                self._ca_v[:, slot] = 0.0
+                ck = self._ca_write(ck, self._zero_voice, slot)
+                cv = self._ca_write(cv, self._zero_voice, slot)
             # The uncond twin row (CFG) always runs without the voice.
             if self.cfg_enabled:
-                self._ca_k[:, self.batch_size + slot] = 0.0
-                self._ca_v[:, self.batch_size + slot] = 0.0
+                ck = self._ca_write(ck, self._zero_voice, self.batch_size + slot)
+                cv = self._ca_write(cv, self._zero_voice, self.batch_size + slot)
+            self._ca_raw = (ck, cv)
             self._ca_dirty = True
         return drv
 
@@ -285,21 +304,51 @@ class BatchedTtsEngine:
             self.thread.join(timeout=5)
 
     def _ca(self):
-        import jax.numpy as jnp
-
         if self._ca_dirty or self._ca_dev is None:
-            kv = (
-                jnp.asarray(self._ca_k, self.cache_dtype),
-                jnp.asarray(self._ca_v, self.cache_dtype),
-            )
+            kv = self._ca_raw
             if self.ca_quant:
-                # int8 voice source with per-row scales: the CA read is the
-                # dominant TTS attention traffic (16L x 625 rows); the fused
-                # kernel reads it once as int8 (ops/decode_attn).
+                # int8 voice source with per-row scales (device-side
+                # requantise on slot churn — compute only, no transfer).
                 kv = T.quantize_ca_kv(kv, s_len=self.ca_len)
             self._ca_dev = kv
             self._ca_dirty = False
         return self._ca_dev
+
+    def warmup(self, steps: int = 2) -> None:
+        """Compile the step + decode before serving (main.rs module warmup;
+        same contract as BatchedAsrEngine.warmup): all-inactive ticks run
+        the full jitted programs so no request pays XLA compile."""
+        import jax
+
+        n = self.rows
+        modes = np.full(n, TTS.ALLOW_PAD, np.int32)
+        toks = np.zeros(n, np.int32)
+        mask = np.zeros(n, bool)
+        reset = np.zeros(n, bool)
+        temps = {
+            "text": np.full(n, self.cfg.text_temperature, np.float32),
+            "audio": np.full(n, self.cfg.temperature, np.float32),
+        }
+        seeds = np.zeros(n, np.uint32)
+        try:
+            for _ in range(steps):
+                self.rng, sub = jax.random.split(self.rng)
+                out, self.state = self._step(
+                    self.params, self.state, modes, toks, sub, self._ca(),
+                    mask, reset, temps, seeds, self._cfg_alpha.copy(),
+                )
+            codes = np.zeros(
+                (self.batch_size, self.cfg.n_codebooks, 1), np.int32
+            )
+            pcm, self.mimi_state = self._decode(
+                self.mimi_params, self.mimi_state, codes,
+                np.zeros(self.batch_size, bool),
+            )
+            jax.block_until_ready(pcm)
+            metrics.WARMUP_SUCCESS.inc()
+        except Exception:
+            metrics.WARMUP_FAILURE.inc()
+            raise
 
     def tick(self) -> bool:
         import jax

@@ -88,3 +88,29 @@ def test_slot_reuse_fresh_state():
     w1 = [e for e in ev1 if isinstance(e, WordEvent)]
     w2 = [e for e in ev2 if isinstance(e, WordEvent)]
     assert [w.stop_s for w in w1] == [w.stop_s for w in w2]
+
+
+def test_engine_warmup_compiles_before_serving():
+    """warmup() runs the full jitted step + decode with all slots inactive
+    (main.rs module warmup contract) and leaves the engine serveable."""
+    eng, cfg = make_engine(batch=2)
+    eng.warmup()
+    pcm, words = eng.synthesize("hi there")
+    assert pcm.size >= 0  # session completed through the warm engine
+
+
+def test_engine_warmup_cfg_enabled():
+    from dsm_tpu.server.tts_batched import BatchedTtsEngine
+    from dsm_tpu.utils.tokenizer import FallbackTokenizer
+    from tests.test_mimi import small_cfg as small_mimi_cfg
+
+    cfg = small_tts_cfg(max_steps=96)
+    mimi_cfg = small_mimi_cfg()
+    params = {"lm": LM.init(cfg.lm, jax.random.PRNGKey(0))}
+    mimi_params = MIMI.init(mimi_cfg, jax.random.PRNGKey(1))
+    eng = BatchedTtsEngine(
+        cfg, params, mimi_cfg, mimi_params, FallbackTokenizer(),
+        batch_size=2, ca_len=6, cfg_enabled=True,
+    )
+    eng.warmup()  # doubled-rows program compiles
+    assert eng.rows == 4
