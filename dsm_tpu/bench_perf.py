@@ -425,6 +425,8 @@ def bench_tts_sustained(batch: int, seconds: float, engine=None,
         np.asarray(f(x))
     rtt = (time.perf_counter() - t0) / 5
 
+    phases: list = []
+    engine.tick_observer = lambda *p: phases.append(p)
     engine.warmup()  # compile outside the timed window
     engine.start()
 
@@ -490,6 +492,15 @@ def bench_tts_sustained(batch: int, seconds: float, engine=None,
         "ttfb_s_p50": round(float(np.percentile(ttfb, 50)), 2) if ttfb.size else None,
         "aggregate_realtime_streams": round(float(audio.sum() / seconds), 1),
         "null_dispatch_rtt_ms": round(rtt * 1e3, 1),
+        "tick_phase_ms_p50": (
+            [round(float(np.percentile([p[i] for p in phases], 50)) * 1e3, 1)
+             for i in range(4)]
+            if phases else None  # [gather, dispatch, step+fetch, post]
+        ),
+        "tick_ms_p50": (
+            round(float(np.percentile([sum(p) for p in phases], 50)) * 1e3, 1)
+            if phases else None
+        ),
     }
 
 

@@ -196,33 +196,51 @@ class BatchedTtsEngine:
         self.slot_lock = threading.Lock()
         self.running = False
         self.thread = None
+        # Optional (gather_s, dispatch_s, fetch_s, post_s) per-tick callback
+        # (the sustained bench reports phase percentiles).
+        self.tick_observer = None
 
-        if cfg_enabled:
+        n = batch_size
+        delay = cfg.text_audio_delay_in_tokens + cfg.acoustic_delay
 
-            def _step(params, state, mode, tok, rng, ca_kv, mask, reset,
-                      temps, seeds, alpha):
-                return TTS.step(
+        def _step(params, state, mimi_params, mimi_state, mode, tok, rng,
+                  ca_kv, mask, reset, temps, seeds, alpha):
+            """One fused tick: LM step + (masked) Mimi decode, all host-bound
+            outputs packed into ONE int32 array — a TTS tick is inherently
+            serial (the sampled text token drives the next constraint), so
+            per-frame latency is the realtime bound and every extra
+            device->host fetch pays a full round-trip (~29 ms over this
+            env's dev tunnel)."""
+            if cfg_enabled:
+                out, state = TTS.step(
                     cfg, params, state, mode, tok, rng, ca_kv=ca_kv,
                     mask=mask, reset=reset, temps=temps, seeds=seeds,
                     cfg_alpha=alpha,
                 )
-
-        else:
-
-            def _step(params, state, mode, tok, rng, ca_kv, mask, reset,
-                      temps, seeds, alpha):
-                del alpha
-                return TTS.step(
+            else:
+                out, state = TTS.step(
                     cfg, params, state, mode, tok, rng, ca_kv=ca_kv,
                     mask=mask, reset=reset, temps=temps, seeds=seeds,
                 )
+            steps = out["step_idx"][:n]
+            dec_mask = (
+                out["frame_valid"][:n] & (steps > delay) & mask[:n]
+            )
+            codes = out["frame"][:n, :, None].astype(jnp.int32)
+            pcm, mimi_state = MIMI.decode_step(
+                mimi_cfg, mimi_params, mimi_state, codes, dec_mask
+            )
+            packed = jnp.concatenate([
+                out["text_token"][:n].astype(jnp.int32),
+                steps.astype(jnp.int32),
+                dec_mask.astype(jnp.int32),
+                jax.lax.bitcast_convert_type(
+                    pcm[:, 0, :].astype(jnp.float32), jnp.int32
+                ).reshape(-1),
+            ])
+            return packed, state, mimi_state
 
-        self._step = jax.jit(_step, donate_argnums=(1,))
-
-        def _decode(p, s, codes, mask):
-            return MIMI.decode_step(mimi_cfg, p, s, codes, mask)
-
-        self._decode = jax.jit(_decode, donate_argnums=(1,))
+        self._step = jax.jit(_step, donate_argnums=(1, 3))
 
     # -- slots --
 
@@ -333,18 +351,12 @@ class BatchedTtsEngine:
         try:
             for _ in range(steps):
                 self.rng, sub = jax.random.split(self.rng)
-                out, self.state = self._step(
-                    self.params, self.state, modes, toks, sub, self._ca(),
+                packed, self.state, self.mimi_state = self._step(
+                    self.params, self.state, self.mimi_params,
+                    self.mimi_state, modes, toks, sub, self._ca(),
                     mask, reset, temps, seeds, self._cfg_alpha.copy(),
                 )
-            codes = np.zeros(
-                (self.batch_size, self.cfg.n_codebooks, 1), np.int32
-            )
-            pcm, self.mimi_state = self._decode(
-                self.mimi_params, self.mimi_state, codes,
-                np.zeros(self.batch_size, bool),
-            )
-            jax.block_until_ready(pcm)
+            jax.block_until_ready(packed)
             metrics.WARMUP_SUCCESS.inc()
         except Exception:
             metrics.WARMUP_FAILURE.inc()
@@ -353,6 +365,7 @@ class BatchedTtsEngine:
     def tick(self) -> bool:
         import jax
 
+        t_gather0 = time.perf_counter()
         modes = np.full(self.batch_size, TTS.ALLOW_PAD, np.int32)
         toks = np.zeros(self.batch_size, np.int32)
         mask = np.zeros(self.batch_size, bool)
@@ -390,30 +403,26 @@ class BatchedTtsEngine:
             modes_m, toks_m, mask_m, reset_m = modes, toks, mask, reset
             temps = {"text": self._text_temp.copy(), "audio": self._audio_temp.copy()}
             seeds_m = self._seeds.copy()
-        out, self.state = self._step(
-            self.params, self.state, modes_m, toks_m, sub, self._ca(), mask_m,
-            reset_m, temps, seeds_m, self._cfg_alpha.copy(),
+        t_disp0 = time.perf_counter()
+        packed_dev, self.state, self.mimi_state = self._step(
+            self.params, self.state, self.mimi_params, self.mimi_state,
+            modes_m, toks_m, sub, self._ca(), mask_m, reset_m, temps,
+            seeds_m, self._cfg_alpha.copy(),
         )
+        t_fetch0 = time.perf_counter()
         n = self.batch_size
-        text_tokens = np.asarray(out["text_token"])[:n]
-        frame_valid = np.asarray(out["frame_valid"])[:n]
-        steps = np.asarray(out["step_idx"])[:n]
-        metrics.LM_STEP_DURATION.observe(time.perf_counter() - t0)
-
-        # Batched Mimi decode for slots with completed audio frames that are
-        # past the combined delay.
-        past_delay = steps > (
-            self.cfg.text_audio_delay_in_tokens + self.cfg.acoustic_delay
+        packed = np.asarray(packed_dev)  # the tick's ONE device->host fetch
+        t_fetch1 = time.perf_counter()
+        text_tokens = packed[:n]
+        steps = packed[n : 2 * n]
+        dec_mask = packed[2 * n : 3 * n].astype(bool)
+        frame = self.mimi_cfg.frame_size
+        pcm = (
+            packed[3 * n :].view(np.float32).reshape(n, frame)
+            if dec_mask.any()
+            else None
         )
-        dec_mask = frame_valid & past_delay & mask
-        if dec_mask.any():
-            codes = np.asarray(out["frame"], np.int32)[:n, :, None]
-            pcm, self.mimi_state = self._decode(
-                self.mimi_params, self.mimi_state, codes, dec_mask
-            )
-            pcm = np.asarray(pcm[:, 0, :], np.float32)
-        else:
-            pcm = None
+        metrics.LM_STEP_DURATION.observe(time.perf_counter() - t0)
 
         overwrite_slots = np.zeros(self.batch_size, bool)
         for slot, drv in enumerate(drivers):
@@ -435,6 +444,14 @@ class BatchedTtsEngine:
             )
             self.state = TTS.overwrite_last_text_token(
                 self.state, self.cfg.text_pad_token, ow
+            )
+        if self.tick_observer is not None:
+            t_end = time.perf_counter()
+            self.tick_observer(
+                t_disp0 - t_gather0,   # host gather + constraint walk
+                t_fetch0 - t_disp0,    # dispatch (async) time
+                t_fetch1 - t_fetch0,   # device step + fetch round-trip
+                t_end - t_fetch1,      # host post-process + delivery
             )
         return True
 
