@@ -176,6 +176,12 @@ class BatchedTtsEngine:
             ),
             donate_argnums=(0,),
         )
+        # Voice writes are queued and applied ON THE ENGINE LOOP THREAD at
+        # the top of tick(): _ca_write donates the CA buffer in place, and
+        # donating from the WS thread could race an in-flight step that is
+        # still reading it (same hazard the reference avoids by keeping
+        # ca_src per-connection; tts.rs:304-365).
+        self._pending_voice: List[tuple] = []
         self._ca_dirty = True
         self._ca_dev = None
 
@@ -279,7 +285,6 @@ class BatchedTtsEngine:
             drv = TtsSlot(slot, deliver)
             self.slots[slot] = drv
             self.pending_resets[slot] = True
-            ck, cv = self._ca_raw
             if voice_ca is not None:
                 k, v = voice_ca
                 if k.shape[3] != self.ca_len:
@@ -287,18 +292,33 @@ class BatchedTtsEngine:
                         f"voice source length {k.shape[3]} != engine ca_len "
                         f"{self.ca_len}"
                     )
-                ck = self._ca_write(ck, k, slot)
-                cv = self._ca_write(cv, v, slot)
+                self._pending_voice.append((slot, k, v))
             else:
-                ck = self._ca_write(ck, self._zero_voice, slot)
-                cv = self._ca_write(cv, self._zero_voice, slot)
+                self._pending_voice.append((slot, None, None))
             # The uncond twin row (CFG) always runs without the voice.
             if self.cfg_enabled:
-                ck = self._ca_write(ck, self._zero_voice, self.batch_size + slot)
-                cv = self._ca_write(cv, self._zero_voice, self.batch_size + slot)
-            self._ca_raw = (ck, cv)
-            self._ca_dirty = True
+                self._pending_voice.append(
+                    (self.batch_size + slot, None, None)
+                )
         return drv
+
+    def _apply_voice_writes(self) -> None:
+        """Engine-loop-thread only: flush queued per-slot voice updates
+        (jitted in-place dynamic_update_slice on the device CA buffer)."""
+        with self.slot_lock:
+            pending, self._pending_voice = self._pending_voice, []
+        if not pending:
+            return
+        ck, cv = self._ca_raw
+        for slot, k, v in pending:
+            if k is None:
+                ck = self._ca_write(ck, self._zero_voice, slot)
+                cv = self._ca_write(cv, self._zero_voice, slot)
+            else:
+                ck = self._ca_write(ck, k, slot)
+                cv = self._ca_write(cv, v, slot)
+        self._ca_raw = (ck, cv)
+        self._ca_dirty = True
 
     def close_session(self, drv: TtsSlot) -> None:
         with self.slot_lock:
@@ -366,6 +386,7 @@ class BatchedTtsEngine:
         import jax
 
         t_gather0 = time.perf_counter()
+        self._apply_voice_writes()
         modes = np.full(self.batch_size, TTS.ALLOW_PAD, np.int32)
         toks = np.zeros(self.batch_size, np.int32)
         mask = np.zeros(self.batch_size, bool)
