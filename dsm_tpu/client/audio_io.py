@@ -148,6 +148,13 @@ class PlaybackBuffer:
             if self._buffered >= self.prebuffer:
                 self._started = True
 
+    def flush_start(self) -> None:
+        """End-of-stream: start playback even below the prebuffer threshold
+        so the tail (or a very short utterance) is not discarded."""
+        with self._lock:
+            if self._buffered > 0:
+                self._started = True
+
     def pull(self, n: int) -> np.ndarray:
         out = np.zeros(n, np.float32)
         with self._lock:
@@ -269,9 +276,16 @@ class SpeakerSink:
         self.ring.push(self._resampler.process(pcm))
 
     def drain(self, timeout: float = 10.0) -> None:
-        """Block until the ring empties (end-of-utterance playback)."""
+        """Block until the ring empties (end-of-utterance playback).
+
+        Forces playback past the prebuffer gate first — otherwise a short
+        utterance (or an after-underrun tail) below the threshold would
+        never start and drain would hang out its timeout, discarding audio.
+        """
         import time as _t
 
+        self.ring.flush_start()
         deadline = _t.monotonic() + timeout
         while self.ring.buffered > 0 and _t.monotonic() < deadline:
+            self.ring.flush_start()  # restart after any underrun re-gate
             _t.sleep(0.02)

@@ -215,23 +215,40 @@ def ring_commit(
     )
 
 
-# Global kernel gate: None = per-kernel env/platform default; False = all
-# Pallas serving kernels off.  Meshed engines set False — pallas_call is a
-# custom call GSPMD cannot partition, so under a dp/tp-sharded jit the XLA
-# paths (which GSPMD shards cleanly) are the multi-chip implementation.
-_KERNELS_OVERRIDE = None
+# Kernel gate: None = per-kernel env/platform default; False = all Pallas
+# serving kernels off.  tp-meshed engines trace with False — pallas_call
+# is a custom call GSPMD cannot partition, so under a tp-sharded jit the
+# XLA paths (which GSPMD shards cleanly) are the multi-chip
+# implementation.  The override is THREAD-LOCAL and scoped (context
+# manager): a process-global flag would silently strip the kernels from
+# every other engine traced afterwards in the same worker.
+import contextlib
+import threading
+
+_TLS = threading.local()
+
+
+@contextlib.contextmanager
+def kernels_forced(value):
+    """Scope a kernel on/off override to the enclosed block — wrap the
+    *body* of a jitted step so it applies exactly while that step traces
+    (enabled() checks run at trace time)."""
+    prev = getattr(_TLS, "override", None)
+    _TLS.override = value
+    try:
+        yield
+    finally:
+        _TLS.override = prev
 
 
 def set_kernels_enabled(value) -> None:
-    """Force all Pallas serving kernels on (True), off (False), or back to
-    the per-kernel env/platform default (None).  Takes effect at trace
-    time; callers that jit must set this before their first dispatch."""
-    global _KERNELS_OVERRIDE
-    _KERNELS_OVERRIDE = value
+    """Thread-local, unscoped variant of :func:`kernels_forced` (None
+    restores the env/platform default)."""
+    _TLS.override = value
 
 
 def kernels_override():
-    return _KERNELS_OVERRIDE
+    return getattr(_TLS, "override", None)
 
 
 def ring_kernel_enabled() -> bool:
@@ -241,8 +258,8 @@ def ring_kernel_enabled() -> bool:
     ``DSM_RING_KERNEL=1`` (interpret-mode tests force the path on CPU) or
     disable with ``DSM_RING_KERNEL=0``.
     """
-    if _KERNELS_OVERRIDE is not None:
-        return _KERNELS_OVERRIDE
+    if kernels_override() is not None:
+        return kernels_override()
     env = os.environ.get("DSM_RING_KERNEL")
     if env is not None:
         return env not in ("0", "false", "")

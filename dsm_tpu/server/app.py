@@ -53,6 +53,17 @@ def build_info() -> dict:
     }
 
 
+
+def _parse_seed(value):
+    """?seed= query param -> int or None (malformed input never raises
+    inside a WS handler; it falls back to auto-seeding)."""
+    if not value:
+        return None
+    try:
+        return int(value)
+    except ValueError:
+        return None
+
 class App:
     def __init__(
         self,
@@ -203,10 +214,7 @@ class App:
         def deliver(ev: Events):
             loop.call_soon_threadsafe(out_q.put_nowait, ev)
 
-        seed_q = request.query.get("seed")
-        seed = (
-            int(seed_q) if seed_q and seed_q.lstrip("-").isdigit() else None
-        )
+        seed = _parse_seed(request.query.get("seed"))
         try:
             ch = self.asr_engine.open_channel(deliver, seed=seed)
         except TypeError:  # engines without per-request seeding
@@ -375,7 +383,17 @@ class App:
             done = False
             t_end = time.time() + 300.0
             while not done and time.time() < t_end:
-                ev = await asyncio.wait_for(events_q.get(), timeout=60.0)
+                # 60 s covers a warm engine with margin; a cold engine
+                # (embedded App whose runner skipped warmup()) may still be
+                # XLA-compiling its first step in-request — give the first
+                # event the compile window instead of 500ing.
+                first_ev_timeout = (
+                    300.0 if getattr(self.asr_engine, "step_count", 1) == 0
+                    else 60.0
+                )
+                ev = await asyncio.wait_for(
+                    events_q.get(), timeout=first_ev_timeout
+                )
                 for w in ev.words:
                     if isinstance(w, WordEvent):
                         words.append({
@@ -600,7 +618,7 @@ class App:
             open_kw["cfg_alpha"] = _qf("cfg_alpha")
         if "seed" in _osig.parameters:
             sv = request.query.get("seed")
-            open_kw["seed"] = int(sv) if sv and sv.lstrip("-").isdigit() else None
+            open_kw["seed"] = _parse_seed(sv)
         slot = self.tts_engine.open_session(
             deliver, voice_ca=voice_ca,
             text_temperature=_qf("text_temperature") or _qf("temperature"),

@@ -151,16 +151,6 @@ class BatchedAsrEngine:
         if mesh is not None:
             from ..parallel import mesh as M
 
-            if not dp_only:
-                from ..ops import ring_kernels as _rk
-
-                # The Pallas serving kernels are custom calls GSPMD can't
-                # partition; under a tp-sharded jit the XLA paths are the
-                # multi-chip implementation (ops/ring_kernels.py).  Pure-dp
-                # meshes instead run the kernels per shard via shard_map
-                # (parallel/mesh.dp_shard_step) below.
-                _rk.set_kernels_enabled(False)
-
             params = {
                 "mimi": M.replicate(mesh, params["mimi"]),
                 "lm": {
@@ -180,11 +170,21 @@ class BatchedAsrEngine:
             # cheap anyway).
             pack_outputs = mesh is None
 
+            from ..ops import ring_kernels as _rk
+
+            # tp-sharded steps trace with the Pallas kernels off — GSPMD
+            # can't partition pallas_call custom calls; the override is
+            # scoped to THIS step's trace (pure-dp meshes run the kernels
+            # per shard via dp_shard_step; other engines are unaffected).
+            tp_meshed = mesh is not None and not dp_only
+
             def _step(params, state, pcm, mask, reset, rng, seeds):
-                out, st = ASR.step(
-                    cfg, params, state, pcm, mask, reset, rng, condition,
-                    seeds=seeds,
-                )
+                with _rk.kernels_forced(False if tp_meshed else
+                                        _rk.kernels_override()):
+                    out, st = ASR.step(
+                        cfg, params, state, pcm, mask, reset, rng, condition,
+                        seeds=seeds,
+                    )
                 if not pack_outputs:
                     return out, st
                 # Pack the per-tick host-bound outputs into ONE int32 array

@@ -208,16 +208,21 @@ def step(
         sampled = jnp.concatenate([sampled] * (b // n_draw), axis=0)
     elif temps is not None:
         # Per-slot traced temperatures (reference TtsQuery temp/seed params)
-        # — no recompilation across requests.
+        # — no recompilation across requests.  With CFG, sample the cond
+        # half only and mirror onto the uncond twins: per-row noise over
+        # the duplicated mixed logits would draw different pad/eop tokens
+        # for twin rows and desync the halves' histories.
         sampled = S.sample_dynamic(
-            text_logits_eff, k_text, jnp.broadcast_to(temps["text"], (b,)),
-            cfg.text_top_k,
+            text_logits_eff[:n_draw], k_text,
+            jnp.broadcast_to(temps["text"], (b,))[:n_draw], cfg.text_top_k,
         )
+        sampled = jnp.concatenate([sampled] * (b // n_draw), axis=0)
     else:
         sampled = S.sample(
             S.SamplingConfig(cfg.text_temperature, cfg.text_top_k),
-            text_logits_eff, k_text,
+            text_logits_eff[:n_draw], k_text,
         )
+        sampled = jnp.concatenate([sampled] * (b // n_draw), axis=0)
     # PadOrEpad: model output collapses to {pad, eop}; too many pads force
     # eop (tts_streaming.rs:179-199).
     pad_or_epad = jnp.where(

@@ -109,7 +109,10 @@ print(' '.join(out))
 PYEOF
 }
 
-host_stats() { # -> "cpu_pct mem_used_mb mem_total_mb"
+# Sets HOST_CPU_PCT / HOST_MEM_USED / HOST_MEM_TOTAL globals.  Must NOT run
+# in a command substitution: the CPU gauge needs PREV_CPU to persist across
+# renders, and a subshell would drop it (gauge would read 0% forever).
+host_stats() {
   local cpu mem
   cpu=$(awk -v prev="${PREV_CPU:-}" '
     /^cpu / {
@@ -124,7 +127,9 @@ host_stats() { # -> "cpu_pct mem_used_mb mem_total_mb"
     }' /proc/stat)
   PREV_CPU="${cpu#* }"
   mem=$(awk '/MemTotal/{t=$2}/MemAvailable/{a=$2} END{printf "%d %d", (t-a)/1024, t/1024}' /proc/meminfo)
-  echo "${cpu%% *} $mem"
+  HOST_CPU_PCT="${cpu%% *}"
+  HOST_MEM_USED="${mem%% *}"
+  HOST_MEM_TOTAL="${mem##* }"
 }
 
 render() {
@@ -195,11 +200,11 @@ render() {
 
   # -- host --
   printf '\n'; c "1;35" "HOST"; printf '\n'
-  read -r cpu_pct mem_used mem_total <<< "$(host_stats)"
-  printf '  CPU  '; make_bar "${cpu_pct:-0}" "$BAR_WIDTH"; printf '\n'
-  if [[ -n "$mem_total" && "$mem_total" -gt 0 ]]; then
-    printf '  RAM  '; make_bar "$(( mem_used * 100 / mem_total ))" "$BAR_WIDTH"
-    printf '  %d / %d MB\n' "$mem_used" "$mem_total"
+  host_stats
+  printf '  CPU  '; make_bar "${HOST_CPU_PCT:-0}" "$BAR_WIDTH"; printf '\n'
+  if [[ -n "$HOST_MEM_TOTAL" && "$HOST_MEM_TOTAL" -gt 0 ]]; then
+    printf '  RAM  '; make_bar "$(( HOST_MEM_USED * 100 / HOST_MEM_TOTAL ))" "$BAR_WIDTH"
+    printf '  %d / %d MB\n' "$HOST_MEM_USED" "$HOST_MEM_TOTAL"
   fi
 
   # -- processes --

@@ -259,3 +259,18 @@ def test_hf_cache_resolution(tmp_path, monkeypatch):
     assert p == str(snap / "voice.safetensors")
     # miss -> None, no exception
     assert CFG.resolve_path("hf://missing/repo/file.bin") is None
+
+
+def test_seed_param_parsing_never_raises():
+    """Malformed ?seed= values fall back to auto-seeding instead of raising
+    inside a WS handler (review finding: '--5' passed the old lstrip check
+    then blew up in int())."""
+    from dsm_tpu.server.app import _parse_seed
+
+    assert _parse_seed("42") == 42
+    assert _parse_seed("-7") == -7
+    assert _parse_seed("--5") is None
+    assert _parse_seed("") is None
+    assert _parse_seed(None) is None
+    assert _parse_seed("1e3") is None
+    assert _parse_seed("0x10") is None

@@ -96,7 +96,10 @@ def test_engine_warmup_compiles_before_serving():
     eng, cfg = make_engine(batch=2)
     eng.warmup()
     pcm, words = eng.synthesize("hi there")
-    assert pcm.size >= 0  # session completed through the warm engine
+    # Session ran to completion through the warm engine: audio came out
+    # and the slot was reclaimed.
+    assert pcm.ndim == 1 and pcm.size > 0
+    assert eng.used_slots() == 0
 
 
 def test_engine_warmup_cfg_enabled():
