@@ -86,8 +86,10 @@ def main():
     # the bench; batch 128 fits that 2x envelope with int8 KV in 16 GiB HBM
     # (production local PJRT donates and fits ~2x more).
     batch = int(os.environ.get("BENCH_BATCH", "128"))
-    times = bench_asr(batch)
+    reps = int(os.environ.get("BENCH_REPS", "8"))
+    times = bench_asr(batch, reps=reps)
     p50 = float(np.percentile(times, 50))
+    p95 = float(np.percentile(times, 95))
     worst = float(times.max())
     frame_s = 0.080
     streams = batch * frame_s / p50
@@ -99,7 +101,9 @@ def main():
         "detail": {
             "batch": batch,
             "step_ms_p50": round(p50 * 1e3, 2),
+            "step_ms_p95": round(p95 * 1e3, 2),
             "step_ms_worst": round(worst * 1e3, 2),
+            "reps": reps,
             "rtf": round(frame_s / p50, 2),
             "model": "stt-1b-en_fr shapes (d2048/16L, ctx 750, 32 cb, bf16)",
             "method": "25 frames fused in one scan; device throughput per frame",
