@@ -40,8 +40,10 @@ def bench_asr(batch: int, fused_steps: int = 25, reps: int = 4):
 
     # Serving profile: int8 KV rings (halves the dominant attention reads),
     # weight-only int8 LM matmuls (halves the weight read), bf16 codec.
+    kv_bits = int(os.environ.get("DSM_KV_BITS", "8"))
     cfg, fn, (params, state, pcm, mask, reset, rng) = ge._asr_setup(
-        batch, jnp.bfloat16, jnp.bfloat16, kv_quant=True, mimi_dtype="bfloat16"
+        batch, jnp.bfloat16, jnp.bfloat16, kv_quant=True,
+        mimi_dtype="bfloat16", kv_bits=kv_bits,
     )
     from dsm_tpu.ops import transformer as T
 

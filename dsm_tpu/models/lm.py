@@ -294,10 +294,12 @@ def depformer_init(cfg: LmConfig, key: jax.Array, dtype=jnp.float32) -> dict:
 
 
 def init_state(
-    cfg: LmConfig, batch: int, cache_dtype=jnp.bfloat16, kv_quant: bool = False
+    cfg: LmConfig, batch: int, cache_dtype=jnp.bfloat16, kv_quant: bool = False,
+    kv_bits: int = 8
 ) -> dict:
     return {
-        "t": T.init_state(cfg.transformer, batch, cache_dtype, kv_quant=kv_quant)
+        "t": T.init_state(cfg.transformer, batch, cache_dtype,
+                          kv_quant=kv_quant, kv_bits=kv_bits)
     }
 
 

@@ -154,20 +154,117 @@ def update_valid_bitmap(
     return valid
 
 
-def quantize_kv_rows(k_new: jax.Array, v_new: jax.Array):
-    """Per-row symmetric int8 quantisation of fresh KV frames.
+def pack4(q: jax.Array) -> jax.Array:
+    """Pack int4 values in [-7, 7] (last dim even) into uint8 nibbles.
 
-    Returns (k_q, v_q int8, k_scale, v_scale (B, H, T) f32).  The scales
-    fold into the attention as post-scaling (scores * k_scale per key row;
-    probs * v_scale before the V matmul), so dequantisation costs no extra
-    HBM pass — the cache read halves vs bf16.
+    Excess-8 encoding (stored = q + 8) keeps both nibbles non-negative so
+    pack/unpack is pure add/mul/div — no sign-extension tricks, Mosaic- and
+    XLA-friendly.  Layout is DEINTERLEAVED: byte d holds dims (d, d + Dh/2)
+    — low nibbles are the first half of the feature dim, high nibbles the
+    second — so the unpacked halves concatenate contiguously.
     """
+    d = q.shape[-1]
+    u = (q.astype(jnp.int32) + 8).astype(jnp.uint8)
+    lo, hi = u[..., : d // 2], u[..., d // 2 :]
+    return lo | (hi << 4)
+
+
+def unpack4(p: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Inverse of :func:`pack4`: uint8 nibbles -> values, concat [lo, hi]."""
+    pi = p.astype(jnp.int32)
+    lo = (pi & 15) - 8
+    hi = (pi >> 4) - 8
+    return jnp.concatenate([lo, hi], axis=-1).astype(dtype)
+
+
+def quantize_kv_rows_packed4(k_new: jax.Array, v_new: jax.Array):
+    """Per-row int4 quantisation, nibble-packed into uint8 (half the int8
+    ring bytes; the int4 serving profile).  Returns packed (B, H, T, Dh/2)
+    uint8 + f32 scales."""
     def one(x):
         amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
-        scale = jnp.maximum(amax, 1e-8) / 127.0
+        scale = jnp.maximum(amax, 1e-8) / 7.0
         q = jnp.clip(
-            jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
-        ).astype(jnp.int8)
+            jnp.round(x.astype(jnp.float32) / scale[..., None]), -7, 7
+        ).astype(jnp.int32)
+        return pack4(q), scale
+
+    kq, ks = one(k_new)
+    vq, vs = one(v_new)
+    return kq, vq, ks, vs
+
+
+def attend_global_split_q4(
+    q, k_cache_old, v_cache_old, k_scale, v_scale, k_new, v_new, plan,
+    valid_old, window: int
+):
+    """attend_global_split_q over a nibble-packed int4 ring (XLA path:
+    unpack, then identical math)."""
+    kc = unpack4(k_cache_old, jnp.bfloat16)
+    vc = unpack4(v_cache_old, jnp.bfloat16)
+    # unpack4 emits [first-half dims, second-half dims] == pack4's input
+    # layout, so no permutation is needed.
+    head_dim = q.shape[-1]
+    scale = 1.0 / math.sqrt(head_dim)
+    b, h, t, _ = q.shape
+    c = kc.shape[2]
+
+    scores_c = jnp.einsum(
+        "bhtd,bhcd->bhtc", q, kc.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    scores_c = scores_c * (k_scale[:, :, None, :] * scale)
+    k_pos = plan["k_pos"][None, :]
+    q_pos = plan["q_pos"][None, :]
+    ok = (
+        (k_pos[:, None, :] >= 0)
+        & (k_pos[:, None, :] <= q_pos[:, :, None])
+        & (q_pos[:, :, None] - k_pos[:, None, :] < window)
+    )
+    j = jnp.arange(c)
+    stale = jnp.zeros((c,), bool)
+    for ti in range(t):
+        stale = stale | (j == plan["w"][ti])
+    ok = ok & ~stale[None, None, :] & valid_old[:, None, :]
+    scores_c = jnp.where(ok[:, None, :, :], scores_c, NEG_INF)
+
+    scores_s = jnp.einsum(
+        "bhtd,bhsd->bhts", q, k_new.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    intra = jnp.tril(jnp.ones((t, t), bool))
+    scores_s = jnp.where(intra[None, None], scores_s, NEG_INF)
+
+    probs = jax.nn.softmax(jnp.concatenate([scores_c, scores_s], -1), axis=-1)
+    pc, ps = probs[..., :c], probs[..., c:]
+    pc = pc * v_scale[:, :, None, :]
+    out = jnp.einsum(
+        "bhtc,bhcd->bhtd", pc.astype(jnp.bfloat16), vc,
+        preferred_element_type=jnp.float32,
+    ) + jnp.einsum(
+        "bhts,bhsd->bhtd", ps.astype(v_new.dtype), v_new,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def quantize_kv_rows(k_new: jax.Array, v_new: jax.Array, dtype=jnp.int8):
+    """Per-row symmetric integer quantisation of fresh KV frames.
+
+    Returns (k_q, v_q ``dtype``, k_scale, v_scale (B, H, T) f32).  The
+    scales fold into the attention as post-scaling (scores * k_scale per
+    key row; probs * v_scale before the V matmul), so dequantisation costs
+    no extra HBM pass — the cache read halves vs bf16 at int8, quarters at
+    int4 (opt-in serving profile; quality bound in tests/test_kv_int4.py).
+    """
+    qmax = 7.0 if dtype == jnp.int4 else 127.0
+
+    def one(x):
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+        scale = jnp.maximum(amax, 1e-8) / qmax
+        q = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / scale[..., None]), -qmax, qmax
+        ).astype(dtype)
         return q, scale
 
     kq, ks = one(k_new)

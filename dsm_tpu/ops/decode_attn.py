@@ -117,13 +117,101 @@ def _decode_attend_q(
     )(pos, q, k_cache, v_cache, k_scale, v_scale, k_new, v_new, valid)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("window", "interpret")
+)
+def _decode_attend_q4(
+    q, k_cache, v_cache, k_scale, v_scale, k_new, v_new, valid, pos,
+    *, window: int, interpret: bool = False
+):
+    """Packed-int4 variant: the ring is uint8 nibbles (B, H, C, Dh/2),
+    excess-8 encoded (ops/attention.pack4).  Unpack is add/shift arithmetic
+    on the VPU; everything else matches _decode_attend_q."""
+    b, h, dh = q.shape
+    c = k_cache.shape[2]
+    scale = 1.0 / (dh ** 0.5)
+
+    def kernel(pos_ref, q_ref, kc, vc, ks, vs, kn, vn, va, out):
+        p = pos_ref[0]
+        w = p % c
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+        k_pos = p - ((w - j) % c)
+        ok = (k_pos >= 0) & (p - k_pos < window) & (j != w)
+        ok = ok & (va[...][:, 0, :] != 0)
+
+        qv = q_ref[...]
+        bb = qv.shape[0]
+        g = bb * h
+
+        def unpack(blk):  # (bb, H, C, Dh/2) uint8 -> (g, C, Dh) bf16
+            pi = blk[...].astype(jnp.int32)
+            lo = (pi & 15) - 8
+            hi = (pi >> 4) - 8
+            full = jnp.concatenate([lo, hi], axis=-1)
+            return full.reshape(g, c, dh).astype(jnp.bfloat16)
+
+        qf = qv.reshape(g, 1, dh)
+        scores = jax.lax.dot_general(
+            qf.astype(jnp.bfloat16), unpack(kc),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(bb, h, c)
+        scores = scores * (ks[...] * scale)
+        scores = jnp.where(ok[:, None, :], scores, NEG_INF)
+
+        s_new = jnp.sum(
+            qv.astype(jnp.float32) * kn[...].astype(jnp.float32), axis=-1
+        ) * scale
+
+        m = jnp.maximum(jnp.max(scores, axis=-1), s_new)
+        e_c = jnp.exp(scores - m[..., None])
+        e_n = jnp.exp(s_new - m)
+        denom = jnp.sum(e_c, axis=-1) + e_n
+
+        p_c = (e_c * vs[...]).astype(jnp.bfloat16)
+        out_c = jax.lax.dot_general(
+            p_c.reshape(g, 1, c), unpack(vc),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(bb, h, dh)
+        res = (out_c + e_n[..., None] * vn[...].astype(jnp.float32)) / denom[
+            ..., None
+        ]
+        out[...] = res.astype(out.dtype)
+
+    bb = 1
+    dh2 = dh // 2
+    kv_spec = pl.BlockSpec((bb, h, c, dh2), lambda i, p_ref: (i, 0, 0, 0))
+    s_spec = pl.BlockSpec((bb, h, c), lambda i, p_ref: (i, 0, 0))
+    row_spec = pl.BlockSpec((bb, h, dh), lambda i, p_ref: (i, 0, 0))
+    va_spec = pl.BlockSpec((bb, 1, c), lambda i, p_ref: (i, 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // bb,),
+        in_specs=[row_spec, kv_spec, kv_spec, s_spec, s_spec,
+                  row_spec, row_spec, va_spec],
+        out_specs=row_spec,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, dh), q.dtype),
+        interpret=interpret,
+    )(pos, q, k_cache, v_cache, k_scale, v_scale, k_new, v_new, valid)
+
+
 def supported(q, k_cache, plan) -> bool:
-    """T=1 decode over an int8 ring big enough to beat the XLA path."""
+    """T=1 decode over an int8 (or packed-int4 uint8) ring big enough to
+    beat the XLA path."""
     if q.ndim != 4 or q.shape[2] != 1:
         return False
     b, h, _, dh = q.shape
     c = k_cache.shape[2]
-    if k_cache.dtype != jnp.int8:
+    if k_cache.dtype == jnp.uint8:  # nibble-packed int4
+        if k_cache.shape[3] * 2 != dh:
+            return False
+    elif k_cache.dtype != jnp.int8:
         return False
     if c < 256 or c % 128 or dh % 128 or h % 8:
         return False
@@ -148,7 +236,8 @@ def decode_attend(
             interpret = True
     b, h, t, dh = q.shape
     pos = jnp.asarray(plan["q_pos"][0], jnp.int32).reshape((1,))
-    out = _decode_attend_q(
+    fn = _decode_attend_q4 if k_cache.dtype == jnp.uint8 else _decode_attend_q
+    out = fn(
         q[:, :, 0, :],
         k_cache, v_cache,
         k_scale.astype(jnp.float32), v_scale.astype(jnp.float32),

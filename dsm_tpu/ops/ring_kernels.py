@@ -40,8 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _row_block(dtype) -> int:
     """Ring rows per VMEM block: the native second-minor tile size."""
-    if dtype == jnp.int8:
-        return 32
+    if dtype == jnp.int8 or dtype == jnp.uint8:
+        return 32  # uint8: the nibble-packed int4 rings (attention.pack4)
     if dtype == jnp.bfloat16 or dtype == jnp.float16:
         return 16
     return 8

@@ -112,6 +112,7 @@ def init_state(
     cache_dtype=jnp.bfloat16,
     step_t: int = 1,
     kv_quant: bool = False,
+    kv_bits: int = 8,
 ) -> dict:
     """Streaming state: per-layer KV rings + global tick + validity bitmap.
 
@@ -140,12 +141,20 @@ def init_state(
     if cap % align:
         cap += align - cap % align
     layers = []
+    # kv_bits=4 (opt-in): int4 values nibble-packed into uint8 (Dh/2 bytes
+    # per row; attention.pack4) — halves the ring read again vs int8.
+    # Packed-uint8 (not jnp.int4) because int4 arrays cannot cross jit
+    # boundaries on this environment's backend, and the ring state does so
+    # every serving step.  Quality bound: tests/test_kv_int4.py.
+    assert kv_bits in (8, 4)
+    kv_shape = (batch, h, cap, hd if kv_bits == 8 else hd // 2)
+    qdt = jnp.int8 if kv_bits == 8 else jnp.uint8
     for _ in range(cfg.num_layers):
         if kv_quant:
             layers.append(
                 {
-                    "k": jnp.zeros((batch, h, cap, hd), jnp.int8),
-                    "v": jnp.zeros((batch, h, cap, hd), jnp.int8),
+                    "k": jnp.zeros(kv_shape, qdt),
+                    "v": jnp.zeros(kv_shape, qdt),
                     "ks": jnp.zeros((batch, h, cap), jnp.float32),
                     "vs": jnp.zeros((batch, h, cap), jnp.float32),
                 }
@@ -418,7 +427,13 @@ def step(
         #    the reverse order that keeps the update in place
         #    (attend_global_split docstring).
         if kv_quant:
-            kq, vq, ks_new, vs_new = attn.quantize_kv_rows(k, v)
+            packed4 = k_l.dtype == jnp.uint8  # nibble-packed int4 profile
+            if packed4:
+                kq, vq, ks_new, vs_new = attn.quantize_kv_rows_packed4(k, v)
+            else:
+                kq, vq, ks_new, vs_new = attn.quantize_kv_rows(
+                    k, v, dtype=k_l.dtype
+                )
             if rkern.ring_kernel_enabled() and rkern.supported(k_l, kq, True):
                 k_l, v_l, ks, vs = rkern.ring_commit(
                     k_l, v_l, kq, vq, plan["w"][0],
@@ -426,7 +441,7 @@ def step(
                 )
                 if dattn.decode_attn_enabled() and dattn.supported(
                     q, k_l, plan
-                ):
+                ):  # int8 or packed-int4 (decode_attend dispatches)
                     # Fully fused decode attention: int8 dequant + masked
                     # softmax + both dots in one Pallas pass — the ring is
                     # read once as int8 (the XLA dots materialise bf16
@@ -436,12 +451,16 @@ def step(
                         window=cfg.context,
                     )
                 else:
-                    y = attn.attend_global_split_q(
+                    att = (attn.attend_global_split_q4 if packed4
+                           else attn.attend_global_split_q)
+                    y = att(
                         q, k_l, v_l, ks, vs, k, v, plan, valid_old,
                         window=cfg.context,
                     )
             else:
-                y = attn.attend_global_split_q(
+                att = (attn.attend_global_split_q4 if packed4
+                       else attn.attend_global_split_q)
+                y = att(
                     q, k_l, v_l, layer_st["ks"], layer_st["vs"], k, v, plan,
                     valid_old, window=cfg.context,
                 )

@@ -47,13 +47,15 @@ class AsrConfig:
     # int8 KV rings with per-row scales: halves attention HBM traffic,
     # the serving hot path's dominant cost.
     kv_quant: bool = False
+    kv_bits: int = 8
 
 
 def init_state(cfg: AsrConfig, batch: int, cache_dtype=jnp.bfloat16) -> dict:
     mimi_dt = jnp.dtype(cfg.mimi_dtype)
     return {
         "mimi_enc": MIMI.init_encode_state(cfg.mimi, batch, mimi_dt),
-        "lm": LM.init_state(cfg.lm, batch, cache_dtype, kv_quant=cfg.kv_quant),
+        "lm": LM.init_state(cfg.lm, batch, cache_dtype, kv_quant=cfg.kv_quant,
+                            kv_bits=cfg.kv_bits),
         # Audio tokens from the previous frame (the 1-frame audio delay the
         # LM was trained with; asr.rs next_codebooks :168-190).
         "next_codebooks": jnp.full(
