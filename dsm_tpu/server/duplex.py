@@ -34,6 +34,7 @@ class DuplexEngine:
         mimi_cfg: MIMI.MimiConfig,
         mimi_params: dict,
         tokenizer,
+        kv_quant: Optional[bool] = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -46,6 +47,18 @@ class DuplexEngine:
         self.cache_dtype = (
             jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
         )
+        # Serving profile on accelerators, like the other engines: int8 KV
+        # rings + weight-only int8 LM (moshi-7B duplex at batch 1 is
+        # weight-read-bound; int8 halves it).
+        if kv_quant is None:
+            kv_quant = jax.default_backend() != "cpu"
+        self.kv_quant = kv_quant
+        if self.kv_quant:
+            from ..ops import transformer as TT
+
+            params = dict(params)
+            params["lm"] = TT.quantize_weights(params["lm"])
+            self.params = params
         self.lock = threading.Lock()  # one dialogue at a time per engine
 
         self._enc = jax.jit(
@@ -92,7 +105,9 @@ class DuplexSession:
         self.rng = jax.random.PRNGKey(seed)
         self.enc_state = MIMI.init_encode_state(engine.mimi_cfg, 1)
         self.dec_state = MIMI.init_decode_state(engine.mimi_cfg, 1)
-        self.state = lm_gen.init_state(engine.cfg, 1, engine.cache_dtype)
+        self.state = lm_gen.init_state(
+            engine.cfg, 1, engine.cache_dtype, kv_quant=engine.kv_quant
+        )
         self.steps = 0
 
     def push_pcm(self, pcm: np.ndarray) -> None:

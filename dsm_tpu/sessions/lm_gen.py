@@ -50,10 +50,11 @@ class DuplexConfig:
         return self.generated_audio_codebooks + self.input_audio_codebooks
 
 
-def init_state(cfg: DuplexConfig, batch: int = 1, cache_dtype=jnp.bfloat16) -> dict:
+def init_state(cfg: DuplexConfig, batch: int = 1, cache_dtype=jnp.bfloat16,
+               kv_quant: bool = False) -> dict:
     cap = cfg.max_steps + cfg.acoustic_delay
     return {
-        "lm": LM.init_state(cfg.lm, batch, cache_dtype),
+        "lm": LM.init_state(cfg.lm, batch, cache_dtype, kv_quant=kv_quant),
         "audio_tokens": jnp.full((batch, cap, cfg.total_codebooks), UNGENERATED, jnp.int32),
         "text_tokens": jnp.full((batch, cap), UNGENERATED, jnp.int32),
         "prev_text": jnp.full((batch,), cfg.text_start_token, jnp.int32),

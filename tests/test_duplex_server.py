@@ -119,3 +119,31 @@ def test_mimi_rooms_broadcast():
                 await w.close()
 
     asyncio.run(main())
+
+
+def test_duplex_engine_serving_profile_kv_quant():
+    """DuplexEngine with the accelerator serving profile forced on CPU:
+    int8 KV rings + weight-only int8 LM run the full warmup + a session
+    step (the moshi-7B duplex path is weight-read-bound; this is the
+    profile a TPU worker builds)."""
+    import jax
+    import numpy as np
+
+    from dsm_tpu.models import lm as LM
+    from dsm_tpu.models import mimi as MIMI
+    from dsm_tpu.server.duplex import DuplexEngine, DuplexSession
+    from dsm_tpu.sessions import lm_gen
+    from tests.test_mimi import small_cfg as small_mimi_cfg
+
+    engine, mimi_cfg = make_duplex_engine()
+    # Rebuild with kv_quant forced (make_duplex_engine uses auto=CPU-off).
+    eng = DuplexEngine(
+        engine.cfg, engine.params, engine.mimi_cfg, engine.mimi_params,
+        engine.tokenizer, kv_quant=True,
+    )
+    assert eng.kv_quant
+    # (Weight-only int8 skips these tiny test matrices — quantize_weights
+    # has a min_size gate; at moshi-7B shapes every matmul leaf converts.)
+    eng.warmup()
+    sess = DuplexSession(eng)
+    assert "ks" in sess.state["lm"]["t"]["layers"][0]  # int8 KV rings
