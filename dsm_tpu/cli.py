@@ -69,6 +69,8 @@ def cmd_worker(args) -> int:
         tts_engine.start()
     if duplex_engine is not None:
         duplex_engine.warmup()
+        if hasattr(duplex_engine, "start"):
+            duplex_engine.start()  # batched engine device loop
     if mimi_rooms_engine is not None:
         mimi_rooms_engine.warmup()
     import os
@@ -235,13 +237,17 @@ def cmd_tts_client(args) -> int:
             return 2
         on_audio = sink.push
 
-    result = asyncio.run(
-        TtsClient(args.url, token=args.token).synthesize(
-            args.text, on_audio=on_audio
+    try:
+        result = asyncio.run(
+            TtsClient(args.url, token=args.token).synthesize(
+                args.text, on_audio=on_audio
+            )
         )
-    )
-    if sink is not None:
-        sink.__exit__(None, None, None)
+    finally:
+        # Close the PortAudio stream on failure too (connection refused,
+        # server error) — otherwise the output stream leaks.
+        if sink is not None:
+            sink.__exit__(None, None, None)
     write_wav(args.out, result.pcm, 24_000)
     print(json.dumps({
         "out": args.out,

@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -140,7 +141,24 @@ def state_shardings(mesh: Mesh, state, batch: int):
 # SURVEY.md §5 distributed backend).
 
 
+def _is_prng_key(leaf) -> bool:
+    """True for typed PRNG-key arrays and legacy raw ``(2,)``/``(4,)``
+    uint32 key buffers — these replicate, never shard over dp."""
+    dt = getattr(leaf, "dtype", None)
+    if dt is None:
+        return False
+    try:
+        if jax.dtypes.issubdtype(dt, jax.dtypes.prng_key):
+            return True
+    except (TypeError, AttributeError):
+        pass
+    shape = getattr(leaf, "shape", ())
+    return dt == jnp.uint32 and len(shape) == 1 and shape[0] in (2, 4)
+
+
 def _dp_spec(leaf, batch: int) -> P:
+    if _is_prng_key(leaf):
+        return P()
     nd = getattr(leaf, "ndim", 0)
     shape = getattr(leaf, "shape", ())
     if nd >= 1 and shape[0] == batch:

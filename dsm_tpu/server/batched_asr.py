@@ -379,6 +379,7 @@ class BatchedAsrEngine:
         """One engine tick; returns True if any slot stepped."""
         import jax
 
+        t_pre0 = time.perf_counter()
         mask = np.zeros(self.batch_size, bool)
         reset = np.zeros(self.batch_size, bool)
         chans: List[Optional[Channel]] = [None] * self.batch_size
@@ -408,6 +409,10 @@ class BatchedAsrEngine:
                         chans[slot] = ch
 
         if not mask.any() and not reset.any():
+            if any(ch is not None and not ch.closed for ch in self.slots):
+                # Open sessions but no frame ready: input starvation
+                # (pipeline_stalls_total; metrics.rs:418-420).
+                metrics.PIPELINE_STALLS.inc()
             # Idle tick: flush any in-flight results so events don't stall
             # (the drain thread handles this when running).
             if self._pending and self._drain_thread is None:
@@ -416,13 +421,20 @@ class BatchedAsrEngine:
             return False
 
         t0 = time.perf_counter()
+        metrics.PIPELINE_PREPROCESS_DURATION.observe(t0 - t_pre0)
         out = self._invoke_step(self._pcm_buf, mask, reset)
         self.step_count += 1
-        metrics.LM_BATCH_UTILIZATION.set(float(mask.mean()))
+        metrics.LM_STEPS_TOTAL.inc()
+        n_active = int(mask.sum())
+        # The fused step encodes one Mimi frame per active slot
+        # (mimi_frames_encoded_total; metrics.rs:264-266).
+        metrics.MIMI_FRAMES_ENCODED.inc(n_active)
+        metrics.LM_BATCH_UTILIZATION.observe(float(mask.mean()))
         with self._pending_cv:
             self._pending.append((out, mask.copy(), chans, t0))
             self._inflight += 1
             metrics.LM_QUEUE_DEPTH.set(self._inflight)
+            metrics.PIPELINE_CHANNEL_QUEUE_DEPTH.set(self._inflight)
             self._pending_cv.notify_all()
             if self._drain_thread is not None:
                 # Backpressure: bound dispatch-ahead, overlapping this
@@ -449,7 +461,7 @@ class BatchedAsrEngine:
             try:
                 self._process_item(item)
             except Exception:
-                metrics.CONNECTION_ERRORS.inc()
+                metrics.record_connection_error("internal", "asr")
                 import traceback
 
                 traceback.print_exc()
@@ -490,8 +502,14 @@ class BatchedAsrEngine:
             prs = np.asarray(out["prs"]) if out["prs"].shape[-1] else None
         dt = time.perf_counter() - t0
         metrics.ASR_MODEL_STEP_DURATION.observe(dt)
+        metrics.PIPELINE_BATCH_DURATION.observe(dt)
+        if dt > 0:
+            # Text tokens emitted this step across the active batch
+            # (lm_tokens_per_second; metrics.rs:201-206).
+            metrics.LM_TOKENS_PER_SECOND.set(float(mask.sum()) / dt)
         if self.step_observer is not None:
             self.step_observer(dt, float(mask.mean()))
+        t_post0 = time.perf_counter()
 
         if self.session_logger is not None:
             codes = np.asarray(out["codes"])
@@ -525,14 +543,28 @@ class BatchedAsrEngine:
             # deliver only if the slot still belongs to this channel.
             if not ch.closed and self.slots[slot] is ch:
                 ch.deliver(ev)
+        t_post = time.perf_counter() - t_post0
+        metrics.PIPELINE_POSTPROCESS_DURATION.observe(t_post)
+        # Overlap efficiency: fraction of the step window not spent in
+        # serial host post-processing — 1.0 when the drain thread fully
+        # hides post-process behind the next dispatch (metrics.rs:423-429).
+        if dt + t_post > 0:
+            overlapped = 1.0 if self._drain_thread is not None else dt / (dt + t_post)
+            metrics.PIPELINE_OVERLAP_EFFICIENCY.observe(overlapped)
 
     def flush(self) -> None:
         """Drain every in-flight step (tests / shutdown)."""
         if self._drain_thread is not None:
             with self._pending_cv:
                 while self._inflight > 0:
+                    # Liveness guard: if the drain thread died (stop() join
+                    # timeout, crash), fall back to inline draining instead
+                    # of waiting forever on a cv nobody will notify.
+                    if not self._drain_thread.is_alive():
+                        break
                     self._pending_cv.wait(timeout=0.5)
-            return
+            if self._drain_thread.is_alive():
+                return
         while self._pending:
             self._drain_one()
 
@@ -542,7 +574,7 @@ class BatchedAsrEngine:
                 if not self.tick():
                     time.sleep(self.tick_sleep)
             except Exception:
-                metrics.CONNECTION_ERRORS.inc()
+                metrics.record_connection_error("internal", "asr")
                 import traceback
 
                 traceback.print_exc()

@@ -302,11 +302,18 @@ class BatchedTtsEngine:
                 )
         return drv
 
-    def _apply_voice_writes(self) -> None:
+    def _apply_voice_writes(self, pending=None) -> None:
         """Engine-loop-thread only: flush queued per-slot voice updates
-        (jitted in-place dynamic_update_slice on the device CA buffer)."""
-        with self.slot_lock:
-            pending, self._pending_voice = self._pending_voice, []
+        (jitted in-place dynamic_update_slice on the device CA buffer).
+
+        ``pending`` may be a list already drained under ``slot_lock`` —
+        tick() drains inside the same lock block as the slot gather so a
+        session opened concurrently is never stepped before its voice write
+        lands (open_session enqueues the voice before publishing the slot
+        under that lock)."""
+        if pending is None:
+            with self.slot_lock:
+                pending, self._pending_voice = self._pending_voice, []
         if not pending:
             return
         ck, cv = self._ca_raw
@@ -386,7 +393,6 @@ class BatchedTtsEngine:
         import jax
 
         t_gather0 = time.perf_counter()
-        self._apply_voice_writes()
         modes = np.full(self.batch_size, TTS.ALLOW_PAD, np.int32)
         toks = np.zeros(self.batch_size, np.int32)
         mask = np.zeros(self.batch_size, bool)
@@ -394,6 +400,9 @@ class BatchedTtsEngine:
         drivers: List[Optional[TtsSlot]] = [None] * self.batch_size
 
         with self.slot_lock:
+            # Drain voice writes in the SAME lock block as the gather: any
+            # gathered slot's queued write is applied before it is stepped.
+            pending_voice, self._pending_voice = self._pending_voice, []
             reset[:] = self.pending_resets
             self.pending_resets[:] = False
             for slot, drv in enumerate(self.slots):
@@ -408,6 +417,7 @@ class BatchedTtsEngine:
                 mask[slot] = True
                 drivers[slot] = drv
 
+        self._apply_voice_writes(pending_voice)
         if not mask.any() and not reset.any():
             return False
 
@@ -444,6 +454,8 @@ class BatchedTtsEngine:
             else None
         )
         metrics.LM_STEP_DURATION.observe(time.perf_counter() - t0)
+        metrics.LM_STEPS_TOTAL.inc()
+        metrics.MIMI_FRAMES_DECODED.inc(int(dec_mask.sum()))
 
         overwrite_slots = np.zeros(self.batch_size, bool)
         for slot, drv in enumerate(drivers):
@@ -482,7 +494,7 @@ class BatchedTtsEngine:
                 if not self.tick():
                     time.sleep(self.tick_sleep)
             except Exception:
-                metrics.CONNECTION_ERRORS.inc()
+                metrics.record_connection_error("internal", "tts")
                 import traceback
 
                 traceback.print_exc()
