@@ -122,7 +122,7 @@ class App:
             self.auth.check(request.headers, dict(request.query), request.cookies)
             return None
         except auth_mod.AuthError as e:
-            metrics.AUTH_ERRORS.labels(code=e.code).inc()
+            metrics.record_auth_error(e.code)
             return web.json_response(e.to_json(), status=e.status)
 
     def _rate_limited(self, request) -> bool:
@@ -143,9 +143,7 @@ class App:
         return False
 
     async def _reject_rate_limited(self, request):
-        metrics.WS_CLOSE_ERRORS.labels(
-            code=str(int(proto.CloseCode.RATE_LIMITED))
-        ).inc()
+        metrics.record_ws_close(proto.CloseCode.RATE_LIMITED)
         ws = web.WebSocketResponse()
         await ws.prepare(request)
         await ws.close(
@@ -220,9 +218,7 @@ class App:
         except TypeError:  # engines without per-request seeding
             ch = self.asr_engine.open_channel(deliver)
         if ch is None:
-            metrics.WS_CLOSE_ERRORS.labels(
-                code=str(int(proto.CloseCode.SERVER_AT_CAPACITY))
-            ).inc()
+            metrics.record_ws_close(proto.CloseCode.SERVER_AT_CAPACITY)
             await ws.close(
                 code=int(proto.CloseCode.SERVER_AT_CAPACITY),
                 message=proto.CloseCode.SERVER_AT_CAPACITY.reason.encode(),
@@ -280,8 +276,7 @@ class App:
                 if msg.type != WSMsgType.BINARY:
                     continue
                 if metrics.stream_metrics_enabled():
-                    metrics.STREAM_IN_MESSAGES.labels(module="asr").inc()
-                    metrics.STREAM_IN_BYTES.labels(module="asr").inc(len(msg.data))
+                    metrics.stream_in("asr", len(msg.data))
                 try:
                     m = proto.asr_in_msg(msg.data)
                 except Exception:
@@ -313,7 +308,7 @@ class App:
             self.asr_engine.close_channel(ch)
             send_task.cancel()
             if close_code != proto.CloseCode.NORMAL:
-                metrics.WS_CLOSE_ERRORS.labels(code=str(int(close_code))).inc()
+                metrics.record_ws_close(close_code)
             if not ws.closed:
                 await ws.close(
                     code=int(close_code), message=close_code.reason.encode()
@@ -626,9 +621,7 @@ class App:
             **open_kw,
         )
         if slot is None:
-            metrics.WS_CLOSE_ERRORS.labels(
-                code=str(int(proto.CloseCode.SERVER_AT_CAPACITY))
-            ).inc()
+            metrics.record_ws_close(proto.CloseCode.SERVER_AT_CAPACITY)
             await ws.close(
                 code=int(proto.CloseCode.SERVER_AT_CAPACITY),
                 message=proto.CloseCode.SERVER_AT_CAPACITY.reason.encode(),
@@ -681,51 +674,137 @@ class App:
         err = self._check_auth(request)
         if err is not None:
             return err
+        from ..utils import opus as opus_mod
         from .duplex import DuplexSession, audio_frame, parse_frame, text_frame
         from .protocol import MsgType
 
+        # Wire format: OggOpus AUDIO frames by default — compatible with
+        # reference duplex clients (lm.rs:77-318, multistream.rs:5-113) —
+        # or raw float32 pcm with ?format=pcm (our codec-less extension).
+        fmt = request.query.get("format", "")
+        use_opus = fmt != "pcm" and opus_mod.available()
+        if fmt == "opus" and not opus_mod.available():
+            return web.json_response(
+                {"error": "opus codec unavailable"}, status=501
+            )
+        asr_delay = _parse_seed(request.query.get("asr_delay_in_tokens")) or 0
+
+        batched = hasattr(self.duplex_engine, "open_session")
+
         ws = web.WebSocketResponse(heartbeat=PING_INTERVAL_S)
         await ws.prepare(request)
-        await ws.send_bytes(bytes([MsgType.HANDSHAKE]))
+        # Handshake payload: protocol version u32 (0) + model version u32
+        # (stream_both.rs send_ready :259-269, lm.rs :243-246).
+        await ws.send_bytes(bytes([MsgType.HANDSHAKE]) + b"\x00" * 8)
 
         loop = asyncio.get_running_loop()
         out_q: asyncio.Queue = asyncio.Queue()
-        session = DuplexSession(self.duplex_engine)
+        if batched:
+            session = None
+        else:
+            session = DuplexSession(
+                self.duplex_engine, asr_delay_in_tokens=asr_delay
+            )
+
+        enc = dec = None
+        if use_opus:
+            enc = opus_mod.OggOpusEncoder()
+            dec = opus_mod.OggOpusDecoder()
+            # Header pages (OpusHead + OpusTags) go out first as one AUDIO
+            # frame, before any encoded packet (lm.rs:251-262 header_data).
+            await ws.send_bytes(bytes([MsgType.AUDIO]) + enc.header_pages())
 
         def on_audio(pcm):
-            loop.call_soon_threadsafe(out_q.put_nowait, audio_frame(pcm))
+            if enc is not None:
+                # One 80 ms frame = 4 x 480-sample opus packets, flushed
+                # onto one ogg page per frame (MsgSender:284-316 pattern).
+                data = enc.encode(pcm)
+                if data:
+                    loop.call_soon_threadsafe(
+                        out_q.put_nowait, bytes([MsgType.AUDIO]) + data
+                    )
+            else:
+                loop.call_soon_threadsafe(out_q.put_nowait, audio_frame(pcm))
 
         def on_text(text):
             loop.call_soon_threadsafe(out_q.put_nowait, text_frame(text))
 
-        def run_session():
-            try:
-                session.run(on_audio, on_text)
-            finally:
-                loop.call_soon_threadsafe(out_q.put_nowait, None)
+        run_task = None
+        slot = None
+        if batched:
+            # Continuous batching: the shared engine loop steps all
+            # dialogues; this handler only feeds the slot mailbox and
+            # relays its events (same split as the ASR/TTS modules).
+            from .duplex_batched import (
+                DuplexAudioEvent, DuplexDoneEvent, DuplexTextEvent,
+            )
 
-        run_task = loop.run_in_executor(None, run_session)
+            def deliver(ev):
+                if isinstance(ev, DuplexAudioEvent):
+                    on_audio(ev.pcm)
+                elif isinstance(ev, DuplexTextEvent):
+                    loop.call_soon_threadsafe(
+                        out_q.put_nowait, text_frame(ev.text)
+                    )
+                elif isinstance(ev, DuplexDoneEvent):
+                    loop.call_soon_threadsafe(out_q.put_nowait, None)
+
+            slot = self.duplex_engine.open_session(
+                deliver, asr_delay_in_tokens=asr_delay
+            )
+            if slot is None:
+                metrics.record_ws_close(proto.CloseCode.SERVER_AT_CAPACITY)
+                await ws.close(
+                    code=int(proto.CloseCode.SERVER_AT_CAPACITY),
+                    message=proto.CloseCode.SERVER_AT_CAPACITY.reason.encode(),
+                )
+                return ws
+            push_pcm = slot.push_pcm
+        else:
+            def run_session():
+                try:
+                    session.run(on_audio, on_text)
+                finally:
+                    loop.call_soon_threadsafe(out_q.put_nowait, None)
+
+            run_task = loop.run_in_executor(None, run_session)
+            push_pcm = session.push_pcm
 
         async def sender():
             while True:
                 frame = await out_q.get()
                 if frame is None:
                     return
+                if metrics.stream_metrics_enabled():
+                    metrics.stream_out("lm", len(frame))
                 await ws.send_bytes(frame)
 
         send_task = asyncio.create_task(sender())
+        metrics.LM_ACTIVE_CONNECTIONS.inc()
         try:
             async for msg in ws:
                 if msg.type != WSMsgType.BINARY:
                     continue
+                if metrics.stream_metrics_enabled():
+                    metrics.stream_in("lm", len(msg.data))
                 tag, payload = parse_frame(msg.data)
                 if tag == MsgType.AUDIO:
-                    session.push_pcm(np.frombuffer(payload, "<f4"))
+                    if dec is not None:
+                        pcm = dec.decode(payload)
+                        if len(pcm):
+                            push_pcm(pcm)
+                    else:
+                        push_pcm(np.frombuffer(payload, "<f4"))
                 elif tag == MsgType.PING:
                     await ws.send_bytes(bytes([MsgType.PING]))
         finally:
-            session.close()
-            await run_task
+            metrics.LM_ACTIVE_CONNECTIONS.dec()
+            if batched:
+                self.duplex_engine.close_session(slot)
+                out_q.put_nowait(None)
+            else:
+                session.close()
+                await run_task
             await send_task
             if not ws.closed:
                 await ws.close()

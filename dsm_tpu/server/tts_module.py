@@ -167,7 +167,9 @@ class TtsSession:
         self.done = True
         wall = time.perf_counter() - t_start
         metrics.TTS_SYNTHESIS_DURATION.observe(wall)
+        metrics.TTS_REQUESTS_TOTAL.inc()
         if pcm_out:
+            metrics.TTS_AUDIO_DURATION.inc(pcm_out / 24_000.0)
             metrics.TTS_RTF.set((pcm_out / 24_000.0) / max(wall, 1e-9))
 
 

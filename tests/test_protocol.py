@@ -274,3 +274,32 @@ def test_seed_param_parsing_never_raises():
     assert _parse_seed(None) is None
     assert _parse_seed("1e3") is None
     assert _parse_seed("0x10") is None
+
+
+def test_metric_family_parity():
+    """Every metric family the reference exports (metrics.rs, committed as
+    metrics.REFERENCE_FAMILIES) is rendered by our registry — the PARITY.md
+    'same families' claim, verified by name diff."""
+    from dsm_tpu.server import metrics
+
+    rendered = metrics.rendered_families()
+    missing = [f for f in metrics.REFERENCE_FAMILIES if f not in rendered]
+    assert not missing, f"reference metric families not exported: {missing}"
+
+
+def test_metric_recorders_smoke():
+    """The record_* helpers and engine-wired families accept observations."""
+    from dsm_tpu.server import metrics
+    from dsm_tpu.server import protocol as proto
+
+    metrics.record_ws_close(proto.CloseCode.SERVER_AT_CAPACITY)
+    metrics.record_connection_error("timeout", "asr")
+    metrics.record_auth_error("invalid_key")
+    metrics.stream_in("asr", 100)
+    metrics.stream_out("tts", 50)
+    metrics.MIMI_FRAMES_ENCODED.inc(4)
+    metrics.PIPELINE_OVERLAP_EFFICIENCY.observe(0.9)
+    text = metrics.render().decode()
+    assert 'ws_close_total{code="4000",reason="server_at_capacity"}' in text
+    assert 'connection_error_total{error_type="timeout",module="asr"}' in text
+    assert "asr_ws_in_bytes_total" in text
