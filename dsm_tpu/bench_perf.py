@@ -504,6 +504,139 @@ def bench_tts_sustained(batch: int, seconds: float, engine=None,
     }
 
 
+def bench_duplex_sustained(batch: int, seconds: float,
+                           events_path: str = None,
+                           drain_s: float = 30.0) -> dict:
+    """Real-time-paced full-duplex dialogue benchmark at s2s_2b_16rvq
+    shapes with the serving profile (int8 KV + weight-only int8).
+
+    Reference: moshi-backend/src/benchmark.rs:57-138 drives StreamingModel
+    with zero pcm at the 80 ms cadence and dumps an Event timeline
+    (InputPcm/Step/StepPostSampling/SendPcm timestamps) — same here, but
+    over ``batch`` concurrent dialogues on the continuous-batching engine
+    (the reference runs exactly one).
+    """
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from dsm_tpu.models import lm as LM
+    from dsm_tpu.models import mimi as MIMI
+    from dsm_tpu.sessions import lm_gen
+    from dsm_tpu.server.duplex_batched import (
+        BatchedDuplexEngine, DuplexAudioEvent, DuplexTextEvent,
+    )
+    from dsm_tpu.utils.tokenizer import FallbackTokenizer
+
+    lm_cfg = LM.s2s_2b_16rvq_202501()
+    cfg = lm_gen.DuplexConfig(
+        lm=lm_cfg, generated_audio_codebooks=16, input_audio_codebooks=16,
+        acoustic_delay=2, text_start_token=lm_cfg.text_start_token,
+        max_steps=4096,
+    )
+    mimi_cfg = MIMI.v0_1(16)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "lm": LM.init(lm_cfg, key, dtype=jnp.bfloat16),
+        "mimi": jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.bfloat16),
+            MIMI.init(mimi_cfg, jax.random.fold_in(key, 1)),
+        ),
+    }
+    engine = BatchedDuplexEngine(
+        cfg, params, mimi_cfg, params["mimi"], FallbackTokenizer(),
+        batch_size=batch, kv_quant=True,
+    )
+
+    events: list = []  # (name, t, slot)
+    ev_lock = threading.Lock()
+    t_origin = time.perf_counter()
+
+    def log_event(name, slot=-1):
+        with ev_lock:
+            events.append((name, time.perf_counter() - t_origin, slot))
+
+    step_times: list = []
+
+    def tick_obs(dt, n_active):
+        step_times.append(dt)
+        log_event("Step")
+        log_event("StepPostSampling")
+
+    engine.tick_observer = tick_obs
+    engine.warmup()
+    engine.start()
+
+    per_slot_audio = [0.0] * batch
+    per_slot_frames = [0] * batch
+
+    def mk_sink(i):
+        def sink(ev):
+            if isinstance(ev, DuplexAudioEvent):
+                per_slot_audio[i] += len(ev.pcm) / mimi_cfg.sample_rate
+                per_slot_frames[i] += 1
+                log_event("SendPcm", i)
+            elif isinstance(ev, DuplexTextEvent):
+                log_event("Text", i)
+        return sink
+
+    drivers = []
+    for i in range(batch):
+        drv = engine.open_session(mk_sink(i))
+        assert drv is not None
+        drivers.append(drv)
+
+    # Zero pcm at the real-time 80 ms cadence (benchmark.rs:100-131).
+    frame = np.zeros(mimi_cfg.frame_size, np.float32)
+    n_frames = int(seconds / 0.080)
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        for drv in drivers:
+            drv.push_pcm(frame)
+        log_event("InputPcm")
+        target = t0 + (i + 1) * 0.080
+        dt = target - time.perf_counter()
+        if dt > 0:
+            time.sleep(dt)
+    deadline = time.time() + drain_s
+    while time.time() < deadline:
+        if all(f >= n_frames - cfg.acoustic_delay - 1 for f in per_slot_frames):
+            break
+        time.sleep(0.2)
+    engine.stop()
+    wall = time.perf_counter() - t0
+
+    if events_path:
+        import json as _json
+
+        with open(events_path, "w") as f:
+            _json.dump(
+                [{"event": n, "t_s": round(t, 4), "slot": s}
+                 for n, t, s in events], f
+            )
+
+    st = np.asarray(step_times) if step_times else np.asarray([0.0])
+    audio = np.asarray(per_slot_audio)
+    # A dialogue is realtime iff it heard >= (sent - delay) frames of model
+    # speech by the end of the paced window + small drain.
+    expected = (n_frames - cfg.acoustic_delay - 1) * 0.080
+    return {
+        "batch": batch,
+        "seconds": seconds,
+        "model": "s2s_2b_16rvq (d2560/24L ctx3000, 16+16 cb, int8 KV+W)",
+        "frames_sent_per_session": n_frames,
+        "step_ms_p50": round(float(np.percentile(st, 50)) * 1e3, 1),
+        "step_ms_p95": round(float(np.percentile(st, 95)) * 1e3, 1),
+        "step_ms_p99": round(float(np.percentile(st, 99)) * 1e3, 1),
+        "audio_s_per_session_p50": round(float(np.percentile(audio, 50)), 1),
+        "realtime_sessions_frac": round(float((audio >= expected).mean()), 3),
+        "realtime_ok": bool((audio >= expected).all()),
+        "aggregate_duplex_streams": round(float(audio.sum() / wall), 1),
+        "n_events": len(events),
+    }
+
+
 def bench_memory() -> dict:
     import jax
 
@@ -530,6 +663,10 @@ def main(argv=None):
     p.add_argument("--tts-sustained", type=float, default=0.0,
                    help="drive the continuous-batching TTS engine with "
                         "--batch live sessions for N seconds")
+    p.add_argument("--duplex-sustained", type=float, default=0.0,
+                   help="real-time-paced full-duplex dialogue benchmark "
+                        "at s2s_2b_16rvq shapes with --batch concurrent "
+                        "sessions (benchmark.rs:57-138 analogue)")
     p.add_argument("--events", default=None,
                    help="dump per-frame event timestamps (JSON) in sustained mode")
     p.add_argument("--trace", default=None,
@@ -561,7 +698,7 @@ def _run_all(args, results):
         results["tts"] = bench_tts(args.batch)
     if args.e2e or not (args.mimi or args.lm or args.tts or args.memory
                         or args.sustained or args.server_sustained
-                        or args.tts_sustained):
+                        or args.tts_sustained or args.duplex_sustained):
         results["e2e"] = bench_e2e(args.batch, args.steps)
     if args.sustained:
         results["sustained"] = bench_sustained(
@@ -574,6 +711,10 @@ def _run_all(args, results):
     if args.tts_sustained:
         results["tts_sustained"] = bench_tts_sustained(
             args.batch, args.tts_sustained
+        )
+    if args.duplex_sustained:
+        results["duplex_sustained"] = bench_duplex_sustained(
+            args.batch, args.duplex_sustained, events_path=args.events
         )
     if args.memory:
         results["memory"] = bench_memory()

@@ -115,13 +115,20 @@ class DuplexTuiClient:
 
     def __init__(self, url: str, token: Optional[str] = None,
                  wav_path: Optional[str] = None, seconds: float = 30.0,
-                 drain_s: float = 2.0):
+                 drain_s: float = 2.0, fmt: Optional[str] = None):
         self.url = url
         self.token = token
         self.wav_path = wav_path
         self.seconds = seconds
         self.drain_s = drain_s  # keep receiving after the last sent frame
         self.state = TuiState()
+        # Opus wire by default (moshi-cli multistream.rs:5-113 packetizes
+        # opus both ways); pcm fallback when the codec is unavailable.
+        if fmt is None:
+            from ..utils import opus as opus_mod
+
+            fmt = "opus" if opus_mod.available() else "pcm"
+        self.fmt = fmt
 
     async def run(self, on_update=None) -> TuiState:
         import aiohttp
@@ -134,15 +141,32 @@ class DuplexTuiClient:
         if self.token:
             headers["Authorization"] = f"Bearer {self.token}"
         st = self.state
+        url = self.url
+        enc = dec = None
+        if self.fmt == "opus":
+            from ..utils import opus as opus_mod
+
+            enc = opus_mod.OggOpusEncoder()
+            dec = opus_mod.OggOpusDecoder()
+        else:
+            sep = "&" if "?" in url else "?"
+            url = f"{url}{sep}format=pcm"
         async with aiohttp.ClientSession() as session:
-            async with session.ws_connect(self.url, headers=headers) as ws:
+            async with session.ws_connect(url, headers=headers) as ws:
                 st.connected = True
                 st.status = "streaming"
 
                 async def sender():
                     t0 = time.monotonic()
                     for i, frame in enumerate(pcm_frames(pcm, n_frames)):
-                        await ws.send_bytes(audio_frame(frame))
+                        if enc is not None:
+                            data = enc.encode(frame)
+                            if data:
+                                await ws.send_bytes(
+                                    bytes([MsgType.AUDIO]) + data
+                                )
+                        else:
+                            await ws.send_bytes(audio_frame(frame))
                         st.on_sent(frame)
                         if on_update:
                             on_update(st)
@@ -175,7 +199,12 @@ class DuplexTuiClient:
                             if tag == MsgType.TEXT:
                                 st.on_text(payload.decode())
                             elif tag == MsgType.AUDIO:
-                                st.on_audio(np.frombuffer(payload, "<f4"))
+                                if dec is not None:
+                                    out = dec.decode(payload)
+                                    if len(out):
+                                        st.on_audio(out)
+                                else:
+                                    st.on_audio(np.frombuffer(payload, "<f4"))
                             if on_update:
                                 on_update(st)
                     if send_task.done():

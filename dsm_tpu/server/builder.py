@@ -254,6 +254,16 @@ def build_duplex(mod: CFG.ModuleConfig):
     tok_path = (
         CFG.resolve_path(mod.text_tokenizer_file) if mod.text_tokenizer_file else None
     )
+    batch = mod.raw.get("batch_size", 1)
+    if batch and int(batch) > 1:
+        # Continuous batching for dialogues (beyond the reference, which
+        # serves one dialogue per model instance; lm.rs:77-318).
+        from .duplex_batched import BatchedDuplexEngine
+
+        return BatchedDuplexEngine(
+            cfg, {"lm": lm_params, "mimi": mimi_params}, mimi_cfg,
+            mimi_params, load_tokenizer(tok_path), batch_size=int(batch),
+        )
     return DuplexEngine(
         cfg, {"lm": lm_params, "mimi": mimi_params}, mimi_cfg, mimi_params,
         load_tokenizer(tok_path),

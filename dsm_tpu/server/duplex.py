@@ -1,16 +1,22 @@
 """Full-duplex Moshi dialogue serving (reference: moshi-backend
 stream_both.rs + moshi-server/src/lm.rs /api/lm-streaming).
 
-One websocket speaks the byte-tag protocol (protocol.rs MsgType): client
-sends AUDIO frames (pcm here; the reference uses opus — no codec backend in
-this environment), the server runs the 80 ms loop
+One websocket speaks the byte-tag protocol (protocol.rs MsgType), wire-
+compatible with reference duplex clients (moshi-cli multistream.rs):
+AUDIO frames carry OggOpus in both directions (lm.rs:77-318 decodes
+incoming opus and re-encodes model speech; stream_both.rs:221-319 MsgSender
+packetizes one opus packet per ogg page).  ``?format=pcm`` selects raw
+float32 pcm frames instead (our extension for codec-less clients/tests).
+The server runs the 80 ms loop
 
   Mimi.encode_step(user pcm) -> lm_gen.step -> Mimi.decode_step(model frame)
 
 and sends back AUDIO (model speech) + TEXT (model words) frames.  The model
 loop runs on a dedicated thread at frame cadence, exactly the reference's
 run_with_state structure (stream_both.rs:385-445) with the whole numeric
-path fused into jitted steps.
+path fused into jitted steps.  ``asr_delay_in_tokens`` switches a session
+into the ASR-only delay mode (run_with_state_asr, stream_both.rs:329-383):
+text transcription only, no audio out.
 """
 
 from __future__ import annotations
@@ -68,7 +74,8 @@ class DuplexEngine:
             lambda p, s, c: MIMI.decode_step(mimi_cfg, p, s, c), donate_argnums=(1,)
         )
         self._step = jax.jit(
-            lambda p, s, a, k: lm_gen.step(cfg, p, s, a, k), donate_argnums=(1,)
+            lambda p, s, a, k, d: lm_gen.step(cfg, p, s, a, k, asr_delay=d),
+            donate_argnums=(1,),
         )
 
     def warmup(self) -> None:
@@ -85,7 +92,7 @@ class DuplexEngine:
             :, : self.cfg.input_audio_codebooks
         ]
         out, _ = self._step(self.params, sess.state, user_tokens,
-                            jax.random.PRNGKey(0))
+                            jax.random.PRNGKey(0), np.int32(0))
         dec_state = MIMI.init_decode_state(self.mimi_cfg, 1)
         frame = np.zeros(
             (1, self.cfg.generated_audio_codebooks, 1), np.int32
@@ -97,7 +104,8 @@ class DuplexEngine:
 class DuplexSession:
     """One dialogue: pcm frames in, (pcm, text) out via callback."""
 
-    def __init__(self, engine: DuplexEngine, seed: int = 0):
+    def __init__(self, engine: DuplexEngine, seed: int = 0,
+                 asr_delay_in_tokens: int = 0):
         import jax
 
         self.engine = engine
@@ -109,6 +117,9 @@ class DuplexSession:
             engine.cfg, 1, engine.cache_dtype, kv_quant=engine.kv_quant
         )
         self.steps = 0
+        # ASR-only delay mode (stream_both.rs:329-383): > 0 suppresses the
+        # text input during the delay window and mutes audio output.
+        self.asr_delay = int(asr_delay_in_tokens)
 
     def push_pcm(self, pcm: np.ndarray) -> None:
         self.in_q.put(np.asarray(pcm, np.float32))
@@ -140,7 +151,8 @@ class DuplexSession:
                     ]
                     self.rng, sub = jax.random.split(self.rng)
                     out, self.state = eng._step(
-                        eng.params, self.state, user_tokens, sub
+                        eng.params, self.state, user_tokens, sub,
+                        np.int32(self.asr_delay),
                     )
                     self.steps += 1
                     tok = int(out["text_token"][0])
@@ -153,7 +165,9 @@ class DuplexSession:
                     elif text_acc:
                         on_text(eng.tokenizer.decode(text_acc))
                         text_acc = []
-                    if bool(out["frame_valid"][0]):
+                    if self.asr_delay <= 0 and bool(out["frame_valid"][0]):
+                        # ASR-delay mode sends text only
+                        # (run_with_state_asr emits no StreamOut::Pcm).
                         frame_codes = np.asarray(out["frame"], np.int32)[:, :, None]
                         pcm, self.dec_state = eng._dec(
                             eng.params["mimi"], self.dec_state, frame_codes

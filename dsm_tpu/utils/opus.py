@@ -155,13 +155,17 @@ class OggOpusEncoder:
         return out
 
     def encode(self, pcm, eos: bool = False) -> bytes:
-        """Encode float32 pcm (a multiple of 480 samples) into ogg bytes."""
+        """Encode float32 pcm into ogg bytes.  Partial opus packets are
+        buffered until full (stream_both.rs MsgSender:284-290 keeps a pcm
+        VecDeque and encodes only whole OPUS_ENCODER_FRAME_SIZE chunks)."""
         import numpy as np
 
         out = b"" if self._header_sent else self.header_pages()
         pcm = np.ascontiguousarray(pcm, np.float32).reshape(-1)
-        assert len(pcm) % PACKET_SAMPLES == 0, len(pcm)
+        if getattr(self, "_tail", None) is not None and len(self._tail):
+            pcm = np.concatenate([self._tail, pcm])
         n_pkts = len(pcm) // PACKET_SAMPLES
+        self._tail = pcm[n_pkts * PACKET_SAMPLES :]
         buf = ctypes.create_string_buffer(4000)
         for i in range(n_pkts):
             chunk = pcm[i * PACKET_SAMPLES : (i + 1) * PACKET_SAMPLES]

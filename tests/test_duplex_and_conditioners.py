@@ -52,7 +52,7 @@ def test_duplex_steps_produce_frames():
     frame = outs[3]["frame"][0]
     assert frame.shape == (3,)
     assert int(frame.max()) < cfg.lm.audio_vocab_size - 1
-    assert int(state["step_idx"]) == 6
+    assert int(state["step_idx"][0]) == 6  # per-slot counters
     # User audio recorded in the input codebook group.
     buf = np.asarray(state["audio_tokens"][0])
     assert buf[2, 3] == 2 % 8

@@ -1,0 +1,157 @@
+"""Continuously-batched duplex engine: concurrent dialogues, per-slot
+lifecycle, batched-vs-single equivalence of the step semantics."""
+
+import time
+
+import numpy as np
+
+from dsm_tpu.server.duplex_batched import (
+    BatchedDuplexEngine,
+    DuplexAudioEvent,
+    DuplexDoneEvent,
+    DuplexTextEvent,
+)
+from tests.test_duplex_server import make_duplex_engine
+
+
+def make_batched(batch=4):
+    single, mimi_cfg = make_duplex_engine()
+    eng = BatchedDuplexEngine(
+        single.cfg, single.params, mimi_cfg, single.mimi_params,
+        single.tokenizer, batch_size=batch,
+    )
+    return eng, mimi_cfg
+
+
+def drive(eng, sessions, n_frames, mimi_cfg):
+    rng = np.random.default_rng(0)
+    for drv, _events in sessions:
+        drv.push_pcm(
+            rng.standard_normal(mimi_cfg.frame_size * n_frames).astype(
+                np.float32
+            ) * 0.1
+        )
+    for _ in range(n_frames + 4):
+        eng.tick()
+
+
+def test_concurrent_dialogues_produce_audio():
+    eng, mimi_cfg = make_batched(batch=4)
+    eng.warmup()
+    sessions = []
+    for _ in range(3):
+        events = []
+        drv = eng.open_session(events.append)
+        assert drv is not None
+        sessions.append((drv, events))
+    drive(eng, sessions, 8, mimi_cfg)
+    for drv, events in sessions:
+        audio = [e for e in events if isinstance(e, DuplexAudioEvent)]
+        assert len(audio) >= 2, "each dialogue hears the model speak"
+        assert audio[0].pcm.shape == (mimi_cfg.frame_size,)
+        assert np.isfinite(audio[0].pcm).all()
+
+
+def test_slot_reuse_and_capacity():
+    eng, mimi_cfg = make_batched(batch=2)
+    eng.warmup()
+    evs = []
+    a = eng.open_session(evs.append)
+    b = eng.open_session(evs.append)
+    assert eng.open_session(evs.append) is None  # at capacity
+    eng.close_session(a)
+    c = eng.open_session(evs.append)
+    assert c is not None and c.slot == a.slot  # freed slot reused
+    # The reused slot starts from step 0 (per-slot reset rode the tick).
+    drive(eng, [(c, evs), (b, evs)], 4, mimi_cfg)
+    assert c.steps == 4
+    eng.close_session(b)
+    eng.close_session(c)
+
+
+def test_asr_delay_slot_is_text_only():
+    eng, mimi_cfg = make_batched(batch=2)
+    eng.warmup()
+    evs_a, evs_b = [], []
+    a = eng.open_session(evs_a.append)  # full duplex
+    b = eng.open_session(evs_b.append, asr_delay_in_tokens=4)  # ASR mode
+    drive(eng, [(a, evs_a), (b, evs_b)], 8, mimi_cfg)
+    assert any(isinstance(e, DuplexAudioEvent) for e in evs_a)
+    assert not any(isinstance(e, DuplexAudioEvent) for e in evs_b)
+
+
+def test_staggered_join_matches_solo_run():
+    """A dialogue that joins mid-stream gets the same tokens as the same
+    audio run alone (per-slot counters + reset isolation): greedy
+    sampling, identical per-step inputs."""
+    eng, mimi_cfg = make_batched(batch=2)
+    eng.warmup()
+    rng = np.random.default_rng(7)
+    pcm = rng.standard_normal(mimi_cfg.frame_size * 6).astype(np.float32) * 0.1
+
+    # Run slot A alone for 3 frames first.
+    evs_a, evs_b = [], []
+    a = eng.open_session(evs_a.append)
+    a.push_pcm(pcm)
+    for _ in range(3):
+        eng.tick()
+    # B joins late with the same audio.
+    b = eng.open_session(evs_b.append)
+    b.push_pcm(pcm)
+    for _ in range(12):
+        eng.tick()
+
+    # Fresh engine, B's audio alone.
+    eng2, _ = make_batched(batch=2)
+    eng2.warmup()
+    evs_solo = []
+    solo = eng2.open_session(evs_solo.append)
+    solo.push_pcm(pcm)
+    for _ in range(12):
+        eng2.tick()
+
+    def texts(evs):
+        return [e.text for e in evs if isinstance(e, DuplexTextEvent)]
+
+    def n_audio(evs):
+        return sum(isinstance(e, DuplexAudioEvent) for e in evs)
+
+    # Greedy text path must match exactly; audio-frame count likewise.
+    # (audio tokens are sampled with the shared engine rng, so compare the
+    # deterministic parts: with temperature 0 both text and audio are
+    # argmax — the test config sets both temperatures to 0.)
+    assert texts(evs_b) == texts(evs_solo)
+    assert n_audio(evs_b) == n_audio(evs_solo)
+    audio_b = [e.pcm for e in evs_b if isinstance(e, DuplexAudioEvent)]
+    audio_solo = [e.pcm for e in evs_solo if isinstance(e, DuplexAudioEvent)]
+    for x, y in zip(audio_b, audio_solo):
+        np.testing.assert_allclose(x, y, atol=1e-4)
+
+
+def test_engine_loop_thread():
+    eng, mimi_cfg = make_batched(batch=2)
+    eng.warmup()
+    eng.start()
+    try:
+        evs = []
+        drv = eng.open_session(evs.append)
+        drv.push_pcm(
+            np.random.default_rng(1)
+            .standard_normal(mimi_cfg.frame_size * 6)
+            .astype(np.float32) * 0.1
+        )
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if any(isinstance(e, DuplexAudioEvent) for e in evs):
+                break
+            time.sleep(0.05)
+        assert any(isinstance(e, DuplexAudioEvent) for e in evs)
+        drv.end_input()
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            if any(isinstance(e, DuplexDoneEvent) for e in evs):
+                break
+            time.sleep(0.05)
+        assert any(isinstance(e, DuplexDoneEvent) for e in evs)
+    finally:
+        eng.stop()

@@ -58,9 +58,12 @@ def test_duplex_chat_roundtrip():
 
     async def main():
         async with TestClient(TestServer(app.web_app)) as client:
-            ws = await client.ws_connect("/api/chat")
+            ws = await client.ws_connect("/api/chat?format=pcm")
             hello = await ws.receive()
             assert hello.data[0] == MsgType.HANDSHAKE
+            # protocol version u32 + model version u32 (stream_both.rs
+            # send_ready :259-269)
+            assert len(hello.data) == 9
             pcm = np.random.default_rng(0).standard_normal(
                 mimi_cfg.frame_size * 6
             ).astype("<f4") * 0.1
@@ -147,3 +150,82 @@ def test_duplex_engine_serving_profile_kv_quant():
     eng.warmup()
     sess = DuplexSession(eng)
     assert "ks" in sess.state["lm"]["t"]["layers"][0]  # int8 KV rings
+
+
+def test_duplex_chat_opus_wire():
+    """Reference duplex wire parity: AUDIO frames carry OggOpus both ways
+    (lm.rs:77-318, stream_both.rs:221-319).  The server's first AUDIO frame
+    is the codec header (OpusHead+OpusTags pages); model speech arrives as
+    ogg pages that a standard OggOpus decoder accepts."""
+    from dsm_tpu.utils import opus as opus_mod
+
+    if not opus_mod.available():
+        import pytest
+
+        pytest.skip("libopus/libogg unavailable")
+    engine, mimi_cfg = make_duplex_engine()
+    engine.warmup()
+    app = App(duplex_engine=engine)
+
+    async def main():
+        async with TestClient(TestServer(app.web_app)) as client:
+            ws = await client.ws_connect("/api/chat")
+            hello = await ws.receive()
+            assert hello.data[0] == MsgType.HANDSHAKE and len(hello.data) == 9
+            header = await ws.receive()
+            assert header.data[0] == MsgType.AUDIO
+            assert header.data[1:5] == b"OggS"  # codec header pages
+            dec = opus_mod.OggOpusDecoder()
+            dec.decode(header.data[1:])
+
+            enc = opus_mod.OggOpusEncoder()
+            pcm = np.random.default_rng(0).standard_normal(
+                480 * 50
+            ).astype("<f4") * 0.1
+            data = enc.encode(pcm)
+            await ws.send_bytes(bytes([MsgType.AUDIO]) + data)
+            got_audio = np.zeros(0, np.float32)
+            async with asyncio.timeout(60):
+                while len(got_audio) < mimi_cfg.frame_size * 2:
+                    msg = await ws.receive()
+                    if msg.type.name in ("CLOSE", "CLOSED", "ERROR"):
+                        break
+                    if msg.data[0] == MsgType.AUDIO:
+                        out = dec.decode(msg.data[1:])
+                        got_audio = np.concatenate([got_audio, out])
+            assert len(got_audio) >= mimi_cfg.frame_size * 2
+            await ws.close()
+
+    asyncio.run(main())
+
+
+def test_duplex_asr_delay_mode():
+    """run_with_state_asr (stream_both.rs:329-383): with
+    ?asr_delay_in_tokens=N the session transcribes only — TEXT frames may
+    arrive, AUDIO frames never do."""
+    engine, mimi_cfg = make_duplex_engine()
+    engine.warmup()
+    app = App(duplex_engine=engine)
+
+    async def main():
+        async with TestClient(TestServer(app.web_app)) as client:
+            ws = await client.ws_connect(
+                "/api/chat?format=pcm&asr_delay_in_tokens=4"
+            )
+            await ws.receive()  # handshake
+            pcm = np.random.default_rng(1).standard_normal(
+                mimi_cfg.frame_size * 10
+            ).astype("<f4") * 0.1
+            await ws.send_bytes(bytes([MsgType.AUDIO]) + pcm.tobytes())
+            await asyncio.sleep(1.0)
+            await ws.close()
+            saw_audio = False
+            while True:
+                msg = await ws.receive(timeout=1)
+                if msg.type.name in ("CLOSE", "CLOSED", "ERROR"):
+                    break
+                if msg.type.name == "BINARY" and msg.data and msg.data[0] == MsgType.AUDIO:
+                    saw_audio = True
+            assert not saw_audio
+
+    asyncio.run(main())
