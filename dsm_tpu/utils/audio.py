@@ -82,15 +82,42 @@ def audio_level_db(pcm: np.ndarray) -> float:
 def decode_audio(path: str, target_rate: int = 24_000) -> np.ndarray:
     """Decode an audio file to mono float pcm at target_rate.
 
-    WAV natively; other containers via optional backends (none in this
-    image — raise a clear error like the reference does for unsupported
-    formats).
-    """
-    if path.lower().endswith(".wav"):
+    The pcm_decode surface (moshi-server/src/utils.rs:263-305): WAV
+    natively, mp3 via libmpg123, ogg/vorbis via libvorbisfile, ogg/opus
+    via libopus (utils/codecs.py, utils/opus.py).  Multi-channel input is
+    downmixed to mono like the reference (utils.rs:283-296 averages
+    channels)."""
+    low = path.lower()
+    if low.endswith(".wav"):
         pcm, sr = read_wav(path)
         return resample(pcm, sr, target_rate)
+    if low.endswith((".mp3", ".mp2", ".mpga")):
+        from . import codecs
+
+        if not codecs.mp3_available():
+            raise NotImplementedError(
+                f"cannot decode {path!r}: libmpg123 not available"
+            )
+        pcm, sr = codecs.decode_mp3_file(path)
+        return resample(pcm.mean(axis=1), sr, target_rate)
+    if low.endswith((".ogg", ".oga")):
+        from . import codecs, opus as opus_mod
+
+        if codecs.vorbis_available():
+            try:
+                pcm, sr = codecs.decode_vorbis_file(path)
+                return resample(pcm.mean(axis=1), sr, target_rate)
+            except ValueError:
+                pass  # not vorbis; fall through to opus
+        if opus_mod.available():
+            with open(path, "rb") as f:
+                pcm = opus_mod.OggOpusDecoder().decode(f.read())
+            if len(pcm):
+                return resample(pcm, opus_mod.SAMPLE_RATE, target_rate)
+        raise NotImplementedError(
+            f"cannot decode {path!r}: no ogg codec available"
+        )
     raise NotImplementedError(
-        f"no codec backend available for {path!r}; supply WAV/PCM "
-        "(mp3/ogg decode requires an external decoder not present in this "
-        "environment)"
+        f"no codec backend available for {path!r}; supported: wav, mp3, "
+        "ogg (vorbis/opus)"
     )
