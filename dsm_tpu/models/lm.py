@@ -389,6 +389,42 @@ def _tree_index(tree, i: int):
     return jax.tree_util.tree_map(lambda a: a[i], tree)
 
 
+def _dep_lean_enabled() -> bool:
+    """The lean DepFormer path (T.micro_step + hoisted linear_in) is the
+    default; ``DSM_DEP_LEAN=0`` falls back to the generic ring-cache path
+    (same semantics, measured ~2x slower per TTS frame at batch 32)."""
+    import os
+
+    return os.environ.get("DSM_DEP_LEAN", "1") not in ("0", "false", "")
+
+
+def _dep_unroll() -> int:
+    """Slice-scan unroll factor (scheduling only; semantics invariant —
+    test_depformer_lean_unroll_invariant).  Default 1: an unroll=4 trace
+    at flagship TTS shapes blew the trace/compile budget (>45 min on this
+    host without completing) while the scan body is weight-read-bound, so
+    XLA's double-buffered scanned-weight loads already overlap; treat
+    unroll as an opt-in experiment, not a default."""
+    import os
+
+    try:
+        return max(1, int(os.environ.get("DSM_DEP_UNROLL", "1")))
+    except ValueError:
+        return 1
+
+
+def _mm_all_slices(hidden: jax.Array, w) -> jax.Array:
+    """``hidden (B, D) @ linear_in_s.T`` for every slice in ONE einsum ->
+    ``(S, B, d_dep)``.  The per-slice input projections do not depend on
+    sampled tokens, so hoisting them out of the sequential slice chain
+    replaces S serial (B,D)x(D,d) matmuls with one MXU-sized
+    (B,D)x(D,S*d) — numerics identical to per-slice T.mm."""
+    if isinstance(w, dict) and "q" in w:
+        y = jnp.einsum("bi,soi->sbo", hidden, w["q"].astype(hidden.dtype))
+        return y * w["s"].astype(hidden.dtype)[:, None, :]
+    return jnp.einsum("bi,soi->sbo", hidden, w.astype(hidden.dtype))
+
+
 def _dep_embed(dep_params, slice_params, token, low_rank_w):
     emb = slice_params[token]
     if low_rank_w is not None:
@@ -433,7 +469,14 @@ def depformer_sample(
     if forced_next.ndim == 1:
         forced_next = jnp.broadcast_to(forced_next[None, :], (b, n_slices))
 
-    kv = T.init_state(dcfg, b, cache_dtype=hidden.dtype)
+    lean = _dep_lean_enabled()
+    if lean:
+        kv = T.micro_init(dcfg, b, n_slices, hidden.dtype)
+        # All slices' input projections of the (fixed) temporal hidden in
+        # one batched matmul, outside the sequential chain.
+        x_base = _mm_all_slices(hidden, dp["linear_in"]).astype(hidden.dtype)
+    else:
+        kv = T.init_state(dcfg, b, cache_dtype=hidden.dtype)
     if slot_keys is not None:
         # (n_slices, B', 2): per-slot streams, draw index = slice index.
         keys = jnp.stack(
@@ -443,9 +486,13 @@ def depformer_sample(
         keys = jax.random.split(key, n_slices)
     n_draw = b // 2 if cfg_alpha is not None else b
 
-    def slice_logits(i_params, kv, x_in):
-        h, kv = T.step(dcfg, i_params["transformer"], kv, x_in[:, None, :])
-        logits = T.mm(h[:, 0], i_params["linear_out"])
+    def slice_logits(i_params, kv, x_in, idx):
+        if lean:
+            h, kv = T.micro_step(dcfg, i_params["transformer"], kv, x_in, idx)
+            logits = T.mm(h, i_params["linear_out"])
+        else:
+            h, kv = T.step(dcfg, i_params["transformer"], kv, x_in[:, None, :])
+            logits = T.mm(h[:, 0], i_params["linear_out"])
         return logits, kv
 
     def _draw(logits, k):
@@ -484,10 +531,11 @@ def depformer_sample(
         0,
     )
     lr0 = _tree_index(dp["low_rank"], 0) if "low_rank" in dp else None
-    x0 = T.mm(hidden, p0["linear_in"]) + _dep_embed(
+    x0_base = x_base[0] if lean else T.mm(hidden, p0["linear_in"])
+    x0 = x0_base + _dep_embed(
         dp, dp["text_emb"], text_token, lr0
     ).astype(hidden.dtype)
-    logits0, kv = slice_logits(p0, kv, x0)
+    logits0, kv = slice_logits(p0, kv, x0, jnp.int32(0))
     tok0 = combine_and_sample(logits0, keys[0])
     last0 = jnp.where(forced_next[:, 0] >= 0, forced_next[:, 0], tok0)
 
@@ -498,27 +546,31 @@ def depformer_sample(
     rest = {
         "transformer": tail(dp["transformer"]),
         # tree_map: weight-only int8 leaves are {"q", "s"} dicts.
-        "linear_in": tail(dp["linear_in"]),
         "linear_out": tail(dp["linear_out"]),
         "emb": dp["audio_embs"],
     }
+    if lean:
+        rest["x_base"] = x_base[1:]
+    else:
+        rest["linear_in"] = tail(dp["linear_in"])
     if "low_rank" in dp:
         rest["low_rank"] = tail(dp["low_rank"])
 
     def body(carry, xs):
-        kv, last = carry
+        kv, last, idx = carry
         sp, forced_i, k_i = xs
         lr = sp.get("low_rank")
-        x = T.mm(hidden, sp["linear_in"]) + _dep_embed(
-            dp, sp["emb"], last, lr
-        ).astype(hidden.dtype)
-        logits, kv = slice_logits(sp, kv, x)
+        base = sp["x_base"] if lean else T.mm(hidden, sp["linear_in"])
+        x = base + _dep_embed(dp, sp["emb"], last, lr).astype(hidden.dtype)
+        logits, kv = slice_logits(sp, kv, x, idx)
         tok = combine_and_sample(logits, k_i)
         nxt = jnp.where(forced_i >= 0, forced_i, tok)
-        return (kv, nxt), tok
+        return (kv, nxt, idx + 1), tok
 
-    (_, _), toks = jax.lax.scan(
-        body, (kv, last0), (rest, forced_next[:, 1:].T, keys[1:])
+    (_, _, _), toks = jax.lax.scan(
+        body, (kv, last0, jnp.int32(1)),
+        (rest, forced_next[:, 1:].T, keys[1:]),
+        unroll=_dep_unroll() if lean else 1,
     )
     return jnp.concatenate([tok0[:, None], toks.T.astype(jnp.int32)], axis=1)
 

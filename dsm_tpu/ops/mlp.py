@@ -51,6 +51,8 @@ def _mm(x, w):
     if isinstance(w, dict) and "q" in w:
         from . import qmm as qmm_mod
 
+        if qmm_mod.w8a8_enabled():
+            return qmm_mod.mm_w8a8(x, w["q"], w["s"])  # int8 MXU dots
         if qmm_mod.qmm_enabled() and qmm_mod.supported(x, w["q"]):
             return qmm_mod.qmm(x, w["q"], w["s"])  # on-chip dequant
         return (x @ w["q"].astype(x.dtype).T) * w["s"].astype(x.dtype)

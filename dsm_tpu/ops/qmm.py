@@ -101,6 +101,36 @@ def qmm(x, wq, s, *, interpret=None):
     return out.reshape(*lead, wq.shape[0])
 
 
+def w8a8_enabled() -> bool:
+    """Dynamic-activation int8 matmuls (``DSM_W8A8=1``): per-row absmax
+    activation quant feeding native s8xs8->s32 MXU dots.  Removes the
+    int8->bf16 weight-dequant HBM materialisation entirely (the weight is
+    consumed as int8 by the MXU) and doubles MXU throughput.  Serving
+    profile quality bound: tests/test_quant_quality.py."""
+    env = os.environ.get("DSM_W8A8")
+    return env is not None and env not in ("0", "false", "")
+
+
+def mm_w8a8(x, wq, s):
+    """``x (..., I) @ wq (O, I).T * s (O,)`` with per-row dynamic int8
+    activation quantisation (W8A8).
+
+    y = (round(x/xs) @ wq.T) * xs * s — the standard dynamic-quant linear
+    (the reference's GGUF path quantises activations per 32-wide block,
+    nn.rs matmul via candle quantized; per-row is the TPU-friendly grain:
+    one VPU reduce per row, scales ride in registers)."""
+    lead = x.shape[:-1]
+    i = x.shape[-1]
+    x2 = x.reshape(-1, i).astype(jnp.float32)
+    xs = jnp.maximum(jnp.max(jnp.abs(x2), axis=-1, keepdims=True) / 127.0, 1e-8)
+    xq = jnp.clip(jnp.round(x2 / xs), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    y = acc.astype(jnp.float32) * xs * s.astype(jnp.float32)[None, :]
+    return y.astype(x.dtype).reshape(*lead, wq.shape[0])
+
+
 def qmm_enabled() -> bool:
     """Opt-in via ``DSM_QMM=1`` (measured A/B in docs/PERFORMANCE.md).
 

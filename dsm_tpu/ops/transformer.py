@@ -192,6 +192,10 @@ def mm(x: jax.Array, w) -> jax.Array:
     dict ``{"q": int8 (O, I), "s": f32 (O,)}`` with per-output-channel
     scales (see :func:`quantize_weights`)."""
     if isinstance(w, dict) and "q" in w:
+        if qmm_mod.w8a8_enabled():
+            # Native int8 MXU dots (W8A8): no bf16 weight-dequant
+            # materialisation, 2x MXU rate (ops/qmm.py mm_w8a8).
+            return qmm_mod.mm_w8a8(x, w["q"], w["s"])
         if qmm_mod.qmm_enabled() and qmm_mod.supported(x, w["q"]):
             # Fused on-chip dequant (ops/qmm.py): the int8 weight is read
             # once — XLA's lowering materialises a dequantised bf16 copy
@@ -503,6 +507,62 @@ def step(
         x = _mlp_block(cfg, lp, x)
 
     return x, {"layers": new_layers, "pos": plan["new_pos"], "valid": valid}
+
+
+def micro_init(cfg: TransformerConfig, batch: int, capacity: int, dtype):
+    """Dense K/V carry for :func:`micro_step` — per-layer ``(B, H, S, Dh)``
+    buffers, no ring/bitmap machinery."""
+    h, hd = cfg.num_heads, cfg.hd
+    z = jnp.zeros((batch, h, capacity, hd), dtype)
+    return {
+        "k": [z] * cfg.num_layers,
+        "v": [jnp.zeros_like(z)] * cfg.num_layers,
+    }
+
+
+def micro_step(cfg: TransformerConfig, params: dict, kv: dict,
+               x: jax.Array, idx: jax.Array):
+    """One decoder micro-step specialised for the DepFormer slice chain.
+
+    ``x (B, D)``; ``idx`` — traced position in the tiny dense cache.
+    Semantics match :func:`step` at pe="none", T=1, all-active, fresh
+    cache (the DepFormer case: lm.rs:640-684 rebuilds the slice KV every
+    frame) — but without the serving-cache machinery (global-ring plan,
+    validity bitmap, per-row quantisation, split attention), which at 4
+    layers x 32 sequential slices per TTS frame dominates the op count.
+    The attention math mirrors :func:`forward` exactly: f32 scores + f32
+    softmax + f32 second-dot accumulation.
+    """
+    b, _ = x.shape
+    cap = kv["k"][0].shape[2]
+    scale = 1.0 / math.sqrt(cfg.hd)
+    pos_ok = (jnp.arange(cap) <= idx)[None, None, None, :]
+    xt = x[:, None, :]
+    new_k, new_v = [], []
+    for l in range(cfg.num_layers):
+        lp = jax.tree_util.tree_map(lambda a: a[l], params)
+        xn = norm_mod.apply_norm(cfg.norm_kind, lp["norm1"], xt)
+        q, k, v = _qkv(cfg, lp, xn)  # (B, H, 1, Dh)
+        K = jax.lax.dynamic_update_slice_in_dim(kv["k"][l], k, idx, axis=2)
+        V = jax.lax.dynamic_update_slice_in_dim(kv["v"][l], v, idx, axis=2)
+        new_k.append(K)
+        new_v.append(V)
+        scores = (
+            jnp.einsum("bhtd,bhsd->bhts", q, K,
+                       preferred_element_type=jnp.float32) * scale
+        )
+        scores = jnp.where(pos_ok, scores, attn.NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)
+        y = jnp.einsum(
+            "bhts,bhsd->bhtd", probs.astype(V.dtype), V,
+            preferred_element_type=jnp.float32,
+        ).astype(xt.dtype)
+        y = _proj_out(cfg, lp, y, b, 1)
+        if "layer_scale_1" in lp:
+            y = y * lp["layer_scale_1"].astype(y.dtype)
+        xt = xt + y
+        xt = _mlp_block(cfg, lp, xt)
+    return xt[:, 0, :], {"k": new_k, "v": new_v}
 
 
 def forward(

@@ -230,29 +230,46 @@ class App:
         close_code = proto.CloseCode.NORMAL
         opus_dec = None  # lazy per-connection OggOpus decoder
 
-        async def sender():
-            while True:
-                ev: Events = await out_q.get()
-                if ev is None:
-                    return
-                for w in ev.words:
-                    from ..sessions.asr import EndWordEvent, WordEvent
+        from ..sessions.asr import EndWordEvent, WordEvent
 
-                    if isinstance(w, WordEvent):
-                        text = self.asr_engine_tokenizer_decode(w.tokens)
-                        await ws.send_bytes(proto.asr_word(text, w.start_time))
-                    elif isinstance(w, EndWordEvent):
-                        await ws.send_bytes(proto.asr_end_word(w.stop_time))
-                if ev.prs is not None:
-                    await ws.send_bytes(
-                        proto.asr_step(
-                            ev.step_idx,
-                            [float(p) for p in ev.prs],
-                            ch.buffered_samples(),
-                        )
-                    )
-                for mid in ev.markers:
-                    await ws.send_bytes(proto.asr_marker(mid))
+        def _frames_for(ev: Events):
+            frames = []
+            for w in ev.words:
+                if isinstance(w, WordEvent):
+                    text = self.asr_engine_tokenizer_decode(w.tokens)
+                    frames.append(proto.asr_word(text, w.start_time))
+                elif isinstance(w, EndWordEvent):
+                    frames.append(proto.asr_end_word(w.stop_time))
+            if ev.prs is not None:
+                frames.append(proto.asr_step(
+                    ev.step_idx,
+                    [float(p) for p in ev.prs],
+                    ch.buffered_samples(),
+                ))
+            frames.extend(proto.asr_marker(mid) for mid in ev.markers)
+            return frames
+
+        async def sender():
+            # Batched drain: when the event loop falls behind the 80 ms
+            # cadence (p99 host tail at B=128), several ticks' events are
+            # queued — pack them ALL before yielding to the socket, so one
+            # wakeup flushes the backlog instead of re-entering the
+            # scheduler per message.
+            while True:
+                ev = await out_q.get()
+                frames = []
+                while True:
+                    if ev is None:
+                        for f in frames:
+                            await ws.send_bytes(f)
+                        return
+                    frames.extend(_frames_for(ev))
+                    try:
+                        ev = out_q.get_nowait()
+                    except asyncio.QueueEmpty:
+                        break
+                for f in frames:
+                    await ws.send_bytes(f)
 
         send_task = asyncio.create_task(sender())
         try:

@@ -91,12 +91,42 @@ def build_batched_asr(mod: CFG.ModuleConfig) -> BatchedAsrEngine:
     params = {"mimi": mimi_params, "lm": lm_params}
 
     batch = auto_batch_size(mod.batch_size, mod.lm)
-    engine = BatchedAsrEngine(asr_cfg, params, batch_size=batch)
+    mesh = build_mesh_from_config(mod)
+    engine = BatchedAsrEngine(asr_cfg, params, batch_size=batch, mesh=mesh)
     tok_path = (
         CFG.resolve_path(mod.text_tokenizer_file) if mod.text_tokenizer_file else None
     )
     engine.tokenizer = load_tokenizer(tok_path)
     return engine
+
+
+def build_mesh_from_config(mod: CFG.ModuleConfig):
+    """TOML ``[modules.X.mesh] dp = N [tp = M]`` -> a jax device Mesh.
+
+    Multi-chip serving as configuration, not a harness: the continuous
+    batch shards over dp (ICI), attention heads/MLP over tp when asked
+    (parallel/mesh.py rules).  Returns None when the section is absent or
+    asks for a single device; raises when more devices are requested than
+    exist (a silent fallback would misreport capacity)."""
+    spec = mod.raw.get("mesh")
+    if not spec:
+        return None
+    import jax
+
+    from ..parallel import mesh as M
+
+    dp = int(spec.get("dp", 1))
+    tp = int(spec.get("tp", 1))
+    if dp * tp <= 1:
+        return None
+    n_dev = len(jax.devices())
+    if dp * tp > n_dev:
+        raise ValueError(
+            f"mesh dp={dp} x tp={tp} needs {dp * tp} devices, "
+            f"have {n_dev}"
+        )
+    log.info("serving mesh: dp=%d tp=%d over %d devices", dp, tp, dp * tp)
+    return M.make_mesh(dp=dp, tp=tp)
 
 
 def build_tts(mod: CFG.ModuleConfig) -> TtsEngine:
@@ -203,6 +233,7 @@ def build_tts(mod: CFG.ModuleConfig) -> TtsEngine:
             # config allows guidance (reference serves cfg_alpha per request,
             # main.rs:1045-1074).
             cfg_enabled=bool(mod.raw.get("cfg_enabled", False)),
+            mesh=build_mesh_from_config(mod),
         )
         engine.voices = resolver
         engine.condition_provider = cond_provider

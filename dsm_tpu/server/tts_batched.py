@@ -118,7 +118,13 @@ class BatchedTtsEngine:
         tick_sleep: float = 0.002,
         cfg_enabled: bool = False,
         ca_quant: Optional[bool] = None,
+        mesh=None,
     ):
+        """``mesh``: optional dp-only jax Mesh — session state (and the
+        doubled CFG rows) shard over dp, params replicate, and the fused
+        tick runs SPMD via GSPMD.  Pallas kernels are trace-disabled under
+        a mesh (GSPMD cannot partition pallas_call; same rule as
+        BatchedAsrEngine)."""
         import jax
         import jax.numpy as jnp
 
@@ -206,6 +212,30 @@ class BatchedTtsEngine:
         # (the sustained bench reports phase percentiles).
         self.tick_observer = None
 
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import mesh as M
+
+            if mesh.shape.get("tp", 1) != 1:
+                raise ValueError("TTS engine meshes are dp-only")
+            if self.rows % mesh.shape["dp"]:
+                raise ValueError(
+                    f"rows {self.rows} not divisible by dp={mesh.shape['dp']}"
+                )
+            self.params = M.replicate(mesh, self.params)
+            self.mimi_params = M.replicate(mesh, self.mimi_params)
+            self.state = M.shard_batched_state(mesh, self.state, self.rows)
+            self.mimi_state = M.shard_batched_state(
+                mesh, self.mimi_state, batch_size
+            )
+            # Voice CA: rows ride on axis 1 of (L, rows, H, S, Dh).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ca_sh = NamedSharding(mesh, P(None, "dp", None, None, None))
+            self._ca_raw = tuple(
+                jax.device_put(a, ca_sh) for a in self._ca_raw
+            )
+
         n = batch_size
         delay = cfg.text_audio_delay_in_tokens + cfg.acoustic_delay
 
@@ -217,17 +247,22 @@ class BatchedTtsEngine:
             per-frame latency is the realtime bound and every extra
             device->host fetch pays a full round-trip (~29 ms over this
             env's dev tunnel)."""
-            if cfg_enabled:
-                out, state = TTS.step(
-                    cfg, params, state, mode, tok, rng, ca_kv=ca_kv,
-                    mask=mask, reset=reset, temps=temps, seeds=seeds,
-                    cfg_alpha=alpha,
-                )
-            else:
-                out, state = TTS.step(
-                    cfg, params, state, mode, tok, rng, ca_kv=ca_kv,
-                    mask=mask, reset=reset, temps=temps, seeds=seeds,
-                )
+            from ..ops import ring_kernels as _rk
+
+            with _rk.kernels_forced(
+                False if mesh is not None else _rk.kernels_override()
+            ):
+                if cfg_enabled:
+                    out, state = TTS.step(
+                        cfg, params, state, mode, tok, rng, ca_kv=ca_kv,
+                        mask=mask, reset=reset, temps=temps, seeds=seeds,
+                        cfg_alpha=alpha,
+                    )
+                else:
+                    out, state = TTS.step(
+                        cfg, params, state, mode, tok, rng, ca_kv=ca_kv,
+                        mask=mask, reset=reset, temps=temps, seeds=seeds,
+                    )
             steps = out["step_idx"][:n]
             dec_mask = (
                 out["frame_valid"][:n] & (steps > delay) & mask[:n]

@@ -135,3 +135,80 @@ def test_presets_construct():
         assert cfg.text_start_token == cfg.text_in_vocab_size - 1
     assert lm.stt_1b_en_fr().extra_heads == (4, 6)
     assert lm.tts_1_6b_en_fr().generated_codebooks == 32
+
+
+def test_depformer_lean_path_matches_generic(monkeypatch):
+    """The lean DepFormer path (T.micro_step dense micro-cache + hoisted
+    linear_in einsum) samples the SAME tokens as the generic ring-cache
+    path — greedy and with per-slot keyed sampling, with and without CFG
+    and low-rank embeddings."""
+    for low_rank, cfg_alpha in ((None, None), (8, None), (8, 2.0)):
+        tf = T.TransformerConfig(
+            d_model=32, num_heads=4, num_layers=2, dim_feedforward=64,
+            context=16,
+        )
+        dep = lm.DepFormerConfig(
+            transformer=T.TransformerConfig(
+                d_model=16, num_heads=2, num_layers=2, dim_feedforward=32,
+                context=6, positional_embedding="none",
+            ),
+            num_slices=6,
+            low_rank_embeddings=low_rank,
+        )
+        cfg = lm.LmConfig(
+            transformer=tf, depformer=dep,
+            text_in_vocab_size=11, text_out_vocab_size=10,
+            audio_vocab_size=9, audio_codebooks=3,
+        )
+        params = lm.init(cfg, jax.random.PRNGKey(3))
+        b = 4
+        hidden = jax.random.normal(jax.random.PRNGKey(4), (b, 32))
+        text = jnp.array([1, 2, 3, 4], jnp.int32)
+        forced = jnp.full((dep.num_slices,), -1, jnp.int32)
+        key = jax.random.PRNGKey(5)
+        kw = dict(cfg_alpha=cfg_alpha)
+
+        outs = {}
+        for flag in ("1", "0"):
+            monkeypatch.setenv("DSM_DEP_LEAN", flag)
+            outs[flag] = np.asarray(lm.depformer_sample(
+                cfg, params, hidden, text, forced, key,
+                S.SamplingConfig(0.0, 1), **kw,
+            ))
+        np.testing.assert_array_equal(
+            outs["1"], outs["0"],
+            err_msg=f"greedy mismatch (low_rank={low_rank}, cfg={cfg_alpha})",
+        )
+
+        # Per-slot keyed sampling with temperature: same keys -> same draws
+        # (the lean path must not perturb the logits enough to flip draws
+        # at these magnitudes; identical math up to reassociation).
+        slot_keys = jax.vmap(jax.random.PRNGKey)(
+            jnp.arange(b // 2 if cfg_alpha else b, dtype=jnp.uint32) + 7
+        )
+        outs = {}
+        for flag in ("1", "0"):
+            monkeypatch.setenv("DSM_DEP_LEAN", flag)
+            outs[flag] = np.asarray(lm.depformer_sample(
+                cfg, params, hidden, text, forced, key,
+                S.SamplingConfig(0.8, 5), slot_keys=slot_keys, **kw,
+            ))
+        np.testing.assert_array_equal(outs["1"], outs["0"])
+
+
+def test_depformer_lean_unroll_invariant(monkeypatch):
+    """Scan unroll is a scheduling knob, not a semantics knob."""
+    cfg = small_lm()
+    params = lm.init(cfg, jax.random.PRNGKey(0))
+    hidden = jax.random.normal(jax.random.PRNGKey(1), (2, 32))
+    text = jnp.array([1, 2], jnp.int32)
+    forced = jnp.full((4,), -1, jnp.int32)
+    outs = []
+    for u in ("1", "2", "4"):
+        monkeypatch.setenv("DSM_DEP_UNROLL", u)
+        outs.append(np.asarray(lm.depformer_sample(
+            cfg, params, hidden, text, forced, jax.random.PRNGKey(2),
+            S.SamplingConfig(0.0, 1),
+        )))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])

@@ -306,3 +306,95 @@ def test_static_file_fallback(tmp_path):
             assert r.status == 200  # api routes take precedence
 
     asyncio.run(main())
+
+
+def test_asr_ws_on_dp_mesh():
+    """Multi-chip serving as CONFIG: the same WS client flow against an
+    engine sharded dp=8 over the virtual CPU mesh — the server path runs
+    SPMD (batch over ICI), not just the bare step fn (VERDICT r2 item 7)."""
+    import jax
+
+    from dsm_tpu.parallel import mesh as M
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    cfg = small_asr_cfg()
+    saved = eng.FRAME_SIZE
+    eng.FRAME_SIZE = cfg.mimi.frame_size
+    try:
+        params = make_params(cfg, jax.random.PRNGKey(0))
+        mesh = M.make_mesh(dp=8, tp=1)
+        engine = eng.BatchedAsrEngine(
+            cfg, params, batch_size=8, mesh=mesh
+        )
+        engine._pcm_buf = np.zeros((8, 1, cfg.mimi.frame_size), np.float32)
+        # Compile the SPMD step OUTSIDE the receive windows (8 virtual
+        # devices on one host core make the first tick minutes-slow).
+        engine.warmup()
+        engine.start()
+        app = App(asr_engine=engine, instance_name="meshed")
+
+        async def main():
+            async with TestClient(TestServer(app.web_app)) as client:
+                # Two concurrent sessions land on different dp shards.
+                ws1 = await client.ws_connect("/api/asr-streaming")
+                ws2 = await client.ws_connect("/api/asr-streaming")
+                for ws in (ws1, ws2):
+                    ready = msgpack.unpackb((await ws.receive()).data)
+                    assert ready == {"type": "Ready"}
+                pcm = np.random.default_rng(1).standard_normal(
+                    cfg.mimi.frame_size * 3
+                ).astype(np.float32) * 0.1
+                for ws in (ws1, ws2):
+                    await ws.send_bytes(
+                        msgpack.packb({"type": "Audio", "pcm": pcm.tolist()})
+                    )
+                    await ws.send_bytes(
+                        msgpack.packb({"type": "Marker", "id": 7})
+                    )
+                for ws in (ws1, ws2):
+                    msgs = []
+                    async with asyncio.timeout(120):
+                        while True:
+                            m = msgpack.unpackb(
+                                (await ws.receive()).data, raw=False
+                            )
+                            msgs.append(m)
+                            if m["type"] == "Marker":
+                                break
+                    assert any(m["type"] == "Step" for m in msgs)
+                    assert msgs[-1] == {"type": "Marker", "id": 7}
+                    await ws.close()
+
+        asyncio.run(main())
+        engine.stop()
+    finally:
+        eng.FRAME_SIZE = saved
+
+
+def test_builder_mesh_from_toml(tmp_path, monkeypatch):
+    """[modules.X.mesh] dp=N in the TOML builds a meshed engine."""
+    import jax
+
+    from dsm_tpu.server import builder
+    from dsm_tpu.server.config import Config
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    base = open("configs/config-smoke.toml").read()
+    cfg_path = tmp_path / "meshed.toml"
+    cfg_path.write_text(base + "\n[modules.asr.mesh]\ndp = 8\n")
+    cfg = Config.load(str(cfg_path))
+    mod = cfg.modules["asr"]
+    mod.raw["batch_size"] = 8
+    mod.batch_size = 8
+    engine = builder.build_batched_asr(mod)
+    assert engine.mesh is not None and engine.mesh.shape["dp"] == 8
+    # One warmup tick compiles + executes the SPMD step.
+    engine.warmup()
+
+    # Over-subscription must fail loudly, not silently fall back.
+    cfg_path.write_text(base + "\n[modules.asr.mesh]\ndp = 64\n")
+    mod2 = Config.load(str(cfg_path)).modules["asr"]
+    with pytest.raises(ValueError):
+        builder.build_mesh_from_config(mod2)

@@ -1,0 +1,227 @@
+"""Long-stream token-divergence study of the serving profile.
+
+Measures, at real model shapes with random weights, how far the serving
+profile (int8 KV rings + weight-only int8 LM + Pallas kernels, optionally
+W8A8 activations) diverges from the bf16 all-XLA path over a long stream —
+the quality bound that backs every headline number in docs/PERFORMANCE.md.
+
+Both profiles consume the SAME pcm stream; greedy (temperature 0) text
+decode makes the comparison deterministic.  Reported: per-step text-token
+match fraction, first-divergence step, VAD-prob max abs diff.
+
+Usage:
+  python tools/quant_divergence.py --model stt-1b --steps 750 --batch 4
+  python tools/quant_divergence.py --model tts-1.6b --steps 750 --batch 2
+  DSM_W8A8=1 python tools/quant_divergence.py ...   # include W8A8 dots
+
+Committed CI-speed bound: tests/test_quant_quality.py (mid shapes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("DSM_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["DSM_PLATFORM"])
+
+
+def run_asr(lm_cfg, steps: int, batch: int, seed: int = 0,
+            kernels: bool = True) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from dsm_tpu.models import lm as LM
+    from dsm_tpu.models import mimi as MIMI
+    from dsm_tpu.ops import ring_kernels as rk
+    from dsm_tpu.ops import transformer as T
+    from dsm_tpu.sessions import asr as ASR
+
+    mimi_cfg = MIMI.v0_1(lm_cfg.audio_codebooks)
+    key = jax.random.PRNGKey(seed)
+    lm_bf16 = LM.init(lm_cfg, key, dtype=jnp.bfloat16)
+    mimi_params = MIMI.init(mimi_cfg, jax.random.fold_in(key, 1))
+    rng = np.random.default_rng(seed)
+
+    def make(profile: str):
+        quant = profile == "serving"
+        cfg = ASR.AsrConfig(lm=lm_cfg, mimi=mimi_cfg, kv_quant=quant)
+        params = {
+            "mimi": mimi_params,
+            "lm": T.quantize_weights(lm_bf16) if quant else lm_bf16,
+        }
+        state = ASR.init_state(cfg, batch, jnp.bfloat16)
+
+        def _step(params, state, pcm, mask, reset, k):
+            with rk.kernels_forced(quant and kernels):
+                return ASR.step(cfg, params, state, pcm, mask, reset, k)
+
+        return cfg, params, state, jax.jit(_step, donate_argnums=(1,))
+
+    profiles = {p: make(p) for p in ("bf16", "serving")}
+    mask = np.ones(batch, bool)
+    reset = np.zeros(batch, bool)
+    frame = mimi_cfg.frame_size
+    k0 = jax.random.PRNGKey(123)
+
+    toks = {p: [] for p in profiles}
+    prs = {p: [] for p in profiles}
+    t0 = time.time()
+    for i in range(steps):
+        pcm = (rng.standard_normal((batch, 1, frame)) * 0.1).astype(np.float32)
+        bf16_tok = None
+        for p, (cfg, params, state, fn) in profiles.items():
+            out, state = fn(params, state, pcm, mask, reset, k0)
+            if p == "bf16":
+                bf16_tok = out["text_token"]
+            else:
+                # Teacher-force the text feedback with the bf16 stream so
+                # the comparison measures quantisation perturbation, not
+                # chaotic trajectory divergence after one argmax flip
+                # (see tests/test_quant_quality.py rationale).
+                state = dict(state, text_token=bf16_tok)
+            profiles[p] = (cfg, params, state, fn)
+            toks[p].append(np.asarray(out["text_token"]))
+            if out["prs"].shape[-1]:
+                prs[p].append(np.asarray(out["prs"], np.float32))
+        if i % 100 == 0:
+            print(f"  step {i}/{steps} ({time.time()-t0:.0f}s)", flush=True)
+
+    a = np.stack(toks["bf16"])       # (steps, B)
+    b = np.stack(toks["serving"])
+    match = a == b
+    first_div = int(np.argmin(match.all(axis=1))) if not match.all() else -1
+    out = {
+        "steps": steps,
+        "batch": batch,
+        "mode": "teacher-forced (bf16 text stream)",
+        "token_match_frac": round(float(match.mean()), 5),
+        "streams_fully_matching": int(match.all(axis=0).sum()),
+        "first_divergence_step": first_div,
+    }
+    if prs["bf16"]:
+        out["vad_prob_max_abs_diff"] = round(
+            float(np.abs(np.stack(prs["bf16"]) - np.stack(prs["serving"])).max()),
+            5,
+        )
+    return out
+
+
+def run_tts(lm_cfg, steps: int, batch: int, seed: int = 0,
+            kernels: bool = True) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from dsm_tpu.models import lm as LM
+    from dsm_tpu.ops import ring_kernels as rk
+    from dsm_tpu.ops import transformer as T
+    from dsm_tpu.sessions import tts as TTS
+
+    key = jax.random.PRNGKey(seed)
+    lm_bf16 = LM.init(lm_cfg, key, dtype=jnp.bfloat16)
+
+    # A rotating word feed, same constraints for both profiles.
+    vocab = lm_cfg.text_in_vocab_size
+    words = [40 + (i * 7) % max(vocab - 41, 1) for i in range(steps)]
+
+    def make(profile: str):
+        quant = profile == "serving"
+        # temperature 0: greedy text+audio so the comparison is exact.
+        cfg = TTS.TtsConfig(lm=lm_cfg, kv_quant=quant, max_steps=steps + 64,
+                            temperature=0.0, text_temperature=0.0)
+        params = {"lm": T.quantize_weights(lm_bf16) if quant else lm_bf16}
+        state = TTS.init_state(cfg, batch, jnp.bfloat16)
+
+        def _step(params, state, modes, toks, k):
+            with rk.kernels_forced(quant and kernels):
+                return TTS.step(cfg, params, state, modes, toks, k)
+
+        return cfg, params, state, jax.jit(_step, donate_argnums=(1,))
+
+    profiles = {p: make(p) for p in ("bf16", "serving")}
+    k0 = jax.random.PRNGKey(7)
+    text = {p: [] for p in profiles}
+    audio = {p: [] for p in profiles}
+    t0 = time.time()
+    for i in range(steps):
+        mode = TTS.ALLOW_TEXT if i % 3 == 0 else TTS.ALLOW_PAD_OR_EPAD
+        modes = np.full(batch, mode, np.int32)
+        tok_in = np.full(batch, words[i % len(words)], np.int32)
+        for p, (cfg, params, state, fn) in profiles.items():
+            out, state = fn(params, state, modes, tok_in, k0)
+            profiles[p] = (cfg, params, state, fn)
+            text[p].append(np.asarray(out["text_token"]))
+            audio[p].append(np.asarray(out["frame"]))
+        if i % 100 == 0:
+            print(f"  step {i}/{steps} ({time.time()-t0:.0f}s)", flush=True)
+
+    ta, tb = np.stack(text["bf16"]), np.stack(text["serving"])
+    aa, ab = np.stack(audio["bf16"]), np.stack(audio["serving"])
+    return {
+        "steps": steps,
+        "batch": batch,
+        "text_token_match_frac": round(float((ta == tb).mean()), 5),
+        "audio_token_match_frac": round(float((aa == ab).mean()), 5),
+        "first_text_divergence_step": (
+            int(np.argmin((ta == tb).all(axis=1)))
+            if not (ta == tb).all() else -1
+        ),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="stt-1b",
+                   choices=["stt-1b", "tts-1.6b", "small"])
+    p.add_argument("--steps", type=int, default=750)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--no-kernels", action="store_true",
+                   help="serving profile without the Pallas kernels "
+                        "(kernels default ON only on TPU: interpret-mode "
+                        "pallas on CPU is orders slower and numerically "
+                        "identical — tests/test_ring_kernel.py)")
+    args = p.parse_args(argv)
+
+    import jax
+
+    on_tpu = jax.default_backend() != "cpu"  # axon = the tunneled TPU
+
+    from dsm_tpu.models import lm as LM
+
+    if args.model == "stt-1b":
+        res = run_asr(LM.stt_1b_en_fr(), args.steps, args.batch,
+                      kernels=on_tpu and not args.no_kernels)
+    elif args.model == "tts-1.6b":
+        res = run_tts(LM.tts_1_6b_en_fr(), args.steps, args.batch,
+                      kernels=on_tpu and not args.no_kernels)
+    else:
+        import dataclasses
+
+        cfg = LM.stt_1b_en_fr()
+        cfg = dataclasses.replace(
+            cfg,
+            transformer=dataclasses.replace(
+                cfg.transformer, d_model=512, num_layers=4,
+                dim_feedforward=2048, num_heads=8,
+            ),
+        )
+        res = run_asr(cfg, args.steps, args.batch,
+                      kernels=on_tpu and not args.no_kernels)
+    res["model"] = args.model
+    import os
+
+    res["w8a8"] = os.environ.get("DSM_W8A8") not in (None, "", "0", "false")
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
