@@ -345,12 +345,22 @@ def test_asr_ws_on_dp_mesh():
                 pcm = np.random.default_rng(1).standard_normal(
                     cfg.mimi.frame_size * 3
                 ).astype(np.float32) * 0.1
+                # Silence after the marker flushes it through the ASR
+                # delay, like the real client's shutdown flush
+                # (stt/ws.rs:17-20): due step = frames + delay.
+                tail = np.zeros(
+                    cfg.mimi.frame_size * (cfg.asr_delay_in_tokens + 1),
+                    np.float32,
+                )
                 for ws in (ws1, ws2):
                     await ws.send_bytes(
                         msgpack.packb({"type": "Audio", "pcm": pcm.tolist()})
                     )
                     await ws.send_bytes(
                         msgpack.packb({"type": "Marker", "id": 7})
+                    )
+                    await ws.send_bytes(
+                        msgpack.packb({"type": "Audio", "pcm": tail.tolist()})
                     )
                 for ws in (ws1, ws2):
                     msgs = []
