@@ -206,6 +206,18 @@ def mm(x: jax.Array, w) -> jax.Array:
     return x @ w.astype(x.dtype).T
 
 
+def mm_dequant(x: jax.Array, w) -> jax.Array:
+    """x @ w.T forcing the plain weight-dequant path, ignoring the W8A8
+    env gate.  For one-time precompute (voice-CA projection) W8A8's
+    per-row activation quant buys nothing and its f32/int32 intermediates
+    at source length S x 2*H*Dh x L OOM the chip next to a live serving
+    state; the amortised dequant matmul is the right tool there."""
+    if isinstance(w, dict) and "q" in w:
+        y = x @ w["q"].astype(x.dtype).T
+        return y * w["s"].astype(x.dtype)
+    return x @ w.astype(x.dtype).T
+
+
 def quantize_weights(tree, min_size: int = 1 << 16):
     """Weight-only int8 quantisation of matmul weights in a param tree.
 
@@ -322,7 +334,7 @@ def precompute_ca_kv(
     h, hd = cfg.num_heads, cfg.hd
 
     def proj(ca_kv_w):
-        kv = mm(ca_tokens, ca_kv_w)
+        kv = mm_dequant(ca_tokens, ca_kv_w)
         kv = kv.reshape(b, s, 2, h, hd)
         return kv[:, :, 0].transpose(0, 2, 1, 3), kv[:, :, 1].transpose(0, 2, 1, 3)
 
