@@ -338,7 +338,12 @@ def precompute_ca_kv(
         kv = kv.reshape(b, s, 2, h, hd)
         return kv[:, :, 0].transpose(0, 2, 1, 3), kv[:, :, 1].transpose(0, 2, 1, 3)
 
-    return jax.vmap(proj)(params["ca_kv_w"])
+    # Sequential over layers (lax.map, not vmap): the projection runs once
+    # per session/voice, so peak memory — one layer's (B, S, 2*H*Dh)
+    # intermediates instead of all L at once (~5 GB at B=64 flagship TTS,
+    # which OOM'd next to a live serving state) — matters and latency does
+    # not.
+    return jax.lax.map(proj, params["ca_kv_w"])
 
 
 def quantize_ca_kv(ca_kv, s_len: Optional[int] = None) -> dict:
