@@ -537,8 +537,18 @@ def bench_duplex_sustained(batch: int, seconds: float,
     )
     mimi_cfg = MIMI.v0_1(16)
     key = jax.random.PRNGKey(0)
+    # Pre-quantise the LM and DROP the bf16 originals before the engine
+    # allocates its KV rings: at s2s-2b shapes the full-precision tree is
+    # 6.6 GB of live HBM that would otherwise coexist with the ~5.9 GB
+    # int8 KV state (quantize_weights is idempotent, so the engine's own
+    # kv_quant pass leaves the pre-quantised leaves alone).
+    from dsm_tpu.ops import transformer as T
+
+    lm_bf16 = LM.init(lm_cfg, key, dtype=jnp.bfloat16)
+    lm_q = T.quantize_weights(lm_bf16)
+    del lm_bf16
     params = {
-        "lm": LM.init(lm_cfg, key, dtype=jnp.bfloat16),
+        "lm": lm_q,
         "mimi": jax.tree_util.tree_map(
             lambda a: jnp.asarray(a, jnp.bfloat16),
             MIMI.init(mimi_cfg, jax.random.fold_in(key, 1)),

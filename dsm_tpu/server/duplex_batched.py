@@ -254,6 +254,13 @@ class BatchedDuplexEngine:
                 if f is None:
                     if drv.eos:
                         drv.finished = True
+                        if drv.text_acc:
+                            # Flush the trailing partial word so the
+                            # dialogue's last tokens are not dropped.
+                            drv.deliver(DuplexTextEvent(
+                                text=self.tokenizer.decode(drv.text_acc)
+                            ))
+                            drv.text_acc = []
                         drv.deliver(DuplexDoneEvent())
                     continue
                 self._pcm_buf[slot, 0, :] = f
