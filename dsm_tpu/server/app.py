@@ -64,6 +64,48 @@ def _parse_seed(value):
     except ValueError:
         return None
 
+
+class _EventPump:
+    """Coalesce cross-thread event deliveries into one loop wakeup.
+
+    Engine drain threads deliver one event per active slot per tick — at
+    batch 128 that is ~1600 ``call_soon_threadsafe`` self-pipe wakeups per
+    second, each taking the event-loop lock (a measurable slice of the p99
+    host tail).  The pump buffers ``(queue, event)`` pairs under its own
+    lock and schedules a single flush per burst, so one wakeup drains a
+    whole tick's deliveries.  Per-queue FIFO order is preserved: the buffer
+    is drained in post order on the loop thread.
+    """
+
+    def __init__(self, loop):
+        import threading
+
+        self.loop = loop
+        self._lock = threading.Lock()
+        self._buf: list = []
+        self._armed = False
+
+    def post(self, q, ev) -> None:
+        with self._lock:
+            self._buf.append((q, ev))
+            if self._armed:
+                return
+            self._armed = True
+        try:
+            self.loop.call_soon_threadsafe(self._flush)
+        except RuntimeError:
+            # Loop closed mid-shutdown: drop the burst (receivers are gone).
+            with self._lock:
+                self._buf.clear()
+                self._armed = False
+
+    def _flush(self) -> None:
+        with self._lock:
+            buf, self._buf = self._buf, []
+            self._armed = False
+        for q, ev in buf:
+            q.put_nowait(ev)
+
 class App:
     def __init__(
         self,
@@ -116,6 +158,17 @@ class App:
         r.add_get("/api/modules_info", self.handle_modules_info)
 
     # -- helpers --
+
+    def _pump(self, loop) -> _EventPump:
+        """Per-loop delivery pump (one loop per App in practice; keyed so
+        test harnesses that bind several loops stay correct)."""
+        pumps = getattr(self, "_pumps", None)
+        if pumps is None:
+            pumps = self._pumps = {}
+        p = pumps.get(id(loop))
+        if p is None or p.loop is not loop:
+            p = pumps[id(loop)] = _EventPump(loop)
+        return p
 
     def _check_auth(self, request) -> Optional[web.Response]:
         try:
@@ -208,9 +261,10 @@ class App:
 
         loop = asyncio.get_running_loop()
         out_q: asyncio.Queue = asyncio.Queue()
+        pump = self._pump(loop)
 
         def deliver(ev: Events):
-            loop.call_soon_threadsafe(out_q.put_nowait, ev)
+            pump.post(out_q, ev)
 
         seed = _parse_seed(request.query.get("seed"))
         try:
@@ -365,9 +419,10 @@ class App:
 
         loop = asyncio.get_running_loop()
         events_q: asyncio.Queue = asyncio.Queue()
+        pump = self._pump(loop)
 
         def deliver(ev):
-            loop.call_soon_threadsafe(events_q.put_nowait, ev)
+            pump.post(events_q, ev)
 
         # Retry for a slot (the reference polls with backoff).
         ch = None
@@ -539,8 +594,10 @@ class App:
             else:
                 await ws.send_bytes(proto.tts_audio([float(x) for x in pcm]))
 
+        pump = self._pump(loop)
+
         def on_event(ev):
-            loop.call_soon_threadsafe(out_q.put_nowait, ev)
+            pump.post(out_q, ev)
 
         def run_session():
             try:
@@ -548,7 +605,7 @@ class App:
                 with self.tts_engine.lock:
                     session.run(on_event, word_timeout=RECV_TIMEOUT_S)
             finally:
-                loop.call_soon_threadsafe(out_q.put_nowait, None)
+                pump.post(out_q, None)
 
         run_task = loop.run_in_executor(None, run_session)
 
@@ -603,9 +660,10 @@ class App:
 
         loop = asyncio.get_running_loop()
         out_q: asyncio.Queue = asyncio.Queue()
+        pump = self._pump(loop)
 
         def deliver(ev):
-            loop.call_soon_threadsafe(out_q.put_nowait, ev)
+            pump.post(out_q, ev)
 
         try:
             voice_ca = self.tts_engine.voice_kv(request.query.get("voice"))
@@ -716,6 +774,7 @@ class App:
 
         loop = asyncio.get_running_loop()
         out_q: asyncio.Queue = asyncio.Queue()
+        pump = self._pump(loop)
         if batched:
             session = None
         else:
@@ -737,14 +796,12 @@ class App:
                 # onto one ogg page per frame (MsgSender:284-316 pattern).
                 data = enc.encode(pcm)
                 if data:
-                    loop.call_soon_threadsafe(
-                        out_q.put_nowait, bytes([MsgType.AUDIO]) + data
-                    )
+                    pump.post(out_q, bytes([MsgType.AUDIO]) + data)
             else:
-                loop.call_soon_threadsafe(out_q.put_nowait, audio_frame(pcm))
+                pump.post(out_q, audio_frame(pcm))
 
         def on_text(text):
-            loop.call_soon_threadsafe(out_q.put_nowait, text_frame(text))
+            pump.post(out_q, text_frame(text))
 
         run_task = None
         slot = None
@@ -760,11 +817,9 @@ class App:
                 if isinstance(ev, DuplexAudioEvent):
                     on_audio(ev.pcm)
                 elif isinstance(ev, DuplexTextEvent):
-                    loop.call_soon_threadsafe(
-                        out_q.put_nowait, text_frame(ev.text)
-                    )
+                    pump.post(out_q, text_frame(ev.text))
                 elif isinstance(ev, DuplexDoneEvent):
-                    loop.call_soon_threadsafe(out_q.put_nowait, None)
+                    pump.post(out_q, None)
 
             slot = self.duplex_engine.open_session(
                 deliver, asr_delay_in_tokens=asr_delay
@@ -782,7 +837,7 @@ class App:
                 try:
                     session.run(on_audio, on_text)
                 finally:
-                    loop.call_soon_threadsafe(out_q.put_nowait, None)
+                    pump.post(out_q, None)
 
             run_task = loop.run_in_executor(None, run_session)
             push_pcm = session.push_pcm
@@ -937,6 +992,14 @@ class App:
 
             ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
             ctx.load_cert_chain(ssl_cert, ssl_key)
+        # uvloop (when installed) cuts per-wakeup event-loop overhead on the
+        # B=128 send path; absent from this image, so strictly opt-in.
+        try:
+            import uvloop  # type: ignore
+
+            uvloop.install()
+        except ImportError:
+            pass
         web.run_app(self.web_app, host=host, port=port, ssl_context=ctx)
 
 

@@ -41,15 +41,20 @@ class Room:
         self.receivers.discard(q)
 
     def broadcast(self, payload: bytes, loop) -> None:
-        for q in list(self.receivers):
-            def put(qq=q):
+        # One loop wakeup per broadcast, not per receiver: fan-out happens
+        # on the loop thread (receivers is only mutated there).
+        targets = list(self.receivers)
+
+        def fan_out():
+            for qq in targets:
                 if qq.full():
                     try:
                         qq.get_nowait()
                     except asyncio.QueueEmpty:
                         pass
                 qq.put_nowait(payload)
-            loop.call_soon_threadsafe(put)
+
+        loop.call_soon_threadsafe(fan_out)
 
 
 class MimiRoomsEngine:

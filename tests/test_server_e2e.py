@@ -408,3 +408,51 @@ def test_builder_mesh_from_toml(tmp_path, monkeypatch):
     mod2 = Config.load(str(cfg_path)).modules["asr"]
     with pytest.raises(ValueError):
         builder.build_mesh_from_config(mod2)
+
+
+def test_event_pump_fifo_and_coalescing():
+    """_EventPump preserves per-queue FIFO order across threads and
+    coalesces a burst of posts into few loop wakeups."""
+    import asyncio
+    import threading
+
+    from dsm_tpu.server.app import _EventPump
+
+    async def main():
+        loop = asyncio.get_running_loop()
+        pump = _EventPump(loop)
+        q1: asyncio.Queue = asyncio.Queue()
+        q2: asyncio.Queue = asyncio.Queue()
+
+        wakeups = 0
+        orig_flush = pump._flush
+
+        def counting_flush():
+            nonlocal wakeups
+            wakeups += 1
+            orig_flush()
+
+        pump._flush = counting_flush
+
+        N = 500
+
+        def producer():
+            for i in range(N):
+                pump.post(q1, ("a", i))
+                pump.post(q2, ("b", i))
+
+        t = threading.Thread(target=producer)
+        t.start()
+        got1, got2 = [], []
+        while len(got1) < N:
+            got1.append(await q1.get())
+        while len(got2) < N:
+            got2.append(await q2.get())
+        t.join()
+        assert got1 == [("a", i) for i in range(N)]
+        assert got2 == [("b", i) for i in range(N)]
+        # Coalescing: far fewer wakeups than the 2N posts (exact count is
+        # scheduling-dependent; the pre-pump design would be exactly 2N).
+        assert wakeups < 2 * N
+
+    asyncio.run(main())
