@@ -188,3 +188,31 @@ def test_synthesize_jsonl(tmp_path):
     for m in manifest:
         assert (tmp_path / "out" / f"{m['id']}.wav").exists()
         assert m["duration_s"] >= 0.0
+
+
+def test_offline_transcribe_mp3_fixture(tmp_path):
+    """`cli stt audio/*.mp3` path: compressed-file decode reaches the
+    engine (reference utils.rs:263-305 pcm_decode; the stand-in for the
+    bria.mp3 run queued on real weights)."""
+    import jax
+
+    from dsm_tpu import offline
+    from dsm_tpu.server import batched_asr as eng
+    from dsm_tpu.utils import codecs
+    from tests.test_asr import make_params, small_asr_cfg
+
+    if not codecs.mp3_available():
+        pytest.skip("libmpg123 unavailable")
+    cfg = small_asr_cfg()
+    saved = eng.FRAME_SIZE
+    eng.FRAME_SIZE = cfg.mimi.frame_size
+    try:
+        params = make_params(cfg, jax.random.PRNGKey(0))
+        engine = eng.BatchedAsrEngine(cfg, params, batch_size=1)
+        engine.tokenizer = FallbackTokenizer()
+        result = offline.transcribe_file(
+            "audio/speech-synthetic.mp3", engine=engine
+        )
+        assert "text" in result and "words" in result
+    finally:
+        eng.FRAME_SIZE = saved
