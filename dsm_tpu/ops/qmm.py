@@ -101,14 +101,28 @@ def qmm(x, wq, s, *, interpret=None):
     return out.reshape(*lead, wq.shape[0])
 
 
+# Process-wide default for the W8A8 serving profile.  The server builder
+# sets this True on accelerators (measured: LM step 13.14 -> 12.51 ms at
+# B=128, TTS 30.09 -> 28.61 ms at B=32 on v5e; quality bound
+# tests/test_quant_quality.py + tools/quant_divergence.py).  The DSM_W8A8
+# env var overrides in either direction; read at TRACE time by mm().
+_w8a8_default = False
+
+
+def set_w8a8_default(value: bool) -> None:
+    global _w8a8_default
+    _w8a8_default = bool(value)
+
+
 def w8a8_enabled() -> bool:
-    """Dynamic-activation int8 matmuls (``DSM_W8A8=1``): per-row absmax
-    activation quant feeding native s8xs8->s32 MXU dots.  Removes the
-    int8->bf16 weight-dequant HBM materialisation entirely (the weight is
-    consumed as int8 by the MXU) and doubles MXU throughput.  Serving
-    profile quality bound: tests/test_quant_quality.py."""
+    """Dynamic-activation int8 matmuls: per-row absmax activation quant
+    feeding native s8xs8->s32 MXU dots.  Removes the int8->bf16
+    weight-dequant HBM materialisation entirely (the weight is consumed as
+    int8 by the MXU) and doubles MXU throughput."""
     env = os.environ.get("DSM_W8A8")
-    return env is not None and env not in ("0", "false", "")
+    if env is None:
+        return _w8a8_default
+    return env not in ("0", "false", "")
 
 
 def mm_w8a8(x, wq, s):

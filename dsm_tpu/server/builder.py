@@ -85,9 +85,12 @@ def build_batched_asr(mod: CFG.ModuleConfig) -> BatchedAsrEngine:
             # Weight-only int8 LM matmuls: the rest of the serving profile
             # (bench.py headline) — halves the weight read and feeds the
             # fused dequant kernel (ops/qmm.py).
-            from ..ops import transformer as T
+            from ..ops import qmm, transformer as T
 
             lm_params = T.quantize_weights(lm_params)
+            # W8A8 dynamic-activation int8 dots complete the profile
+            # (DSM_W8A8 env or TOML w8a8=false overrides).
+            qmm.set_w8a8_default(mod.raw.get("w8a8", True))
     params = {"mimi": mimi_params, "lm": lm_params}
 
     batch = auto_batch_size(mod.batch_size, mod.lm)
@@ -168,10 +171,12 @@ def build_tts(mod: CFG.ModuleConfig) -> TtsEngine:
             lambda a: jnp.asarray(a, jnp.bfloat16), mimi_params
         )
         if mod.raw.get("weight_quant", True):
-            # Serving profile, like the ASR builder: weight-only int8 LM.
-            from ..ops import transformer as T
+            # Serving profile, like the ASR builder: weight-only int8 LM
+            # + W8A8 dynamic-activation int8 dots.
+            from ..ops import qmm, transformer as T
 
             lm_params = T.quantize_weights(lm_params)
+            qmm.set_w8a8_default(mod.raw.get("w8a8", True))
 
     # Voice sources: preloaded embeddings + voice dir (tts.rs:304-365).
     from ..models import speaker as SPK

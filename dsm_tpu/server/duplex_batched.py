@@ -120,10 +120,17 @@ class BatchedDuplexEngine:
             kv_quant = jax.default_backend() != "cpu"
         self.kv_quant = kv_quant
         if self.kv_quant:
-            from ..ops import transformer as TT
+            from ..ops import qmm, transformer as TT
 
             params = dict(params)
             params["lm"] = TT.quantize_weights(params["lm"])
+            # W8A8 completes the serving profile (s2s-2b is weight-read
+            # heavy at small batch; measured win on v5e, see
+            # docs/PERFORMANCE.md).  DSM_W8A8=0 overrides.  Accel-only:
+            # flipping the process-global default on CPU would leak the
+            # profile into unrelated exact-dtype test traces.
+            if jax.default_backend() != "cpu":
+                qmm.set_w8a8_default(True)
         self.params = params
         self.mimi_params = mimi_params
 

@@ -93,3 +93,22 @@ def test_mm_routes_through_qmm(monkeypatch):
         np.asarray(y_on, np.float32), np.asarray(y_off, np.float32),
         atol=1e-2, rtol=1e-2,
     )
+
+
+def test_w8a8_default_and_env_precedence(monkeypatch):
+    """set_w8a8_default supplies the default; DSM_W8A8 env overrides in
+    BOTH directions (serving profile knob wiring)."""
+    from dsm_tpu.ops import qmm
+
+    monkeypatch.delenv("DSM_W8A8", raising=False)
+    qmm.set_w8a8_default(False)
+    assert not qmm.w8a8_enabled()
+    qmm.set_w8a8_default(True)
+    assert qmm.w8a8_enabled()
+    monkeypatch.setenv("DSM_W8A8", "0")
+    assert not qmm.w8a8_enabled()
+    qmm.set_w8a8_default(False)
+    monkeypatch.setenv("DSM_W8A8", "1")
+    assert qmm.w8a8_enabled()
+    monkeypatch.delenv("DSM_W8A8", raising=False)
+    qmm.set_w8a8_default(False)
