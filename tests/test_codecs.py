@@ -120,3 +120,20 @@ def test_ogg_opus_file_via_decode_audio(tmp_path):
     assert len(out) > sr // 4
     body = out[len(out) // 4 : -len(out) // 4]
     assert abs(dominant_freq(body, sr) - 700.0) < 10.0
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/audio/bria.mp3"),
+    reason="reference samples not mounted",
+)
+def test_reference_mp3_samples_decode():
+    """The actual reference speech samples decode (utils.rs:263-305
+    pcm_decode parity) — the last builder-side prerequisite of the
+    real-weights bria.mp3 transcript comparison (tools/validate_real.py)."""
+    from dsm_tpu.utils.audio import decode_audio
+
+    if not codecs.mp3_available():
+        pytest.skip("libmpg123 unavailable")
+    pcm = decode_audio("/root/reference/audio/bria.mp3", 24_000)
+    assert 40 < len(pcm) / 24_000 < 50  # 44.9 s clip
+    assert 0.05 < float(np.sqrt((pcm ** 2).mean())) < 0.3
