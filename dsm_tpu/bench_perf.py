@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -413,6 +414,11 @@ def bench_tts_sustained(batch: int, seconds: float, engine=None,
         engine = BatchedTtsEngine(
             cfg, params, mimi_cfg, mimi_params, FallbackTokenizer(),
             batch_size=batch,
+            # int8 voice-CA source (DSM_TTS_CA_INT8=1): perf-neutral at
+            # B=32 but halves the CA KV — the buffer that gates B>=64
+            # in the no-donation HBM envelope (docs/PERFORMANCE.md).
+            ca_quant=os.environ.get("DSM_TTS_CA_INT8", "")
+            not in ("", "0", "false"),
         )
     mimi_cfg = engine.mimi_cfg
 
@@ -686,6 +692,16 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import contextlib
+
+    # Benches measure the SERVING profile: like the server builder, W8A8
+    # dynamic-activation int8 dots default ON on accelerators (DSM_W8A8=0
+    # opts out; it stays off on CPU where there is no int8 MXU to win on).
+    import jax as _jax
+
+    if _jax.default_backend() != "cpu":
+        from .ops import qmm as _qmm
+
+        _qmm.set_w8a8_default(True)
 
     tracer = contextlib.nullcontext()
     if args.trace:

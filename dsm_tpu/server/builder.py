@@ -238,6 +238,9 @@ def build_tts(mod: CFG.ModuleConfig) -> TtsEngine:
             # config allows guidance (reference serves cfg_alpha per request,
             # main.rs:1045-1074).
             cfg_enabled=bool(mod.raw.get("cfg_enabled", False)),
+            # int8-native voice-CA store: halves the CA KV (the buffer
+            # gating batch >= 64 in 16 GiB HBM), perf-neutral at B=32.
+            ca_quant=bool(mod.raw.get("ca_int8", False)),
             mesh=build_mesh_from_config(mod),
         )
         engine.voices = resolver

@@ -153,9 +153,11 @@ class BatchedTtsEngine:
             jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
         )
         # int8 voice source: perf-neutral at batch 32 (the frame is
-        # depformer-bound, measured 31.8 vs 30.6 ms) but HALVES the CA
-        # memory (2.6 -> 1.3 GB at B=32), which is what gates larger
-        # batches — opt-in for memory-bound deployments.
+        # depformer-bound, measured 31.8 vs 30.6 ms) and HALVES the CA
+        # memory — the buffer that gates larger batches.  The store is
+        # int8-NATIVE (per-slot quantised writes; no bf16 twin buffer) —
+        # opt-in via TOML `ca_int8 = true` / DSM_TTS_CA_INT8 for
+        # memory-bound deployments (B>=64).
         self.ca_quant = bool(ca_quant)
 
         tcfg = cfg.lm.transformer
@@ -168,10 +170,11 @@ class BatchedTtsEngine:
         ca_shape = (
             tcfg.num_layers, self.rows, tcfg.num_heads, self.ca_len, tcfg.hd
         )
-        self._ca_raw = (
-            jnp.zeros(ca_shape, self.cache_dtype),
-            jnp.zeros(ca_shape, self.cache_dtype),
-        )
+        if not self.ca_quant:
+            self._ca_raw = (
+                jnp.zeros(ca_shape, self.cache_dtype),
+                jnp.zeros(ca_shape, self.cache_dtype),
+            )
         self._zero_voice = jnp.zeros(
             (tcfg.num_layers, 1, tcfg.num_heads, self.ca_len, tcfg.hd),
             self.cache_dtype,
@@ -182,14 +185,58 @@ class BatchedTtsEngine:
             ),
             donate_argnums=(0,),
         )
+        if self.ca_quant:
+            # int8-NATIVE store: the served buffer IS the quantised form
+            # (int8 K/V + f32 per-row scales, source rows padded to the
+            # 128-lane tile).  Per-slot voice writes quantise the incoming
+            # slot's bf16 KV on device and dynamic_update_slice into the
+            # int8 buffers — no bf16 twin buffer lives alongside (the
+            # earlier requantise-on-dirty design kept both, so "int8 CA"
+            # GREW peak HBM by 1.5x instead of halving it; the halving is
+            # what gates B>=64).
+            s_pad = self.ca_len + ((-self.ca_len) % 128)
+            qz = jnp.zeros(
+                (tcfg.num_layers, self.rows, tcfg.num_heads, s_pad, tcfg.hd),
+                jnp.int8,
+            )
+            sz = jnp.zeros(
+                (tcfg.num_layers, self.rows, tcfg.num_heads, s_pad),
+                jnp.float32,
+            )
+            self._ca_raw = {
+                "k": qz, "v": jnp.zeros_like(qz),
+                "ks": sz, "vs": jnp.zeros_like(sz),
+                "s_len": jnp.int32(self.ca_len),
+            }
+
+            def _wq(bufs, k, v, slot):
+                qd = T.quantize_ca_kv(
+                    (k.astype(self.cache_dtype), v.astype(self.cache_dtype)),
+                    s_len=self.ca_len,
+                )
+                return {
+                    "k": jax.lax.dynamic_update_slice(
+                        bufs["k"], qd["k"], (0, slot, 0, 0, 0)
+                    ),
+                    "v": jax.lax.dynamic_update_slice(
+                        bufs["v"], qd["v"], (0, slot, 0, 0, 0)
+                    ),
+                    "ks": jax.lax.dynamic_update_slice(
+                        bufs["ks"], qd["ks"], (0, slot, 0, 0)
+                    ),
+                    "vs": jax.lax.dynamic_update_slice(
+                        bufs["vs"], qd["vs"], (0, slot, 0, 0)
+                    ),
+                    "s_len": bufs["s_len"],
+                }
+
+            self._ca_write_q = jax.jit(_wq, donate_argnums=(0,))
         # Voice writes are queued and applied ON THE ENGINE LOOP THREAD at
         # the top of tick(): _ca_write donates the CA buffer in place, and
         # donating from the WS thread could race an in-flight step that is
         # still reading it (same hazard the reference avoids by keeping
         # ca_src per-connection; tts.rs:304-365).
         self._pending_voice: List[tuple] = []
-        self._ca_dirty = True
-        self._ca_dev = None
 
         self.state = TTS.init_state(cfg, self.rows, self.cache_dtype)
         self.mimi_state = MIMI.init_decode_state(mimi_cfg, batch_size)
@@ -232,9 +279,19 @@ class BatchedTtsEngine:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             ca_sh = NamedSharding(mesh, P(None, "dp", None, None, None))
-            self._ca_raw = tuple(
-                jax.device_put(a, ca_sh) for a in self._ca_raw
-            )
+            if self.ca_quant:
+                ca_sh4 = NamedSharding(mesh, P(None, "dp", None, None))
+                self._ca_raw = {
+                    "k": jax.device_put(self._ca_raw["k"], ca_sh),
+                    "v": jax.device_put(self._ca_raw["v"], ca_sh),
+                    "ks": jax.device_put(self._ca_raw["ks"], ca_sh4),
+                    "vs": jax.device_put(self._ca_raw["vs"], ca_sh4),
+                    "s_len": self._ca_raw["s_len"],
+                }
+            else:
+                self._ca_raw = tuple(
+                    jax.device_put(a, ca_sh) for a in self._ca_raw
+                )
 
         n = batch_size
         delay = cfg.text_audio_delay_in_tokens + cfg.acoustic_delay
@@ -351,6 +408,14 @@ class BatchedTtsEngine:
                 pending, self._pending_voice = self._pending_voice, []
         if not pending:
             return
+        if self.ca_quant:
+            bufs = self._ca_raw
+            for slot, k, v in pending:
+                if k is None:
+                    k = v = self._zero_voice
+                bufs = self._ca_write_q(bufs, k, v, slot)
+            self._ca_raw = bufs
+            return
         ck, cv = self._ca_raw
         for slot, k, v in pending:
             if k is None:
@@ -360,7 +425,6 @@ class BatchedTtsEngine:
                 ck = self._ca_write(ck, k, slot)
                 cv = self._ca_write(cv, v, slot)
         self._ca_raw = (ck, cv)
-        self._ca_dirty = True
 
     def close_session(self, drv: TtsSlot) -> None:
         with self.slot_lock:
@@ -384,15 +448,9 @@ class BatchedTtsEngine:
             self.thread.join(timeout=5)
 
     def _ca(self):
-        if self._ca_dirty or self._ca_dev is None:
-            kv = self._ca_raw
-            if self.ca_quant:
-                # int8 voice source with per-row scales (device-side
-                # requantise on slot churn — compute only, no transfer).
-                kv = T.quantize_ca_kv(kv, s_len=self.ca_len)
-            self._ca_dev = kv
-            self._ca_dirty = False
-        return self._ca_dev
+        # Both modes keep the SERVED form in _ca_raw — bf16 (k, v) tuple,
+        # or the int8 dict written in place per slot (ca_quant).
+        return self._ca_raw
 
     def warmup(self, steps: int = 2) -> None:
         """Compile the step + decode before serving (main.rs module warmup;

@@ -117,3 +117,79 @@ def test_engine_warmup_cfg_enabled():
     )
     eng.warmup()  # doubled-rows program compiles
     assert eng.rows == 4
+
+
+def make_engine_q(batch=2, **kw):
+    cfg = small_tts_cfg(max_steps=96)
+    mimi_cfg = small_mimi_cfg()
+    params = {"lm": LM.init(cfg.lm, jax.random.PRNGKey(0))}
+    mimi_params = MIMI.init(mimi_cfg, jax.random.PRNGKey(1))
+    eng = BatchedTtsEngine(
+        cfg, params, mimi_cfg, mimi_params, FallbackTokenizer(),
+        batch_size=batch, ca_len=6, ca_quant=True, **kw,
+    )
+    return eng, cfg
+
+
+def test_ca_int8_store_is_native_and_write_exact():
+    """ca_quant keeps ONLY the int8 form on device (no bf16 twin buffer —
+    the halving is what gates B>=64), and a per-slot voice write lands
+    bit-exactly as quantize_ca_kv of that slot's bf16 source."""
+    eng, cfg = make_engine_q(batch=2)
+    assert isinstance(eng._ca_raw, dict)
+    assert eng._ca_raw["k"].dtype == jnp.int8
+    # Padded to the 128-lane tile.
+    assert eng._ca_raw["k"].shape[3] == 128
+
+    voice = make_voice(cfg, 2)
+    s1 = eng.open_session(lambda e: None, voice_ca=voice)
+    eng._apply_voice_writes()
+    bufs = eng._ca()
+    exp = T.quantize_ca_kv(
+        tuple(a.astype(eng.cache_dtype) for a in voice), s_len=eng.ca_len
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bufs["k"][:, s1.slot]), np.asarray(exp["k"][:, 0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bufs["v"][:, s1.slot]), np.asarray(exp["v"][:, 0])
+    )
+    np.testing.assert_allclose(
+        np.asarray(bufs["ks"][:, s1.slot]), np.asarray(exp["ks"][:, 0])
+    )
+    # The other slot stays zero (scale 0 dequantises to 0).
+    other = 1 - s1.slot
+    assert not np.asarray(bufs["k"][:, other]).any()
+
+
+def test_ca_int8_sessions_complete_end_to_end():
+    eng, cfg = make_engine_q(batch=2)
+    ev1, ev2 = [], []
+    s1 = eng.open_session(ev1.append, voice_ca=make_voice(cfg, 2))
+    s2 = eng.open_session(ev2.append, voice_ca=make_voice(cfg, 3))
+    s1.feed_words([[31, 7], [8]])
+    s1.end_input()
+    s2.feed_words([[31, 9]])
+    s2.end_input()
+    drain(eng)
+    for evs in (ev1, ev2):
+        assert any(isinstance(e, DoneEvent) for e in evs)
+        audio = [e for e in evs if isinstance(e, AudioEvent)]
+        assert len(audio) >= 1
+    # Slot churn: reopened slot requantises in place.
+    eng.close_session(s1)
+    ev3 = []
+    s3 = eng.open_session(ev3.append, voice_ca=make_voice(cfg, 4))
+    s3.feed_words([[31, 5]])
+    s3.end_input()
+    drain(eng)
+    assert any(isinstance(e, DoneEvent) for e in ev3)
+
+
+def test_ca_int8_cfg_enabled_warmup():
+    eng, cfg = make_engine_q(batch=2, cfg_enabled=True)
+    eng.warmup()
+    assert eng.rows == 4
+    pcm, words = eng.synthesize("hi there")
+    assert pcm.ndim == 1 and pcm.size > 0
+    assert eng.used_slots() == 0
