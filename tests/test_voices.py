@@ -137,3 +137,69 @@ speaker_cond_duration_s = 0.96
     assert not np.allclose(
         np.asarray(other), np.asarray(engine.default_condition)
     )
+
+
+def test_builder_ca_int8_knob(tmp_path):
+    """TOML `ca_int8 = true` on a batched TTS module builds the engine with
+    the int8-native voice-CA store (server/builder.py wiring)."""
+    cfg_text = """
+instance_name = "ca-int8-test"
+authorized_ids = []
+
+[modules.tts]
+type = "Tts"
+path = "/api/tts"
+batch_size = 2
+ca_int8 = true
+
+[modules.tts.model]
+text_in_vocab_size = 33
+text_out_vocab_size = 32
+audio_vocab_size = 9
+audio_codebooks = 4
+
+[modules.tts.model.transformer]
+d_model = 32
+num_heads = 4
+num_layers = 2
+dim_feedforward = 64
+causal = true
+context = 64
+gating = "silu"
+norm = "RmsNorm"
+positional_embedding = "Rope"
+
+[modules.tts.model.depformer]
+num_slices = 4
+
+[modules.tts.model.depformer.transformer]
+d_model = 16
+num_heads = 2
+num_layers = 2
+dim_feedforward = 32
+causal = true
+context = 4
+gating = "silu"
+norm = "RmsNorm"
+positional_embedding = "None"
+
+[modules.tts.generation]
+speaker_cond_dim = 32
+speaker_cond_n_speakers = 2
+speaker_cond_duration_s = 0.96
+"""
+    p = tmp_path / "ca_int8.toml"
+    p.write_text(cfg_text)
+
+    import jax.numpy as jnp
+
+    from dsm_tpu.server import builder
+    from dsm_tpu.server.config import Config
+    from dsm_tpu.server.tts_batched import BatchedTtsEngine
+
+    cfg = Config.load(str(p))
+    engine = builder.build_tts(cfg.modules["tts"])
+    assert isinstance(engine, BatchedTtsEngine)
+    assert engine.ca_quant
+    assert isinstance(engine._ca_raw, dict)
+    assert engine._ca_raw["k"].dtype == jnp.int8
