@@ -346,7 +346,30 @@ def _apply_platform_env() -> None:
             pass
 
 
+def _load_dotenv(path: str = ".env") -> None:
+    """Load KEY=VALUE lines from a .env file in the working directory into
+    the environment (existing variables win) — the reference server does
+    the same via dotenvy at startup (moshi-server main.rs), so secrets
+    like BETTER_AUTH_SECRET need no manual sourcing."""
+    import os
+
+    try:
+        with open(path) as f:
+            lines = f.readlines()
+    except OSError:
+        return
+    for line in lines:
+        line = line.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        key, _, val = line.partition("=")
+        key, val = key.strip(), val.strip().strip("'\"")
+        if key:
+            os.environ.setdefault(key, val)
+
+
 def main(argv=None) -> int:
+    _load_dotenv()
     _apply_platform_env()
     p = argparse.ArgumentParser(prog="dsm-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)

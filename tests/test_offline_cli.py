@@ -216,3 +216,24 @@ def test_offline_transcribe_mp3_fixture(tmp_path):
         assert "text" in result and "words" in result
     finally:
         eng.FRAME_SIZE = saved
+
+
+def test_dotenv_loading(tmp_path, monkeypatch):
+    """cli loads .env KEY=VALUE into the env at startup (existing env
+    wins) — moshi-server's dotenvy behavior."""
+    import os
+
+    from dsm_tpu import cli
+
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / ".env").write_text(
+        "# comment\nBETTER_AUTH_SECRET='s3cret'\nDSM_TEST_DOTENV=abc\n"
+        "ALREADY=from_file\nbroken line\n"
+    )
+    monkeypatch.setenv("ALREADY", "from_env")
+    monkeypatch.delenv("DSM_TEST_DOTENV", raising=False)
+    monkeypatch.delenv("BETTER_AUTH_SECRET", raising=False)
+    cli._load_dotenv()
+    assert os.environ["DSM_TEST_DOTENV"] == "abc"
+    assert os.environ["BETTER_AUTH_SECRET"] == "s3cret"
+    assert os.environ["ALREADY"] == "from_env"
