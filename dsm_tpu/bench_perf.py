@@ -574,9 +574,12 @@ def bench_duplex_sustained(batch: int, seconds: float,
             events.append((name, time.perf_counter() - t_origin, slot))
 
     step_times: list = []
+    tick_phases: list = []
 
-    def tick_obs(dt, n_active):
+    def tick_obs(dt, n_active, phases=None):
         step_times.append(dt)
+        if phases is not None:
+            tick_phases.append(phases)
         log_event("Step")
         log_event("StepPostSampling")
 
@@ -649,6 +652,12 @@ def bench_duplex_sustained(batch: int, seconds: float,
         "realtime_sessions_frac": round(float((audio >= expected).mean()), 3),
         "realtime_ok": bool((audio >= expected).all()),
         "aggregate_duplex_streams": round(float(audio.sum() / wall), 1),
+        # [gather, dispatch, fetch, post] — localises budget misses.
+        "tick_phase_ms_p50": (
+            [round(float(np.percentile([p[i] for p in tick_phases], 50)) * 1e3, 1)
+             for i in range(4)]
+            if tick_phases else None
+        ),
         "n_events": len(events),
     }
 

@@ -148,7 +148,8 @@ class BatchedDuplexEngine:
         self.slot_lock = threading.Lock()
         self.running = False
         self.thread: Optional[threading.Thread] = None
-        self.tick_observer = None  # (dt_s, n_active) per stepped tick
+        # (dt_s, n_active, (gather, dispatch, fetch, post) s) per stepped tick
+        self.tick_observer = None
 
         frame = mimi_cfg.frame_size
         in_cb = cfg.input_audio_codebooks
@@ -251,6 +252,7 @@ class BatchedDuplexEngine:
         drivers: List[Optional[DuplexSlot]] = [None] * self.batch_size
         frame = self.mimi_cfg.frame_size
 
+        t_tick0 = time.perf_counter()
         with self.slot_lock:
             reset[:] = self.pending_resets
             self.pending_resets[:] = False
@@ -284,12 +286,12 @@ class BatchedDuplexEngine:
             self.params, self.state, self.enc_state, self.dec_state,
             self._pcm_buf, mask, reset, sub, asr_delay,
         )
+        t1 = time.perf_counter()
         packed = np.asarray(packed_dev)  # the tick's ONE device->host fetch
-        dt = time.perf_counter() - t0
+        t2 = time.perf_counter()
+        dt = t2 - t0
         metrics.LM_STEP_DURATION.observe(dt)
         metrics.LM_STEPS_TOTAL.inc()
-        if self.tick_observer is not None:
-            self.tick_observer(dt, int(mask.sum()))
 
         n = self.batch_size
         text_tokens = packed[:n]
@@ -314,6 +316,15 @@ class BatchedDuplexEngine:
                 drv.text_acc = []
             if dec_mask[slot]:
                 drv.deliver(DuplexAudioEvent(pcm=pcm[slot].copy()))
+        if self.tick_observer is not None:
+            # (total step s, n_active, (gather, dispatch, fetch, post) s) —
+            # same phase split the TTS engine reports; localises whether a
+            # missed 80 ms cadence is device time or host path.
+            t3 = time.perf_counter()
+            self.tick_observer(
+                dt, int(mask.sum()),
+                (t0 - t_tick0, t1 - t0, t2 - t1, t3 - t2),
+            )
         return True
 
     def _loop(self) -> None:
