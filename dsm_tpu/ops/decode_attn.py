@@ -201,21 +201,162 @@ def _decode_attend_q4(
     )(pos, q, k_cache, v_cache, k_scale, v_scale, k_new, v_new, valid)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("window", "interpret")
+)
+def _decode_attend_q_flash(
+    q, k_cache, v_cache, k_scale, v_scale, k_new, v_new, valid, pos,
+    *, window: int, interpret: bool = False
+):
+    """c-blocked streaming-softmax variant for rings too large for one VMEM
+    block (s2s-2b: 20 heads x ring 3072 x 128 = 7.9 MB int8/slot) and for
+    head counts the mono grid was never validated on (h % 8 != 0).
+
+    Grid (B, C/cb); per batch row the ring streams through VMEM in cb-wide
+    chunks with the standard online-softmax update (m/l/acc carried in VMEM
+    scratch).  The fresh bf16 row seeds the running max at block 0, so an
+    all-masked first block cannot produce the exp(NEG_INF - NEG_INF) = 1
+    artefact.  Semantics match _decode_attend_q / attend_global_split_q
+    (fp-association-level; tests/test_decode_attn.py)."""
+    b, h, dh = q.shape
+    c = k_cache.shape[2]
+    cb = _pick_cblock(h, c, dh)
+    nc = c // cb
+    scale = 1.0 / (dh ** 0.5)
+
+    def kernel(pos_ref, q_ref, kc, vc, ks, vs, kn, vn, va, out,
+               acc, mbuf, lbuf):
+        jb = pl.program_id(1)
+        p = pos_ref[0]
+        w = p % c
+        jj = jb * cb + jax.lax.broadcasted_iota(jnp.int32, (1, cb), 1)
+        k_pos = p - ((w - jj) % c)
+        ok = (k_pos >= 0) & (p - k_pos < window) & (jj != w)  # (1, cb)
+        ok = ok & (va[...][:, 0, :] != 0)
+
+        qv = q_ref[...]  # (1, H, Dh) bf16
+        qf = qv.reshape(h, 1, dh)
+        kcf = kc[...].reshape(h, cb, dh)
+        scores = jax.lax.dot_general(
+            qf, kcf.astype(qv.dtype),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(1, h, cb)
+        scores = scores * (ks[...] * scale)
+        scores = jnp.where(ok[:, None, :], scores, NEG_INF)
+        blk_m = jnp.max(scores, axis=-1)  # (1, H)
+
+        vcf = vc[...].reshape(h, cb, dh)
+
+        def blk_dot(e):  # (1, H, cb) f32 -> (1, H, Dh) f32
+            pc = (e * vs[...]).astype(jnp.bfloat16)
+            return jax.lax.dot_general(
+                pc.reshape(h, 1, cb), vcf.astype(jnp.bfloat16),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).reshape(1, h, dh)
+
+        @pl.when(jb == 0)
+        def _init():
+            s_new = jnp.sum(
+                qv.astype(jnp.float32) * kn[...].astype(jnp.float32), axis=-1
+            ) * scale  # (1, H) — always finite: seeds the running max
+            m0 = jnp.maximum(blk_m, s_new)
+            e_c = jnp.exp(scores - m0[..., None])
+            e_n = jnp.exp(s_new - m0)
+            acc[...] = blk_dot(e_c) + e_n[..., None] * vn[...].astype(
+                jnp.float32
+            )
+            l0 = jnp.sum(e_c, axis=-1) + e_n
+            mbuf[...] = jnp.broadcast_to(m0[..., None], (1, h, 128))
+            lbuf[...] = jnp.broadcast_to(l0[..., None], (1, h, 128))
+
+        @pl.when(jb > 0)
+        def _accum():
+            m_old = mbuf[...][:, :, 0]
+            l_old = lbuf[...][:, :, 0]
+            m_new = jnp.maximum(m_old, blk_m)
+            corr = jnp.exp(m_old - m_new)
+            e_c = jnp.exp(scores - m_new[..., None])
+            acc[...] = acc[...] * corr[..., None] + blk_dot(e_c)
+            l_new = l_old * corr + jnp.sum(e_c, axis=-1)
+            mbuf[...] = jnp.broadcast_to(m_new[..., None], (1, h, 128))
+            lbuf[...] = jnp.broadcast_to(l_new[..., None], (1, h, 128))
+
+        @pl.when(jb == nc - 1)
+        def _final():
+            out[...] = (
+                acc[...] / lbuf[...][:, :, 0][..., None]
+            ).astype(out.dtype)
+
+    kv_spec = pl.BlockSpec((1, h, cb, dh), lambda i, j, p_ref: (i, 0, j, 0))
+    s_spec = pl.BlockSpec((1, h, cb), lambda i, j, p_ref: (i, 0, j))
+    row_spec = pl.BlockSpec((1, h, dh), lambda i, j, p_ref: (i, 0, 0))
+    va_spec = pl.BlockSpec((1, 1, cb), lambda i, j, p_ref: (i, 0, j))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nc),
+        in_specs=[row_spec, kv_spec, kv_spec, s_spec, s_spec,
+                  row_spec, row_spec, va_spec],
+        out_specs=row_spec,
+        scratch_shapes=[
+            pltpu.VMEM((1, h, dh), jnp.float32),   # acc
+            pltpu.VMEM((1, h, 128), jnp.float32),  # running max
+            pltpu.VMEM((1, h, 128), jnp.float32),  # running denom
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, dh), q.dtype),
+        interpret=interpret,
+    )(pos, q, k_cache, v_cache, k_scale, v_scale, k_new, v_new, valid)
+
+
+def _mono_ok(h: int, c: int, dh: int, packed4: bool) -> bool:
+    """Whole-ring-per-block variant: needs h % 8 (Mosaic-validated grid) and
+    the full (h, C, Dh) K/V blocks + their bf16 dequant copies in VMEM —
+    ~2.4 MB int8 per block is the proven ceiling (tts-1.6b ctx-1024 shapes;
+    the s2s ctx-3000 ring at 7.9 MB/block does not fit)."""
+    row_bytes = dh // 2 if packed4 else dh
+    return h % 8 == 0 and h * c * row_bytes <= 2_500_000
+
+
+def _pick_cblock(h: int, c: int, dh: int):
+    """Largest source-block length for the flash variant that divides the
+    ring and keeps K+V int8 blocks + bf16 dequant copies well under VMEM."""
+    for cb in (512, 384, 256, 128):
+        # ~6x: K + V int8 blocks and their bf16 copies (2 bytes) in flight.
+        if c % cb == 0 and 6 * h * cb * dh <= 14_000_000:
+            return cb
+    return None
+
+
 def supported(q, k_cache, plan) -> bool:
     """T=1 decode over an int8 (or packed-int4 uint8) ring big enough to
-    beat the XLA path."""
+    beat the XLA path.  Two lowering strategies: whole-ring blocks
+    (_decode_attend_q / _q4) when the ring fits VMEM and h % 8 == 0, else
+    the c-blocked streaming-softmax variant (_decode_attend_q_flash; int8
+    only) — which is what serves long-context / odd-head models like
+    s2s-2b (20 heads, ring 3072)."""
     if q.ndim != 4 or q.shape[2] != 1:
         return False
     b, h, _, dh = q.shape
     c = k_cache.shape[2]
-    if k_cache.dtype == jnp.uint8:  # nibble-packed int4
+    packed4 = k_cache.dtype == jnp.uint8  # nibble-packed int4
+    if packed4:
         if k_cache.shape[3] * 2 != dh:
             return False
     elif k_cache.dtype != jnp.int8:
         return False
-    if c < 256 or c % 128 or dh % 128 or h % 8:
+    if c < 256 or c % 128 or dh % 128:
         return False
-    return plan["w"].shape[0] == 1
+    if plan["w"].shape[0] != 1:
+        return False
+    if _mono_ok(h, c, dh, packed4):
+        return True
+    return (not packed4) and _pick_cblock(h, c, dh) is not None
 
 
 def decode_attend(
@@ -235,8 +376,15 @@ def decode_attend(
         except Exception:
             interpret = True
     b, h, t, dh = q.shape
+    c = k_cache.shape[2]
     pos = jnp.asarray(plan["q_pos"][0], jnp.int32).reshape((1,))
-    fn = _decode_attend_q4 if k_cache.dtype == jnp.uint8 else _decode_attend_q
+    packed4 = k_cache.dtype == jnp.uint8
+    if packed4:
+        fn = _decode_attend_q4
+    elif _mono_ok(h, c, dh, False):
+        fn = _decode_attend_q
+    else:
+        fn = _decode_attend_q_flash
     out = fn(
         q[:, :, 0, :],
         k_cache, v_cache,

@@ -199,3 +199,62 @@ def test_quantized_ca_through_transformer_step():
     np.testing.assert_allclose(
         np.asarray(y_q), np.asarray(y_ref), atol=5e-2, rtol=5e-2
     )
+
+
+@pytest.mark.parametrize(
+    "B,H,C,Dh,pos,window,valid_frac",
+    [
+        (2, 20, 256, 128, 40, 250, 1.0),     # h % 8 != 0 -> flash, nc=1
+        (2, 20, 1024, 128, 700, 900, 0.8),   # multi-block streaming softmax
+        (2, 20, 1024, 128, 5000, 900, 0.9),  # deep wrap across blocks
+        (1, 20, 3072, 128, 3100, 3000, 0.9), # s2s-2b serving shape
+        (1, 16, 3072, 128, 200, 3000, 1.0),  # ring too big for mono blocks
+    ],
+)
+def test_decode_attend_flash_matches_xla(B, H, C, Dh, pos, window, valid_frac):
+    """The c-blocked variant (rings too large for one VMEM block, or odd
+    head counts like s2s-2b's 20) matches the XLA split path."""
+    q, kc, vc, ksc, vsc, k_new, v_new, valid, plan = _mk(
+        B, H, C, Dh, pos, seed=pos + B + H, valid_frac=valid_frac
+    )
+    assert da.supported(q, kc, plan)
+    assert not da._mono_ok(H, C, Dh, False)  # these shapes go to flash
+
+    y_ref = attn.attend_global_split_q(
+        q, kc, vc, ksc, vsc, k_new, v_new, plan, valid, window=window
+    )
+    kq, vq, ksn, vsn = attn.quantize_kv_rows(k_new, v_new)
+    kc2, vc2, ksc2, vsc2 = rk.ring_commit(
+        kc, vc, kq, vq, plan["w"][0], ksc, vsc, ksn, vsn, interpret=True
+    )
+    y_kern = da.decode_attend(
+        q, kc2, vc2, ksc2, vsc2, k_new, v_new, plan, valid,
+        window=window, interpret=True,
+    )
+    assert y_kern.shape == y_ref.shape and y_kern.dtype == y_ref.dtype
+    np.testing.assert_allclose(
+        np.asarray(y_kern, np.float32),
+        np.asarray(y_ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_decode_attend_flash_first_step_ignores_garbage_ring():
+    """All-masked ring blocks must not contribute (the fresh row seeds the
+    running max, so exp(NEG_INF - NEG_INF) never happens): output == v_new."""
+    B, H, C, Dh = 2, 20, 1024, 128
+    q, kc, vc, ksc, vsc, k_new, v_new, _, plan = _mk(B, H, C, Dh, 0, seed=11)
+    valid = jnp.zeros((B, C), bool)
+    kq, vq, ksn, vsn = attn.quantize_kv_rows(k_new, v_new)
+    kc2, vc2, ksc2, vsc2 = rk.ring_commit(
+        kc, vc, kq, vq, plan["w"][0], ksc, vsc, ksn, vsn, interpret=True
+    )
+    y = da.decode_attend(
+        q, kc2, vc2, ksc2, vsc2, k_new, v_new, plan, valid,
+        window=1000, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32),
+        np.asarray(v_new, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
