@@ -350,7 +350,10 @@ def supported(q, k_cache, plan) -> bool:
             return False
     elif k_cache.dtype != jnp.int8:
         return False
-    if c < 256 or c % 128 or dh % 128:
+    # dh 64 or 128: the head dim is the block's minor (lane) dim and is
+    # always the full array dim, so a 64-wide head (stt-2.6b / tts_202501 /
+    # tts_v0_1 shapes) lowers fine — it just half-fills the lane tile.
+    if c < 256 or c % 128 or dh % 64 or dh > 128:
         return False
     if plan["w"].shape[0] != 1:
         return False
@@ -455,7 +458,8 @@ def ca_supported(q, k_src) -> bool:
     if k_src.dtype != jnp.int8:
         return False
     s = k_src.shape[2]
-    return s >= 128 and s % 128 == 0 and dh % 128 == 0 and h % 8 == 0
+    return s >= 128 and s % 128 == 0 and dh % 64 == 0 and dh <= 128 \
+        and h % 8 == 0
 
 
 def ca_decode_attend(q, k_src, v_src, k_scale, v_scale, s_len,

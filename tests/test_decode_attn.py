@@ -258,3 +258,39 @@ def test_decode_attend_flash_first_step_ignores_garbage_ring():
         np.asarray(v_new, np.float32),
         atol=2e-2, rtol=2e-2,
     )
+
+
+@pytest.mark.parametrize(
+    "B,H,C,Dh,pos,window,valid_frac,want_mono",
+    [
+        (2, 32, 384, 64, 400, 375, 0.9, True),    # stt-2.6b shape (mono)
+        (2, 32, 512, 64, 40, 500, 1.0, True),     # tts_202501 shape
+        (1, 32, 4096, 64, 4200, 4096, 0.9, False) # tts_v0_1 shape (flash)
+    ],
+)
+def test_decode_attend_hd64_matches_xla(B, H, C, Dh, pos, window, valid_frac,
+                                        want_mono):
+    """64-wide heads (stt-2.6b / tts_202501 / tts_v0_1) now take the fused
+    kernel instead of silently falling back to the XLA dequant path."""
+    q, kc, vc, ksc, vsc, k_new, v_new, valid, plan = _mk(
+        B, H, C, Dh, pos, seed=pos + H, valid_frac=valid_frac
+    )
+    assert da.supported(q, kc, plan)
+    assert da._mono_ok(H, C, Dh, False) == want_mono
+
+    y_ref = attn.attend_global_split_q(
+        q, kc, vc, ksc, vsc, k_new, v_new, plan, valid, window=window
+    )
+    kq, vq, ksn, vsn = attn.quantize_kv_rows(k_new, v_new)
+    kc2, vc2, ksc2, vsc2 = rk.ring_commit(
+        kc, vc, kq, vq, plan["w"][0], ksc, vsc, ksn, vsn, interpret=True
+    )
+    y_kern = da.decode_attend(
+        q, kc2, vc2, ksc2, vsc2, k_new, v_new, plan, valid,
+        window=window, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_kern, np.float32),
+        np.asarray(y_ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
