@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 
-def _setup(batch, small=False, serving=False):
+def _setup(batch, small=False, serving=False, model="stt-1b"):
     import jax.numpy as jnp
     import __graft_entry__ as ge
 
@@ -30,14 +30,16 @@ def _setup(batch, small=False, serving=False):
         # weight-only int8 LM.
         cfg, fn, (params, *rest) = ge._asr_setup(
             batch, jnp.bfloat16, jnp.bfloat16,
-            kv_quant=True, mimi_dtype="bfloat16",
+            kv_quant=True, mimi_dtype="bfloat16", model=model,
         )
         from dsm_tpu.ops import transformer as T
 
         params = dict(params)
         params["lm"] = T.quantize_weights(params["lm"])
         return cfg, fn, (params, *rest)
-    return ge._asr_setup(batch, jnp.bfloat16, jnp.bfloat16, small=small)
+    return ge._asr_setup(
+        batch, jnp.bfloat16, jnp.bfloat16, small=small, model=model
+    )
 
 
 def bench_mimi(batch: int, steps: int) -> dict:
@@ -74,7 +76,7 @@ def bench_mimi(batch: int, steps: int) -> dict:
     }
 
 
-def bench_lm(batch: int, steps: int) -> dict:
+def bench_lm(batch: int, steps: int, model: str = "stt-1b") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -82,7 +84,7 @@ def bench_lm(batch: int, steps: int) -> dict:
 
     from dsm_tpu.ops import transformer as TT
 
-    cfg = LM.stt_1b_en_fr()
+    cfg = (LM.stt_2_6b_en() if model == "stt-2.6b" else LM.stt_1b_en_fr())
     # Serving profile (int8 weights + int8 KV): the bf16 variant at batch
     # 128 does not fit double-buffered HBM in this no-donation environment.
     params = TT.quantize_weights(
@@ -106,15 +108,19 @@ def bench_lm(batch: int, steps: int) -> dict:
     toks, state = fn(params, state)
     np.asarray(toks)
     dt = (time.perf_counter() - t0) / steps
-    return {"lm_step_ms": round(dt * 1e3, 2), "batch": batch, "fused_steps": steps}
+    return {"lm_step_ms": round(dt * 1e3, 2), "batch": batch,
+            "fused_steps": steps, "model": model}
 
 
-def bench_e2e(batch: int, steps: int) -> dict:
+def bench_e2e(batch: int, steps: int, model: str = "stt-1b",
+              serving: bool = False) -> dict:
     import jax
 
     from dsm_tpu.sessions import asr as ASR
 
-    cfg, fn, (params, state, pcm, mask, reset, rng) = _setup(batch)
+    cfg, fn, (params, state, pcm, mask, reset, rng) = _setup(
+        batch, serving=serving, model=model
+    )
 
     def multi(params, state, pcm, mask, reset, rng):
         def body(carry, _):
@@ -138,6 +144,8 @@ def bench_e2e(batch: int, steps: int) -> dict:
         "rtf": round(rtf, 2),
         "realtime_streams": round(batch * rtf, 1),
         "batch": batch,
+        "model": model,
+        "profile": "serving" if serving else "bf16",
     }
 
 
@@ -698,6 +706,12 @@ def main(argv=None):
                    help="capture a device profile around the benchmarks")
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--model", default="stt-1b",
+                   choices=["stt-1b", "stt-2.6b"],
+                   help="ASR model for --lm/--e2e")
+    p.add_argument("--serving", action="store_true",
+                   help="--e2e with the serving profile (int8 KV + int8 W "
+                        "+ bf16 codec) instead of plain bf16")
     args = p.parse_args(argv)
 
     import contextlib
@@ -728,13 +742,14 @@ def _run_all(args, results):
     if args.mimi:
         results["mimi"] = bench_mimi(args.batch, args.steps)
     if args.lm:
-        results["lm"] = bench_lm(args.batch, args.steps)
+        results["lm"] = bench_lm(args.batch, args.steps, model=args.model)
     if args.tts:
         results["tts"] = bench_tts(args.batch)
     if args.e2e or not (args.mimi or args.lm or args.tts or args.memory
                         or args.sustained or args.server_sustained
                         or args.tts_sustained or args.duplex_sustained):
-        results["e2e"] = bench_e2e(args.batch, args.steps)
+        results["e2e"] = bench_e2e(args.batch, args.steps,
+                                   model=args.model, serving=args.serving)
     if args.sustained:
         results["sustained"] = bench_sustained(
             args.batch, args.sustained, events_out=args.events
