@@ -294,3 +294,51 @@ def test_decode_attend_hd64_matches_xla(B, H, C, Dh, pos, window, valid_frac,
         np.asarray(y_ref, np.float32),
         atol=2e-2, rtol=2e-2,
     )
+
+
+@pytest.mark.parametrize(
+    "d,heads,head_dim,ctx",
+    [
+        (512, 8, None, 250),   # hd=64 mono inside the full step
+        (512, 4, 128, 250),    # h%8!=0 -> flash, single block
+        (512, 4, 128, 520),    # flash multi-block (cap 640 = 5 x 128)
+    ],
+)
+def test_transformer_step_decode_kernel_variants(monkeypatch, d, heads,
+                                                 head_dim, ctx):
+    """Full serving step with shapes that actually route through the
+    decode-attention kernel (the original step test's hd=32 never did):
+    mono at 64-wide heads, and the flash variant single/multi block."""
+    from dsm_tpu.ops import transformer as T
+    from dsm_tpu.ops import decode_attn as da_mod
+
+    cfg = T.TransformerConfig(
+        d_model=d, num_heads=heads, num_layers=2, dim_feedforward=512,
+        context=ctx, positional_embedding="rope", head_dim=head_dim,
+    )
+    hd = head_dim or d // heads
+    cap = ctx + ((-ctx) % 128)
+    # Preconditions: these shapes must be kernel-supported.
+    q = jnp.zeros((2, heads, 1, hd), jnp.bfloat16)
+    plan = attn.global_ring_plan(jnp.int32(0), cap, 1)
+    assert da_mod.supported(q, jnp.zeros((2, heads, cap, hd), jnp.int8), plan)
+
+    key = jax.random.PRNGKey(0)
+    params = T.init(cfg, key, dtype=jnp.bfloat16)
+    x = (jax.random.normal(jax.random.PRNGKey(1), (2, 1, d)) * 0.3).astype(
+        jnp.bfloat16
+    )
+
+    def run(kern: str):
+        monkeypatch.setenv("DSM_RING_KERNEL", kern)
+        monkeypatch.setenv("DSM_DECODE_ATTN", kern)
+        st = T.init_state(cfg, 2, jnp.bfloat16, kv_quant=True)
+        ys = []
+        for i in range(5):
+            y, st = T.step(cfg, params, st, x)
+            ys.append(np.asarray(y, np.float32))
+        return np.stack(ys)
+
+    y_off = run("0")
+    y_on = run("1")
+    np.testing.assert_allclose(y_on, y_off, atol=3e-2, rtol=3e-2)
