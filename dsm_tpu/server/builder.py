@@ -302,6 +302,9 @@ def build_duplex(mod: CFG.ModuleConfig):
         return BatchedDuplexEngine(
             cfg, {"lm": lm_params, "mimi": mimi_params}, mimi_cfg,
             mimi_params, load_tokenizer(tok_path), batch_size=int(batch),
+            # [modules.X.mesh] dp = N shards dialogues over a device mesh,
+            # same TOML surface as the ASR/TTS modules.
+            mesh=build_mesh_from_config(mod),
         )
     return DuplexEngine(
         cfg, {"lm": lm_params, "mimi": mimi_params}, mimi_cfg, mimi_params,

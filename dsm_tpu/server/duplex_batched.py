@@ -104,7 +104,13 @@ class BatchedDuplexEngine:
         batch_size: int = 8,
         tick_sleep: float = 0.002,
         kv_quant: Optional[bool] = None,
+        mesh=None,
     ):
+        """``mesh``: optional dp-only jax Mesh — dialogue state shards over
+        dp, params replicate, and the fused tick runs SPMD via GSPMD
+        (same contract as BatchedAsrEngine / BatchedTtsEngine; Pallas
+        kernels are trace-disabled under a mesh since GSPMD cannot
+        partition pallas_call)."""
         import jax
         import jax.numpy as jnp
 
@@ -141,6 +147,26 @@ class BatchedDuplexEngine:
         self.dec_state = MIMI.init_decode_state(mimi_cfg, batch_size)
         self.rng = jax.random.PRNGKey(0)
 
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import mesh as M
+
+            if mesh.shape.get("tp", 1) != 1:
+                raise ValueError("duplex engine meshes are dp-only")
+            if batch_size % mesh.shape["dp"]:
+                raise ValueError(
+                    f"batch {batch_size} not divisible by dp="
+                    f"{mesh.shape['dp']}"
+                )
+            self.params = M.replicate(mesh, self.params)
+            self.state = M.shard_batched_state(mesh, self.state, batch_size)
+            self.enc_state = M.shard_batched_state(
+                mesh, self.enc_state, batch_size
+            )
+            self.dec_state = M.shard_batched_state(
+                mesh, self.dec_state, batch_size
+            )
+
         self.slots: List[Optional[DuplexSlot]] = [None] * batch_size
         self.free = deque(range(batch_size))
         self.pending_resets = np.zeros(batch_size, bool)
@@ -157,6 +183,16 @@ class BatchedDuplexEngine:
 
         def _fused(params, state, enc_state, dec_state, pcm, mask, reset,
                    rng, asr_delay):
+            from ..ops import ring_kernels as _rk
+
+            with _rk.kernels_forced(
+                False if mesh is not None else _rk.kernels_override()
+            ):
+                return _fused_body(params, state, enc_state, dec_state, pcm,
+                                   mask, reset, rng, asr_delay)
+
+        def _fused_body(params, state, enc_state, dec_state, pcm, mask,
+                        reset, rng, asr_delay):
             codes, enc_state = MIMI.encode_step(
                 mimi_cfg, params["mimi"], enc_state, pcm, mask
             )

@@ -186,3 +186,42 @@ def test_dp_shard_step_engine_with_kernels(monkeypatch):
 
     # Greedy text tokens must agree exactly across all steps.
     np.testing.assert_array_equal(np.stack(toks_sharded), np.stack(toks_ref))
+
+
+def test_batched_duplex_engine_on_mesh():
+    """Continuously-batched duplex dialogues shard over a pure-dp mesh
+    (TOML [modules.X.mesh] dp = N surface; kernels trace-disabled)."""
+    import numpy as np
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from dsm_tpu.server.duplex_batched import (
+        BatchedDuplexEngine, DuplexAudioEvent,
+    )
+    from tests.test_duplex_server import make_duplex_engine
+
+    mesh_dp = M.make_mesh(dp=8, tp=1)
+    single, mimi_cfg = make_duplex_engine()
+    eng = BatchedDuplexEngine(
+        single.cfg, single.params, mimi_cfg, single.mimi_params,
+        single.tokenizer, batch_size=8, mesh=mesh_dp,
+    )
+    assert "dp" in str(eng.state["lm"]["t"]["layers"][0]["k"].sharding)
+    eng.warmup()
+    events = []
+    drv = eng.open_session(events.append)
+    rng = np.random.default_rng(0)
+    drv.push_pcm(
+        rng.standard_normal(mimi_cfg.frame_size * 6).astype(np.float32) * 0.1
+    )
+    for _ in range(8):
+        eng.tick()
+    audio = [e for e in events if isinstance(e, DuplexAudioEvent)]
+    assert len(audio) >= 1
+    assert np.isfinite(audio[0].pcm).all()
+
+    with pytest.raises(ValueError):
+        BatchedDuplexEngine(
+            single.cfg, single.params, mimi_cfg, single.mimi_params,
+            single.tokenizer, batch_size=6, mesh=M.make_mesh(dp=4, tp=2),
+        )
