@@ -225,3 +225,38 @@ def test_batched_duplex_engine_on_mesh():
             single.cfg, single.params, mimi_cfg, single.mimi_params,
             single.tokenizer, batch_size=6, mesh=M.make_mesh(dp=4, tp=2),
         )
+
+
+def test_tts_engine_mesh_with_int8_ca():
+    """dp-meshed TTS engine with the int8-native voice-CA store: dict
+    leaves land dp-sharded on axis 1 and sessions still synthesize."""
+    import numpy as np
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from dsm_tpu.server.tts_batched import BatchedTtsEngine
+    from dsm_tpu.server.tts_module import AudioEvent
+    from dsm_tpu.utils.tokenizer import FallbackTokenizer
+    from tests.test_mimi import small_cfg as small_mimi_cfg
+    from tests.test_tts import small_tts_cfg
+    from dsm_tpu.models import mimi as MIMI
+
+    mesh_dp = M.make_mesh(dp=8, tp=1)
+    cfg = small_tts_cfg(max_steps=96)
+    mimi_cfg = small_mimi_cfg()
+    params = {"lm": LM.init(cfg.lm, jax.random.PRNGKey(0))}
+    mimi_params = MIMI.init(mimi_cfg, jax.random.PRNGKey(1))
+    eng = BatchedTtsEngine(
+        cfg, params, mimi_cfg, mimi_params, FallbackTokenizer(),
+        batch_size=8, ca_len=6, ca_quant=True, mesh=mesh_dp,
+    )
+    assert isinstance(eng._ca_raw, dict)
+    assert "dp" in str(eng._ca_raw["k"].sharding)
+    evs = []
+    s = eng.open_session(evs.append)
+    s.feed_words([[31, 5]])
+    s.end_input()
+    n = 0
+    while eng.tick() and n < 200:
+        n += 1
+    assert any(isinstance(e, AudioEvent) for e in evs)
