@@ -427,6 +427,9 @@ def bench_tts_sustained(batch: int, seconds: float, engine=None,
             # in the no-donation HBM envelope (docs/PERFORMANCE.md).
             ca_quant=os.environ.get("DSM_TTS_CA_INT8", "")
             not in ("", "0", "false"),
+            # DSM_TTS_FUSE=K: K frames per dispatch through the device
+            # script machine (sessions/tts_script.py).
+            fuse_ticks=int(os.environ.get("DSM_TTS_FUSE", "1")),
         )
     mimi_cfg = engine.mimi_cfg
 
@@ -513,6 +516,14 @@ def bench_tts_sustained(batch: int, seconds: float, engine=None,
         ),
         "tick_ms_p50": (
             round(float(np.percentile([sum(p) for p in phases], 50)) * 1e3, 1)
+            if phases else None
+        ),
+        # With fuse_ticks > 1 each observed tick covers `fuse` frames; the
+        # per-frame cadence cost is tick_ms_p50 / fuse_ticks.
+        "fuse_ticks": engine.fuse,
+        "per_frame_ms_p50": (
+            round(float(np.percentile([sum(p) for p in phases], 50))
+                  * 1e3 / engine.fuse, 1)
             if phases else None
         ),
     }

@@ -242,6 +242,12 @@ def build_tts(mod: CFG.ModuleConfig) -> TtsEngine:
             # gating batch >= 64 in 16 GiB HBM), perf-neutral at B=32.
             ca_quant=bool(mod.raw.get("ca_int8", False)),
             mesh=build_mesh_from_config(mod),
+            # Fused multi-tick serving: K frames per dispatch via the
+            # device script machine (sessions/tts_script.py) — amortises
+            # host round-trips across K frames.
+            fuse_ticks=int(mod.raw.get(
+                "fuse_ticks", os.environ.get("DSM_TTS_FUSE", "1")
+            )),
         )
         engine.voices = resolver
         engine.condition_provider = cond_provider

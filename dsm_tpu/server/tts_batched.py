@@ -26,6 +26,7 @@ import numpy as np
 from ..models import mimi as MIMI
 from ..ops import transformer as T
 from ..sessions import tts as TTS
+from ..sessions import tts_script as SCRIPT
 from . import metrics
 from .tts_module import AudioEvent, WordEvent
 
@@ -38,7 +39,8 @@ class DoneEvent:
 class TtsSlot:
     """Host word-feeding driver for one session (tts.rs process_loop)."""
 
-    def __init__(self, slot: int, deliver: Callable[[object], None]):
+    def __init__(self, slot: int, deliver: Callable[[object], None],
+                 fused: bool = False):
         self.slot = slot
         self.deliver = deliver
         self.lock = threading.Lock()
@@ -54,15 +56,31 @@ class TtsSlot:
         self.closed = False
         self.pcm_samples = 0
         self.started = time.time()
+        # Fused (multi-tick) mode: the device script machine
+        # (sessions/tts_script.py) drives constraints; this object becomes
+        # the deterministic host MIRROR.  New words/eos land in ``pending_*``
+        # and only become visible (word_queue / eos) when the engine uploads
+        # them at a dispatch boundary — so mirror replay and the device see
+        # the same script prefix.
+        self.fused = fused
+        self.pending_words: deque = deque()
+        self.pending_eos = False
+        self.up_toks = 0  # absolute script tokens uploaded to the device
+        self.up_words = 0
+        self.consumed = 0  # script tokens consumed (mirror accounting)
 
     def feed_words(self, words) -> None:
         with self.lock:
+            tgt = self.pending_words if self.fused else self.word_queue
             for w in words:
-                self.word_queue.append(list(w))
+                tgt.append(list(w))
 
     def end_input(self) -> None:
         with self.lock:
-            self.eos = True
+            if self.fused:
+                self.pending_eos = True
+            else:
+                self.eos = True
 
     def next_constraint(self, cfg: TTS.TtsConfig):
         """-> (mode, token, stalled): the AllowedTokens decision."""
@@ -102,6 +120,7 @@ class TtsSlot:
             self.token_idx = 0
         elif tok != cfg.text_pad_token:
             self.token_idx += 1
+            self.consumed += 1
         return patch
 
 
@@ -119,6 +138,8 @@ class BatchedTtsEngine:
         cfg_enabled: bool = False,
         ca_quant: Optional[bool] = None,
         mesh=None,
+        fuse_ticks: int = 1,
+        script_cap: int = 1024,
     ):
         """``mesh``: optional dp-only jax Mesh — session state (and the
         doubled CFG rows) shard over dp, params replicate, and the fused
@@ -340,6 +361,93 @@ class BatchedTtsEngine:
 
         self._step = jax.jit(_step, donate_argnums=(1, 3))
 
+        # -- fused multi-tick path: the device script machine
+        # (sessions/tts_script.py) computes the AllowedTokens constraint
+        # per frame, so ``fuse_ticks`` frames run inside ONE lax.scan
+        # dispatch — the host round-trip that bounds the per-frame tick in
+        # the reference design (tts.rs:560-610 walks the script on the
+        # host) amortises across K frames.
+        self.fuse = max(1, int(fuse_ticks))
+        self.script_cap = int(script_cap)
+        if self.fuse > 1:
+            cc = SCRIPT.ScriptConsts.from_cfg(cfg)
+            self._mstate = SCRIPT.init(n, self.script_cap)
+            if mesh is not None:
+                from ..parallel import mesh as M
+
+                self._mstate = M.shard_batched_state(mesh, self._mstate, n)
+            self._m_init = jax.jit(SCRIPT.reset_row, donate_argnums=(0,))
+            self._m_deact = jax.jit(SCRIPT.deactivate_row, donate_argnums=(0,))
+            self._m_eos = jax.jit(SCRIPT.set_eos_row, donate_argnums=(0,))
+            self._m_write = jax.jit(
+                SCRIPT.write_word_chunk, donate_argnums=(0,)
+            )
+            self._pending_script: List[tuple] = []
+            K = self.fuse
+
+            def dup_rows(a):
+                return jnp.concatenate([a, a]) if cfg_enabled else a
+
+            def _fused(params, state, mimi_params, mimi_state, mstate, rng,
+                       ca_kv, reset, temps, seeds, alpha):
+                from ..ops import ring_kernels as _rk
+
+                with _rk.kernels_forced(
+                    False if mesh is not None else _rk.kernels_override()
+                ):
+                    state = TTS.reset_slots(cfg, state, dup_rows(reset))
+
+                    def body(carry, k):
+                        state, mimi_state, mstate = carry
+                        mode, tok, step_mask, mstate = SCRIPT.constraint(
+                            cc, mstate
+                        )
+                        sub = jax.random.fold_in(rng, k)
+                        out, state = TTS.step(
+                            cfg, params, state, dup_rows(mode),
+                            dup_rows(tok), sub, ca_kv=ca_kv,
+                            mask=dup_rows(step_mask), reset=None,
+                            temps=temps, seeds=seeds,
+                            cfg_alpha=alpha if cfg_enabled else None,
+                        )
+                        mstate, patch = SCRIPT.advance(
+                            cc, mstate, out["text_token"][:n], step_mask
+                        )
+                        # Final-eop -> pad patch applies INSIDE the scan so
+                        # the corrected text history feeds frame k+1
+                        # (tts.rs:607-610; the unfused path patches between
+                        # dispatches — same program order).
+                        state = TTS.overwrite_last_text_token(
+                            state, cfg.text_pad_token, dup_rows(patch)
+                        )
+                        steps = out["step_idx"][:n]
+                        dec_mask = (
+                            out["frame_valid"][:n]
+                            & (steps > delay)
+                            & step_mask
+                        )
+                        codes = out["frame"][:n, :, None].astype(jnp.int32)
+                        pcm, mimi_state = MIMI.decode_step(
+                            mimi_cfg, mimi_params, mimi_state, codes, dec_mask
+                        )
+                        packed_k = jnp.concatenate([
+                            out["text_token"][:n].astype(jnp.int32),
+                            steps.astype(jnp.int32),
+                            dec_mask.astype(jnp.int32),
+                            jax.lax.bitcast_convert_type(
+                                pcm[:, 0, :].astype(jnp.float32), jnp.int32
+                            ).reshape(-1),
+                        ])
+                        return (state, mimi_state, mstate), packed_k
+
+                    (state, mimi_state, mstate), packed = jax.lax.scan(
+                        body, (state, mimi_state, mstate),
+                        jnp.arange(K, dtype=jnp.uint32),
+                    )
+                return packed, state, mimi_state, mstate
+
+            self._fused_step = jax.jit(_fused, donate_argnums=(1, 3, 4))
+
     # -- slots --
 
     def used_slots(self) -> int:
@@ -374,9 +482,14 @@ class BatchedTtsEngine:
                 self._seed_counter = (self._seed_counter + 1) & 0xFFFFFFFF
                 seed = self._seed_counter
             self._seeds[slot] = np.uint32(int(seed) & 0xFFFFFFFF)
-            drv = TtsSlot(slot, deliver)
+            drv = TtsSlot(slot, deliver, fused=self.fuse > 1)
             self.slots[slot] = drv
             self.pending_resets[slot] = True
+            if self.fuse > 1:
+                # Machine re-init is a host-side device write applied at
+                # the next gather (before the dispatch whose k=0 reset
+                # clears the model state).
+                self._pending_script.append(("init", slot, None))
             if voice_ca is not None:
                 k, v = voice_ca
                 if k.shape[3] != self.ca_len:
@@ -432,6 +545,8 @@ class BatchedTtsEngine:
             if self.slots[drv.slot] is drv:
                 self.slots[drv.slot] = None
                 self.free.append(drv.slot)
+                if self.fuse > 1:
+                    self._pending_script.append(("deact", drv.slot, None))
 
     # -- device loop --
 
@@ -471,11 +586,21 @@ class BatchedTtsEngine:
         try:
             for _ in range(steps):
                 self.rng, sub = jax.random.split(self.rng)
-                packed, self.state, self.mimi_state = self._step(
-                    self.params, self.state, self.mimi_params,
-                    self.mimi_state, modes, toks, sub, self._ca(),
-                    mask, reset, temps, seeds, self._cfg_alpha.copy(),
-                )
+                if self.fuse > 1:
+                    packed, self.state, self.mimi_state, self._mstate = (
+                        self._fused_step(
+                            self.params, self.state, self.mimi_params,
+                            self.mimi_state, self._mstate, sub, self._ca(),
+                            reset[: self.batch_size], temps, seeds,
+                            self._cfg_alpha.copy(),
+                        )
+                    )
+                else:
+                    packed, self.state, self.mimi_state = self._step(
+                        self.params, self.state, self.mimi_params,
+                        self.mimi_state, modes, toks, sub, self._ca(),
+                        mask, reset, temps, seeds, self._cfg_alpha.copy(),
+                    )
             jax.block_until_ready(packed)
             metrics.WARMUP_SUCCESS.inc()
         except Exception:
@@ -483,6 +608,147 @@ class BatchedTtsEngine:
             raise
 
     def tick(self) -> bool:
+        if self.fuse > 1:
+            return self._tick_fused()
+        return self._tick_single()
+
+    def _apply_script_actions(self, actions) -> None:
+        """Engine-loop-thread only: flush queued script-machine updates
+        (same donation-safety rule as _apply_voice_writes)."""
+        if not actions:
+            return
+        m = self._mstate
+        for kind, slot, payload in actions:
+            if kind == "init":
+                m = self._m_init(m, slot)
+            elif kind == "deact":
+                m = self._m_deact(m, slot)
+            elif kind == "eos":
+                m = self._m_eos(m, slot)
+            else:  # "word"
+                toks, count, word_id, start = payload
+                m = self._m_write(m, slot, toks, count, word_id, start)
+        self._mstate = m
+
+    def _tick_fused(self) -> bool:
+        """K frames per dispatch: gather/upload script state, run the fused
+        scan, then replay the fetched text tokens through the host mirror
+        machines for word/audio event delivery."""
+        import jax
+
+        t_gather0 = time.perf_counter()
+        n = self.batch_size
+        reset = np.zeros(n, bool)
+        drivers: List[Optional[TtsSlot]] = [None] * n
+        with self.slot_lock:
+            pending_voice, self._pending_voice = self._pending_voice, []
+            actions, self._pending_script = self._pending_script, []
+            reset[:] = self.pending_resets
+            self.pending_resets[:] = False
+            for slot, drv in enumerate(self.slots):
+                if drv is None or drv.closed or drv.finished:
+                    continue
+                drivers[slot] = drv
+                with drv.lock:
+                    # Move words pending -> visible while the device ring
+                    # has room (consumed positions free their space).
+                    while drv.pending_words:
+                        w = drv.pending_words[0]
+                        space = self.script_cap - (drv.up_toks - drv.consumed)
+                        if len(w) > space:
+                            break
+                        drv.pending_words.popleft()
+                        drv.word_queue.append(list(w))
+                        start, wid = drv.up_toks, drv.up_words
+                        if not w:
+                            actions.append((
+                                "word", slot,
+                                (np.zeros(SCRIPT.WORD_CHUNK, np.int32),
+                                 0, wid, start),
+                            ))
+                        for off in range(0, len(w), SCRIPT.WORD_CHUNK):
+                            chunk = w[off : off + SCRIPT.WORD_CHUNK]
+                            buf = np.zeros(SCRIPT.WORD_CHUNK, np.int32)
+                            buf[: len(chunk)] = chunk
+                            actions.append(
+                                ("word", slot,
+                                 (buf, len(chunk), wid, start + off))
+                            )
+                        drv.up_toks += len(w)
+                        drv.up_words += 1
+                    # eos becomes visible only once every fed word is
+                    # uploaded (otherwise the device would drain early).
+                    if drv.pending_eos and not drv.pending_words and not drv.eos:
+                        drv.eos = True
+                        actions.append(("eos", slot, None))
+        self._apply_voice_writes(pending_voice)
+        self._apply_script_actions(actions)
+        if not any(d is not None for d in drivers) and not reset.any():
+            return False
+
+        t_disp0 = time.perf_counter()
+        self.rng, sub = jax.random.split(self.rng)
+        if self.cfg_enabled:
+            dup = lambda a: np.concatenate([a, a])
+            temps = {"text": dup(self._text_temp), "audio": dup(self._audio_temp)}
+            seeds_m = dup(self._seeds)
+        else:
+            temps = {
+                "text": self._text_temp.copy(),
+                "audio": self._audio_temp.copy(),
+            }
+            seeds_m = self._seeds.copy()
+        t0 = time.perf_counter()
+        packed_dev, self.state, self.mimi_state, self._mstate = (
+            self._fused_step(
+                self.params, self.state, self.mimi_params, self.mimi_state,
+                self._mstate, sub, self._ca(), reset, temps, seeds_m,
+                self._cfg_alpha.copy(),
+            )
+        )
+        t_fetch0 = time.perf_counter()
+        packed = np.asarray(packed_dev)  # ONE fetch for all K frames
+        t_fetch1 = time.perf_counter()
+        frame = self.mimi_cfg.frame_size
+        metrics.LM_STEP_DURATION.observe((time.perf_counter() - t0) / self.fuse)
+        metrics.LM_STEPS_TOTAL.inc(self.fuse)
+        for k in range(self.fuse):
+            row = packed[k]
+            text_tokens = row[:n]
+            steps = row[n : 2 * n]
+            dec_mask = row[2 * n : 3 * n].astype(bool)
+            pcm = (
+                row[3 * n :].view(np.float32).reshape(n, frame)
+                if dec_mask.any()
+                else None
+            )
+            metrics.MIMI_FRAMES_DECODED.inc(int(dec_mask.sum()))
+            for slot, drv in enumerate(drivers):
+                if drv is None or drv.finished or drv.closed:
+                    continue
+                c = drv.next_constraint(self.cfg)
+                if c is None:
+                    drv.finished = True
+                    drv.deliver(DoneEvent())
+                    continue
+                drv.steps = int(steps[slot])
+                # The final-eop pad patch already happened on device inside
+                # the scan; the mirror's return value is ignored.
+                drv.on_text_token(self.cfg, int(text_tokens[slot]), self.tokenizer)
+                if pcm is not None and dec_mask[slot]:
+                    drv.pcm_samples += frame
+                    drv.deliver(AudioEvent(pcm=pcm[slot].copy()))
+        if self.tick_observer is not None:
+            t_end = time.perf_counter()
+            self.tick_observer(
+                t_disp0 - t_gather0,
+                t_fetch0 - t_disp0,
+                t_fetch1 - t_fetch0,
+                t_end - t_fetch1,
+            )
+        return True
+
+    def _tick_single(self) -> bool:
         import jax
 
         t_gather0 = time.perf_counter()

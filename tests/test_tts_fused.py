@@ -1,0 +1,285 @@
+"""Fused multi-tick TTS: device script machine ≡ host TtsSlot machine, and
+fuse_ticks=K engine output is bit-identical to the unfused engine.
+
+The device machine (sessions/tts_script.py) re-implements the reference's
+host-side AllowedTokens walk (tts.rs:560-610) as batch arithmetic so K
+frames run in one lax.scan dispatch; these tests pin the equivalence that
+makes that redesign safe.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dsm_tpu.sessions import tts as TTS
+from dsm_tpu.sessions import tts_script as SCRIPT
+from dsm_tpu.server.tts_batched import BatchedTtsEngine, DoneEvent, TtsSlot
+from dsm_tpu.server.tts_module import AudioEvent, WordEvent
+from dsm_tpu.models import lm as LM
+from dsm_tpu.models import mimi as MIMI
+from dsm_tpu.utils.tokenizer import FallbackTokenizer
+from tests.test_mimi import small_cfg as small_mimi_cfg
+from tests.test_tts import small_tts_cfg
+
+
+# ---------------------------------------------------------------------------
+# Machine unit equivalence: device transitions vs the host TtsSlot mirror
+# ---------------------------------------------------------------------------
+
+
+def _host_machine(cfg, words, eos_after_all):
+    drv = TtsSlot(0, lambda ev: None)
+    drv.feed_words(words)
+    if eos_after_all:
+        drv.end_input()
+    return drv
+
+
+def _upload_all(m, slot, words, eos, cap):
+    up_toks = 0
+    for wid, w in enumerate(words):
+        if not w:
+            m = SCRIPT.write_word_chunk(
+                m, slot, jnp.zeros(SCRIPT.WORD_CHUNK, jnp.int32), 0, wid,
+                up_toks,
+            )
+        for off in range(0, len(w), SCRIPT.WORD_CHUNK):
+            chunk = w[off : off + SCRIPT.WORD_CHUNK]
+            buf = np.zeros(SCRIPT.WORD_CHUNK, np.int32)
+            buf[: len(chunk)] = chunk
+            m = SCRIPT.write_word_chunk(
+                m, slot, jnp.asarray(buf), len(chunk), wid, up_toks + off
+            )
+        up_toks += len(w)
+    if eos:
+        m = SCRIPT.set_eos_row(m, slot)
+    return m
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("eos", [True, False])
+def test_machine_matches_host_slot(seed, eos):
+    """Random script + random pad/eop sampling: the device machine's
+    (mode, token, done-step) trajectory equals TtsSlot's."""
+    cfg = small_tts_cfg(max_steps=96)
+    cc = SCRIPT.ScriptConsts.from_cfg(cfg)
+    rng = np.random.default_rng(seed)
+    words = [
+        list(rng.integers(30, 60, size=int(rng.integers(0, 5))))
+        for _ in range(int(rng.integers(1, 6)))
+    ]
+    host = _host_machine(cfg, words, eos)
+    m = SCRIPT.init(1, cap=64)
+    m = SCRIPT.reset_row(m, 0)
+    m = _upload_all(m, 0, words, eos, 64)
+
+    for step in range(200):
+        c = host.next_constraint(cfg)
+        mode_d, tok_d, mask_d, m = SCRIPT.constraint(cc, m)
+        if c is None:
+            assert not bool(mask_d[0]), f"device still active at step {step}"
+            return
+        assert bool(mask_d[0]), f"device done early at step {step}"
+        mode_h, tok_h, _ = c
+        assert int(mode_d[0]) == mode_h, f"mode mismatch at step {step}"
+        if mode_h == TTS.ALLOW_TEXT:
+            assert int(tok_d[0]) == tok_h, f"token mismatch at step {step}"
+            sampled = tok_h
+        elif mode_h == TTS.ALLOW_PAD:
+            sampled = cfg.text_pad_token
+        else:  # PadOrEpad: the model's choice — flip a coin
+            sampled = (
+                cfg.text_eop_token
+                if rng.random() < 0.4
+                else cfg.text_pad_token
+            )
+        host.on_text_token(cfg, sampled, FallbackTokenizer())
+        m, _patch = SCRIPT.advance(
+            cc, m, jnp.asarray([sampled], jnp.int32), jnp.asarray([True])
+        )
+    if eos:
+        raise AssertionError("session never completed")
+
+
+def test_machine_starvation_then_feed():
+    """No eos + exhausted words -> PadOrEpad forever; a word uploaded later
+    resumes forcing after the next eop (host 'starved' branch)."""
+    cfg = small_tts_cfg(max_steps=96)
+    cc = SCRIPT.ScriptConsts.from_cfg(cfg)
+    m = SCRIPT.reset_row(SCRIPT.init(1, cap=64), 0)
+    m = _upload_all(m, 0, [[41, 42]], eos=False, cap=64)
+
+    # Initial empty-word state: an eop enters word 0 (tts.rs:578).
+    mode, tok, mask, m = SCRIPT.constraint(cc, m)
+    assert int(mode[0]) == TTS.ALLOW_PAD_OR_EPAD
+    m, _ = SCRIPT.advance(
+        cc, m, jnp.asarray([cfg.text_eop_token]), jnp.asarray([True])
+    )
+    # Consume word 0 (forced), then the eop.
+    for expect_tok in (41, 42):
+        mode, tok, mask, m = SCRIPT.constraint(cc, m)
+        assert int(mode[0]) == TTS.ALLOW_TEXT and int(tok[0]) == expect_tok
+        m, _ = SCRIPT.advance(cc, m, jnp.asarray([expect_tok]), jnp.asarray([True]))
+    mode, tok, mask, m = SCRIPT.constraint(cc, m)
+    assert int(mode[0]) == TTS.ALLOW_PAD_OR_EPAD
+    m, _ = SCRIPT.advance(
+        cc, m, jnp.asarray([cfg.text_eop_token]), jnp.asarray([True])
+    )
+    # Starved (no word, no eos): stays PadOrEpad even through another eop.
+    for _ in range(3):
+        mode, tok, mask, m = SCRIPT.constraint(cc, m)
+        assert int(mode[0]) == TTS.ALLOW_PAD_OR_EPAD and bool(mask[0])
+        m, _ = SCRIPT.advance(
+            cc, m, jnp.asarray([cfg.text_eop_token]), jnp.asarray([True])
+        )
+    # Word 1 arrives; the PREVIOUS eop already advanced widx past word 0,
+    # so the next eop enters word 1 and forcing resumes.
+    m = _upload_word(m, 0, [55], wid=1, start=2)
+    mode, tok, mask, m = SCRIPT.constraint(cc, m)
+    assert int(mode[0]) == TTS.ALLOW_PAD_OR_EPAD
+    m, _ = SCRIPT.advance(
+        cc, m, jnp.asarray([cfg.text_eop_token]), jnp.asarray([True])
+    )
+    mode, tok, mask, m = SCRIPT.constraint(cc, m)
+    assert int(mode[0]) == TTS.ALLOW_TEXT and int(tok[0]) == 55
+
+
+def _upload_word(m, slot, w, wid, start):
+    buf = np.zeros(SCRIPT.WORD_CHUNK, np.int32)
+    buf[: len(w)] = w
+    return SCRIPT.write_word_chunk(m, slot, jnp.asarray(buf), len(w), wid, start)
+
+
+def test_ring_wraparound():
+    """Uploads past the ring capacity overwrite consumed positions only."""
+    cfg = small_tts_cfg(max_steps=96)
+    cc = SCRIPT.ScriptConsts.from_cfg(cfg)
+    cap = 16
+    m = SCRIPT.reset_row(SCRIPT.init(1, cap=cap), 0)
+    start = 0
+    for wid in range(10):  # 10 words x 3 tokens = 30 through a cap-16 ring
+        w = [100 + wid * 3, 101 + wid * 3, 102 + wid * 3]
+        m = _upload_word(m, 0, w, wid, start)
+        start += 3
+        # Enter the word (first word needs an eop to move widx 0->...).
+        mode, tok, mask, m = SCRIPT.constraint(cc, m)
+        assert int(mode[0]) == TTS.ALLOW_PAD_OR_EPAD
+        m, _ = SCRIPT.advance(
+            cc, m, jnp.asarray([cfg.text_eop_token]), jnp.asarray([True])
+        )
+        for t in w:
+            mode, tok, mask, m = SCRIPT.constraint(cc, m)
+            assert int(mode[0]) == TTS.ALLOW_TEXT and int(tok[0]) == t
+            m, _ = SCRIPT.advance(cc, m, jnp.asarray([t]), jnp.asarray([True]))
+
+
+# ---------------------------------------------------------------------------
+# Engine bit-identity: fuse_ticks=4 vs unfused
+# ---------------------------------------------------------------------------
+
+
+def make_engine(batch=2, fuse=1):
+    cfg = small_tts_cfg(max_steps=96)
+    mimi_cfg = small_mimi_cfg()
+    params = {"lm": LM.init(cfg.lm, jax.random.PRNGKey(0))}
+    mimi_params = MIMI.init(mimi_cfg, jax.random.PRNGKey(1))
+    return BatchedTtsEngine(
+        cfg, params, mimi_cfg, mimi_params, FallbackTokenizer(),
+        batch_size=batch, ca_len=6, fuse_ticks=fuse,
+    ), cfg
+
+
+def _run(eng, scripts, seeds):
+    events = [[] for _ in scripts]
+    drvs = []
+    for i, words in enumerate(scripts):
+        drv = eng.open_session(events[i].append, seed=seeds[i])
+        assert drv is not None
+        drv.feed_words(words)
+        drv.end_input()
+        drvs.append(drv)
+    n = 0
+    while eng.tick() and n < 400:
+        n += 1
+    assert all(d.finished for d in drvs), "sessions did not complete"
+    return events
+
+
+def _timeline(evs):
+    out = []
+    for e in evs:
+        if isinstance(e, WordEvent):
+            out.append(("word", e.text, e.start_s, e.stop_s))
+        elif isinstance(e, AudioEvent):
+            out.append(("audio", np.asarray(e.pcm)))
+        else:
+            out.append(("done",))
+    return out
+
+
+def test_fused_engine_bit_identical_to_unfused():
+    """Same scripts + per-slot seeds: the K=4 fused engine delivers the
+    exact word/done timeline (token-identical — sampling is keyed
+    (seed, step), so dispatch grouping cannot matter) and audio equal to
+    f32-ulp level (XLA re-associates the decoder's fp ops inside lax.scan
+    differently than the standalone jit)."""
+    scripts = [[[31, 7], [8]], [[31, 9, 11]]]
+    seeds = [11, 22]
+    ev_a = _run(make_engine(batch=2, fuse=1)[0], scripts, seeds)
+    ev_b = _run(make_engine(batch=2, fuse=4)[0], scripts, seeds)
+    for a, b in zip(ev_a, ev_b):
+        ta, tb = _timeline(a), _timeline(b)
+        assert len(ta) == len(tb)
+        for xa, xb in zip(ta, tb):
+            assert xa[0] == xb[0]
+            if xa[0] == "word":
+                assert xa[1:] == xb[1:]
+            elif xa[0] == "audio":
+                np.testing.assert_allclose(xa[1], xb[1], atol=1e-6, rtol=0)
+
+
+def test_fused_slot_reuse_and_incremental_feed():
+    """Words fed across dispatch boundaries (visibility snapshots) still
+    complete, and a reused slot starts fresh."""
+    eng, cfg = make_engine(batch=1, fuse=3)
+    ev = []
+    drv = eng.open_session(ev.append, seed=5)
+    drv.feed_words([[31, 7]])
+    for _ in range(2):
+        eng.tick()
+    drv.feed_words([[9, 12]])
+    drv.end_input()
+    n = 0
+    while eng.tick() and n < 200:
+        n += 1
+    assert any(isinstance(e, DoneEvent) for e in ev)
+    words = [e for e in ev if isinstance(e, WordEvent)]
+    assert len(words) == 2
+    eng.close_session(drv)
+
+    ev2 = []
+    drv2 = eng.open_session(ev2.append, seed=5)
+    assert drv2.slot == drv.slot
+    drv2.feed_words([[31, 7], [9, 12]])
+    drv2.end_input()
+    n = 0
+    while eng.tick() and n < 200:
+        n += 1
+    assert any(isinstance(e, DoneEvent) for e in ev2)
+    assert len([e for e in ev2 if isinstance(e, WordEvent)]) == 2
+
+
+def test_fused_warmup_and_capacity():
+    eng, _ = make_engine(batch=1, fuse=2)
+    eng.warmup()
+    ev = []
+    drv = eng.open_session(ev.append, seed=1)
+    assert eng.open_session(lambda e: None) is None  # capacity
+    drv.feed_words([[31]])
+    drv.end_input()
+    n = 0
+    while eng.tick() and n < 200:
+        n += 1
+    assert any(isinstance(e, DoneEvent) for e in ev)
+    assert any(isinstance(e, AudioEvent) for e in ev)
