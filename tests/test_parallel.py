@@ -260,3 +260,35 @@ def test_tts_engine_mesh_with_int8_ca():
     while eng.tick() and n < 200:
         n += 1
     assert any(isinstance(e, AudioEvent) for e in evs)
+
+
+def test_tts_engine_mesh_fused_ticks():
+    """dp-meshed FUSED engine: the device script machine's scatter writes
+    and the K-tick lax.scan partition under GSPMD and sessions complete."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from dsm_tpu.server.tts_batched import BatchedTtsEngine, DoneEvent
+    from dsm_tpu.server.tts_module import AudioEvent
+    from dsm_tpu.utils.tokenizer import FallbackTokenizer
+    from tests.test_mimi import small_cfg as small_mimi_cfg
+    from tests.test_tts import small_tts_cfg
+    from dsm_tpu.models import mimi as MIMI
+
+    mesh_dp = M.make_mesh(dp=8, tp=1)
+    cfg = small_tts_cfg(max_steps=96)
+    mimi_cfg = small_mimi_cfg()
+    params = {"lm": LM.init(cfg.lm, jax.random.PRNGKey(0))}
+    mimi_params = MIMI.init(mimi_cfg, jax.random.PRNGKey(1))
+    eng = BatchedTtsEngine(
+        cfg, params, mimi_cfg, mimi_params, FallbackTokenizer(),
+        batch_size=8, ca_len=6, mesh=mesh_dp, fuse_ticks=3, script_cap=32,
+    )
+    evs = []
+    s = eng.open_session(evs.append, seed=4)
+    s.feed_words([[31, 5], [9]])
+    s.end_input()
+    n = 0
+    while eng.tick() and n < 120:
+        n += 1
+    assert any(isinstance(e, AudioEvent) for e in evs)
+    assert any(isinstance(e, DoneEvent) for e in evs)
