@@ -54,6 +54,13 @@ class TransformerConfig:
     ca_dim: Optional[int] = None  # source dim for cross-attn KV proj
     ca_norm: Optional[str] = None  # norm_cross kind; None -> same as `norm`
     max_seq_len: int = 4096
+    # Tensor-parallel mesh axis (shard_map tp): when set, this config
+    # describes the PER-SHARD transformer (num_heads = global/tp, head_dim
+    # pinned, MLP hidden sliced) and the residual joins psum partial
+    # projections over the axis (parallel/mesh.dp_tp_shard_step).  None =
+    # single-device / replicated semantics (the depformer and codec
+    # transformers always run with None).
+    tp_axis: Optional[str] = None
 
     @property
     def hd(self) -> int:
@@ -273,6 +280,10 @@ def _qkv(cfg, lp, x):
 def _proj_out(cfg, lp, y, b, t):
     y = y.transpose(0, 2, 1, 3).reshape(b, t, cfg.num_heads * cfg.hd)
     y = mm(y, lp["out_proj_w"])
+    if cfg.tp_axis:
+        # Row-parallel output projection: shards hold partial sums over
+        # their head slice; reduce BEFORE the (replicated) bias.
+        y = jax.lax.psum(y, cfg.tp_axis)
     if "out_proj_b" in lp:
         y = y + lp["out_proj_b"].astype(y.dtype)
     return y
@@ -321,12 +332,19 @@ def _cross_block(cfg, lp, x, ca_k, ca_v, ca_q=None):
         y = attn.cross_attend(q, ca_k, ca_v)
     y = y.transpose(0, 2, 1, 3).reshape(b, t, cfg.num_heads * cfg.hd)
     y = mm(y, lp["ca_out_w"])
+    if cfg.tp_axis:
+        # The gate is computed from the replicated xn, so gating commutes
+        # with the reduction; reduce first to gate a replicated value.
+        y = jax.lax.psum(y, cfg.tp_axis)
     return x + _ca_gate(cfg, lp, xn, y)
 
 
 def _mlp_block(cfg, lp, x):
     y = norm_mod.apply_norm(cfg.norm_kind, lp["norm2"], x)
     y = mlp_mod.apply(lp["mlp"], y)
+    if cfg.tp_axis:
+        # Row-parallel linear_out partials over the hidden slice.
+        y = jax.lax.psum(y, cfg.tp_axis)
     if "layer_scale_2" in lp:
         y = y * lp["layer_scale_2"].astype(y.dtype)
     return x + y

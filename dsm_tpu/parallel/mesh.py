@@ -205,3 +205,184 @@ def dp_shard_step(mesh: Mesh, fn, batch: int, params, *example_args):
             fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
             check_rep=False,
         )
+
+
+# -- dp x tp shard_map: per-chip Pallas kernels WITH head-sharded tp --------
+#
+# GSPMD tp (the NamedSharding rules above) cannot partition pallas_call, so
+# tp meshes used to trace with the kernels off.  shard_map removes the
+# limitation: each chip runs the serving step over its own batch slice AND
+# head slice with the kernels live, and the transformer reduces the three
+# row-parallel projections itself (ops/transformer.py `tp_axis` psums —
+# the standard Megatron split, one psum per attention/CA/MLP block).
+#
+# Division of labour: the MAIN LM transformer is head/hidden-sharded; the
+# depformer, codec transformer, embeddings, heads and sampling are small
+# and run replicated per shard (deterministic → all shards agree).
+
+_TP_INTERLEAVE = {
+    # fused-projection row blocks that a contiguous tp split would cross:
+    # in_proj rows are [q|k|v], ca_kv rows [k|v], gated mlp rows [a|b]
+    "in_proj_w": 3, "in_proj_b": 3, "ca_kv_w": 2, "linear_in": 2,
+}
+_TP_ROW_SHARD = (
+    "in_proj_w", "in_proj_b", "ca_q_w", "ca_kv_w", "linear_in", "linear1"
+)
+_TP_COL_SHARD = ("out_proj_w", "ca_out_w", "linear_out", "linear2")
+
+
+def _lm_transformer_path(parts) -> bool:
+    """True for leaves of the MAIN LM transformer stack (params["lm"]
+    ["transformer"]...).  The codec transformer (params["mimi"]...) and the
+    depformer stay replicated."""
+    return "lm" in parts and "transformer" in parts and "depformer" not in parts
+
+
+def permute_tp_params(params, tp: int):
+    """Pre-permute fused projection rows of the LM main transformer so a
+    contiguous tp split yields per-shard [q|k|v] / [k|v] / [a|b] blocks in
+    the standard layout (ops/transformer._qkv reshapes then work unchanged
+    with the per-shard head count).  Apply BEFORE quantize_weights."""
+
+    def perm(path, leaf):
+        parts = _path_str(path).split("/")
+        if not _lm_transformer_path(parts):
+            return leaf
+        # int8-quantised leaves appear as .../<name>/q and .../<name>/s;
+        # quantisation is per-output-row, so permuting q and s rows is
+        # exactly equivalent to permuting before quantize_weights.
+        name = parts[-1]
+        if name in ("q", "s") and len(parts) >= 2:
+            name = parts[-2]
+        groups = _TP_INTERLEAVE.get(name)
+        if groups is None:
+            return leaf
+        w = np.asarray(leaf)
+        L, O = w.shape[0], w.shape[1]
+        if O % (groups * tp):
+            raise ValueError(
+                f"{_path_str(path)}: fused dim {O} not divisible by "
+                f"{groups}*tp={groups * tp}"
+            )
+        rest = w.shape[2:]
+        w = w.reshape((L, groups, tp, O // (groups * tp)) + rest)
+        w = w.swapaxes(1, 2).reshape((L, O) + rest)
+        return jnp.asarray(w)
+
+    return jax.tree_util.tree_map_with_path(perm, params)
+
+
+def _tp_param_spec(path, leaf) -> P:
+    """Partition spec for a (permuted, possibly int8-quantised) param leaf.
+    Quantised leaves appear as .../<name>/q and .../<name>/s."""
+    parts = _path_str(path).split("/")
+    if not _lm_transformer_path(parts):
+        return P()
+    name = parts[-1]
+    base = parts[-2] if name in ("q", "s") and len(parts) >= 2 else name
+    nd = getattr(leaf, "ndim", 0)
+    if base in _TP_ROW_SHARD:
+        # dense (L, O, I) / bias (L, O) / q (L, O, I) / s (L, O)
+        return P(*((None, "tp") + (None,) * (nd - 2)))
+    if base in _TP_COL_SHARD:
+        if name == "s":  # per-output-channel scales: output dim is full
+            return P()
+        return P(None, None, "tp") if nd == 3 else P()
+    return P()
+
+
+def _dp_tp_state_spec(path, leaf, batch: int, heads: int) -> P:
+    """KV rings/scales of the LM main transformer shard (dp, tp); every
+    other batch-leading leaf shards dp only (codec KV included — the codec
+    transformer runs replicated over tp)."""
+    parts = _path_str(path).split("/")
+    nd = getattr(leaf, "ndim", 0)
+    shape = getattr(leaf, "shape", ())
+    if (
+        "lm" in parts
+        and "layers" in parts
+        and parts[-1] in ("k", "v", "ks", "vs")
+        and nd >= 3
+        and shape[0] == batch
+        and shape[1] == heads
+    ):
+        return P(*(("dp", "tp") + (None,) * (nd - 2)))
+    return _dp_spec(leaf, batch)
+
+
+def dp_tp_shard_step(
+    mesh: Mesh, local_fn, global_fn, batch: int, heads: int, params,
+    *example_args,
+):
+    """shard_map ``local_fn`` over a dp x tp mesh with Pallas kernels live.
+
+    ``local_fn`` must be built against the PER-SHARD config
+    (num_heads = heads/tp, head_dim pinned to the global hd,
+    tp_axis="tp") over params permuted by :func:`permute_tp_params`;
+    ``global_fn`` is the unsharded step used only to derive output
+    shapes/specs.  ``heads`` is the GLOBAL head count (disambiguates LM KV
+    leaves from codec state).  Returns the wrapped fn (jit it yourself).
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    tp = mesh.shape.get("tp", 1)
+    dp = mesh.shape.get("dp", 1)
+    if batch % dp:
+        raise ValueError(f"batch {batch} not divisible by dp={dp}")
+    if heads % tp:
+        raise ValueError(f"heads {heads} not divisible by tp={tp}")
+
+    in_specs = (
+        jax.tree_util.tree_map_with_path(_tp_param_spec, params),
+    ) + tuple(
+        jax.tree_util.tree_map_with_path(
+            lambda p, l: _dp_tp_state_spec(p, l, batch, heads), a
+        )
+        for a in example_args
+    )
+    out_shape = jax.eval_shape(global_fn, params, *example_args)
+    out_specs = jax.tree_util.tree_map_with_path(
+        lambda p, l: _dp_tp_state_spec(p, l, batch, heads), out_shape
+    )
+    kwargs = dict(mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    try:
+        return shard_map(local_fn, check_vma=False, **kwargs)
+    except TypeError:  # older jax spells it check_rep
+        return shard_map(local_fn, check_rep=False, **kwargs)
+
+
+def tp_local_transformer_cfg(tcfg, tp: int):
+    """Per-shard view of a transformer config for dp_tp_shard_step: heads
+    split over tp, head_dim pinned (hd must not be re-derived from the
+    reduced head count), psums enabled at the residual joins."""
+    import dataclasses
+
+    if tcfg.num_heads % tp:
+        raise ValueError(f"num_heads {tcfg.num_heads} not divisible by {tp}")
+    return dataclasses.replace(
+        tcfg, num_heads=tcfg.num_heads // tp, head_dim=tcfg.hd, tp_axis="tp"
+    )
+
+
+def place_tp_params(mesh: Mesh, params):
+    """device_put a (permuted) params tree with the tp sharding rules."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, l: jax.device_put(
+            l, NamedSharding(mesh, _tp_param_spec(p, l))
+        ),
+        params,
+    )
+
+
+def place_dp_tp_state(mesh: Mesh, state, batch: int, heads: int):
+    """device_put a session state tree: LM KV over (dp, tp), batch-leading
+    leaves over dp, everything else replicated."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, l: jax.device_put(
+            l, NamedSharding(mesh, _dp_tp_state_spec(p, l, batch, heads))
+        ),
+        state,
+    )

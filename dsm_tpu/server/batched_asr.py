@@ -148,21 +148,34 @@ class BatchedAsrEngine:
         self.cache_dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
         state = ASR.init_state(cfg, batch_size, self.cache_dtype)
         dp_only = mesh is not None and mesh.shape.get("tp", 1) == 1
+        tp = 1 if mesh is None else mesh.shape.get("tp", 1)
         if mesh is not None:
             from ..parallel import mesh as M
 
-            params = {
-                "mimi": M.replicate(mesh, params["mimi"]),
-                "lm": {
-                    k: (
-                        M.shard_transformer_params(mesh, v)
-                        if k == "transformer"
-                        else M.replicate(mesh, v)
-                    )
-                    for k, v in params["lm"].items()
-                },
-            }
-            state = M.shard_batched_state(mesh, state, batch_size)
+            if tp > 1:
+                # shard_map tp: heads/MLP-hidden sharded with the Pallas
+                # kernels LIVE per shard (dp_tp_shard_step) — the fused
+                # projections are pre-permuted so a contiguous tp split is
+                # per-shard [q|k|v]/[a|b] blocks.
+                params = M.place_tp_params(
+                    mesh, M.permute_tp_params(params, tp)
+                )
+                state = M.place_dp_tp_state(
+                    mesh, state, batch_size, cfg.lm.transformer.num_heads
+                )
+            else:
+                params = {
+                    "mimi": M.replicate(mesh, params["mimi"]),
+                    "lm": {
+                        k: (
+                            M.shard_transformer_params(mesh, v)
+                            if k == "transformer"
+                            else M.replicate(mesh, v)
+                        )
+                        for k, v in params["lm"].items()
+                    },
+                }
+                state = M.shard_batched_state(mesh, state, batch_size)
         if step_fn is None:
             # Packing concatenates batch segments, which would interleave
             # per-shard blocks under dp shard_map — single-device only
@@ -172,15 +185,8 @@ class BatchedAsrEngine:
 
             from ..ops import ring_kernels as _rk
 
-            # tp-sharded steps trace with the Pallas kernels off — GSPMD
-            # can't partition pallas_call custom calls; the override is
-            # scoped to THIS step's trace (pure-dp meshes run the kernels
-            # per shard via dp_shard_step; other engines are unaffected).
-            tp_meshed = mesh is not None and not dp_only
-
             def _step(params, state, pcm, mask, reset, rng, seeds):
-                with _rk.kernels_forced(False if tp_meshed else
-                                        _rk.kernels_override()):
+                with _rk.kernels_forced(_rk.kernels_override()):
                     out, st = ASR.step(
                         cfg, params, state, pcm, mask, reset, rng, condition,
                         seeds=seeds,
@@ -207,13 +213,10 @@ class BatchedAsrEngine:
                 return out, st
 
             base = _step
-            if dp_only:
+            if mesh is not None:
                 from ..parallel import mesh as M
 
-                # Each chip steps its own B/dp slots — full serving step,
-                # Pallas kernels included, zero collectives.
-                base = M.dp_shard_step(
-                    mesh, _step, batch_size,
+                examples = (
                     params, state,
                     jnp.zeros((batch_size, 1, cfg.mimi.frame_size), jnp.float32),
                     jnp.zeros((batch_size,), bool),
@@ -221,6 +224,38 @@ class BatchedAsrEngine:
                     jax.random.PRNGKey(0),
                     jnp.zeros((batch_size,), jnp.uint32),
                 )
+                if dp_only:
+                    # Each chip steps its own B/dp slots — full serving
+                    # step, Pallas kernels included, zero collectives.
+                    base = M.dp_shard_step(mesh, _step, batch_size, *examples)
+                else:
+                    # Head-sharded tp: the per-shard step runs against a
+                    # reduced-head config with psum joins; kernels stay
+                    # live (their h%8 gate applies to the LOCAL heads).
+                    import dataclasses
+
+                    cfg_local = dataclasses.replace(
+                        cfg,
+                        lm=dataclasses.replace(
+                            cfg.lm,
+                            transformer=M.tp_local_transformer_cfg(
+                                cfg.lm.transformer, tp
+                            ),
+                        ),
+                    )
+
+                    def _local_step(params, state, pcm, mask, reset, rng,
+                                    seeds):
+                        with _rk.kernels_forced(_rk.kernels_override()):
+                            return ASR.step(
+                                cfg_local, params, state, pcm, mask, reset,
+                                rng, condition, seeds=seeds,
+                            )
+
+                    base = M.dp_tp_shard_step(
+                        mesh, _local_step, _step, batch_size,
+                        cfg.lm.transformer.num_heads, *examples,
+                    )
             step_fn = jax.jit(base, donate_argnums=(1,))
         self.step_fn = step_fn
         self.params = params

@@ -292,3 +292,106 @@ def test_tts_engine_mesh_fused_ticks():
         n += 1
     assert any(isinstance(e, AudioEvent) for e in evs)
     assert any(isinstance(e, DoneEvent) for e in evs)
+
+
+def test_dp_tp_shard_map_kernels_token_exact(monkeypatch):
+    """dp=4 x tp=2 shard_map serving with the Pallas kernels LIVE per shard
+    (head-sharded KV rings, Megatron-split projections, psum joins) is
+    token-exact vs the unsharded XLA path — the tp analogue of stage 5."""
+    import dataclasses
+
+    import numpy as np
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from dsm_tpu.models import mimi as MIMI
+    from dsm_tpu.ops import transformer as T
+    from dsm_tpu.sessions import asr as ASR
+
+    monkeypatch.setenv("DSM_RING_KERNEL", "1")
+    monkeypatch.setenv("DSM_DECODE_ATTN", "1")
+    mesh = M.make_mesh(dp=4, tp=2)
+    mimi_cfg = MIMI.MimiConfig(
+        seanet=MIMI.SeaNetConfig(
+            dimension=32, channels=1, n_filters=4, n_residual_layers=1,
+            ratios=(4, 3, 2), kernel_size=7, residual_kernel_size=3,
+            last_kernel_size=3,
+        ),
+        transformer=T.TransformerConfig(
+            d_model=32, num_heads=4, num_layers=2, dim_feedforward=64,
+            context=16, gating=False, norm="layer_norm",
+            positional_embedding="rope", layer_scale=0.01,
+        ),
+        n_q=4, bins=32, q_dim=16, sample_rate=600.0, frame_rate=12.5,
+    )
+    # 16 heads x hd 64: local 8 heads under tp=2 — the decode-attention
+    # kernel's h%8 gate stays satisfied PER SHARD.
+    lm_cfg = LM.LmConfig(
+        transformer=T.TransformerConfig(
+            d_model=1024, num_heads=16, num_layers=1,
+            dim_feedforward=256, context=250,
+        ),
+        depformer=None,
+        text_in_vocab_size=33, text_out_vocab_size=32,
+        audio_vocab_size=mimi_cfg.bins + 1, audio_codebooks=mimi_cfg.n_q,
+    )
+    acfg = ASR.AsrConfig(
+        lm=lm_cfg, mimi=mimi_cfg, asr_delay_in_tokens=1,
+        temperature=0.0, kv_quant=True,
+    )
+    acfg_local = dataclasses.replace(
+        acfg,
+        lm=dataclasses.replace(
+            lm_cfg,
+            transformer=M.tp_local_transformer_cfg(lm_cfg.transformer, 2),
+        ),
+    )
+    key = jax.random.PRNGKey(0)
+    params = {
+        "lm": LM.init(lm_cfg, key, dtype=jnp.float32),
+        "mimi": MIMI.init(mimi_cfg, jax.random.fold_in(key, 1)),
+    }
+    pparams = M.permute_tp_params(params, 2)
+
+    b = 8
+    pcm = jnp.asarray(
+        np.random.default_rng(0)
+        .standard_normal((b, 1, mimi_cfg.frame_size))
+        .astype(np.float32) * 0.1
+    )
+    mask = jnp.ones((b,), bool)
+    reset = jnp.zeros((b,), bool)
+    rng = jax.random.PRNGKey(7)
+    seeds = jnp.arange(b, dtype=jnp.uint32)
+
+    def local_fn(p, s, x, m, r, k, sd):
+        return ASR.step(acfg_local, p, s, x, m, r, k, seeds=sd)
+
+    def global_fn(p, s, x, m, r, k, sd):
+        return ASR.step(acfg, p, s, x, m, r, k, seeds=sd)
+
+    state0 = ASR.init_state(acfg, b, jnp.float32)
+    wrapped = jax.jit(M.dp_tp_shard_step(
+        mesh, local_fn, global_fn, b, lm_cfg.transformer.num_heads,
+        pparams, state0, pcm, mask, reset, rng, seeds,
+    ))
+
+    state = state0
+    toks_tp = []
+    for i in range(3):
+        out, state = wrapped(
+            pparams, state, pcm + i * 0.01, mask, reset, rng, seeds
+        )
+        toks_tp.append(np.asarray(out["text_token"]))
+
+    monkeypatch.setenv("DSM_RING_KERNEL", "0")
+    monkeypatch.setenv("DSM_DECODE_ATTN", "0")
+    state_ref = ASR.init_state(acfg, b, jnp.float32)
+    for i in range(3):
+        out_ref, state_ref = ASR.step(
+            acfg, params, state_ref, pcm + i * 0.01, mask, reset, rng,
+            seeds=seeds,
+        )
+        assert np.array_equal(toks_tp[i], np.asarray(out_ref["text_token"])), (
+            f"step {i}: tp tokens diverge from unsharded"
+        )
