@@ -582,6 +582,9 @@ def bench_duplex_sustained(batch: int, seconds: float,
     engine = BatchedDuplexEngine(
         cfg, params, mimi_cfg, params["mimi"], FallbackTokenizer(),
         batch_size=batch, kv_quant=True,
+        # DSM_DUPLEX_PIPELINE=2: dispatch-ahead (one frame extra delivery
+        # latency, hides the fetch round-trip at cadence-critical batches).
+        pipeline_depth=int(os.environ.get("DSM_DUPLEX_PIPELINE", "1")),
     )
 
     events: list = []  # (name, t, slot)
@@ -678,6 +681,7 @@ def bench_duplex_sustained(batch: int, seconds: float,
             if tick_phases else None
         ),
         "n_events": len(events),
+        "pipeline_depth": engine.pipeline_depth,
     }
 
 

@@ -311,6 +311,12 @@ def build_duplex(mod: CFG.ModuleConfig):
             # [modules.X.mesh] dp = N shards dialogues over a device mesh,
             # same TOML surface as the ASR/TTS modules.
             mesh=build_mesh_from_config(mod),
+            # pipeline_depth = 2 overlaps the device step with the previous
+            # tick's fetch (+1 frame delivery latency); default 1 keeps the
+            # reference's lowest-latency loop.
+            pipeline_depth=int(mod.raw.get(
+                "pipeline_depth", os.environ.get("DSM_DUPLEX_PIPELINE", "1")
+            )),
         )
     return DuplexEngine(
         cfg, {"lm": lm_params, "mimi": mimi_params}, mimi_cfg, mimi_params,

@@ -105,12 +105,23 @@ class BatchedDuplexEngine:
         tick_sleep: float = 0.002,
         kv_quant: Optional[bool] = None,
         mesh=None,
+        pipeline_depth: int = 1,
     ):
         """``mesh``: optional dp-only jax Mesh — dialogue state shards over
         dp, params replicate, and the fused tick runs SPMD via GSPMD
         (same contract as BatchedAsrEngine / BatchedTtsEngine; Pallas
         kernels are trace-disabled under a mesh since GSPMD cannot
-        partition pallas_call)."""
+        partition pallas_call).
+
+        ``pipeline_depth``: 1 = fetch each tick's outputs before the next
+        dispatch (lowest latency — the default, matching the reference
+        loop).  2 = dispatch-ahead: tick N's device step overlaps tick
+        N-1's device->host fetch + post-process.  The duplex input (the
+        next mic frame) never depends on the previous tick's *fetched*
+        outputs — the model hears its own reply through device-resident
+        state — so pipelining is semantically free; it trades up to one
+        frame of delivery latency for throughput where step+fetch
+        overruns the 80 ms cadence."""
         import jax
         import jax.numpy as jnp
 
@@ -225,6 +236,9 @@ class BatchedDuplexEngine:
 
         self._step = jax.jit(_fused, donate_argnums=(1, 2, 3))
         self._pcm_buf = np.zeros((batch_size, 1, frame), np.float32)
+        self.pipeline_depth = max(1, int(pipeline_depth))
+        # (packed_dev, drivers, n_active, t_gather0, t_disp0, t_disp1)
+        self._inflight: deque = deque()
 
     # -- session lifecycle --
 
@@ -261,6 +275,8 @@ class BatchedDuplexEngine:
         self.running = False
         if self.thread:
             self.thread.join(timeout=5)
+        while self._inflight:  # deliver trailing pipelined outputs
+            self._post_process(self._inflight.popleft())
 
     def warmup(self, steps: int = 2) -> None:
         import jax
@@ -297,7 +313,9 @@ class BatchedDuplexEngine:
                     continue
                 f = drv.take_frame(frame)
                 if f is None:
-                    if drv.eos:
+                    if drv.eos and not any(
+                        it[1][slot] is drv for it in self._inflight
+                    ):  # don't emit Done ahead of in-flight audio/text
                         drv.finished = True
                         if drv.text_acc:
                             # Flush the trailing partial word so the
@@ -314,15 +332,36 @@ class BatchedDuplexEngine:
             asr_delay = self._asr_delay.copy()
 
         if not mask.any() and not reset.any():
+            if self._inflight:  # drain the pipeline when input pauses
+                self._post_process(self._inflight.popleft())
+                return True
             return False
 
         t0 = time.perf_counter()
         self.rng, sub = jax.random.split(self.rng)
+        pcm_in = (
+            self._pcm_buf.copy()
+            if self.pipeline_depth > 1
+            else self._pcm_buf
+        )  # the shared gather buffer is mutated before a deep fetch lands
         packed_dev, self.state, self.enc_state, self.dec_state = self._step(
             self.params, self.state, self.enc_state, self.dec_state,
-            self._pcm_buf, mask, reset, sub, asr_delay,
+            pcm_in, mask, reset, sub, asr_delay,
         )
         t1 = time.perf_counter()
+        self._inflight.append(
+            (packed_dev, drivers, int(mask.sum()), t_tick0, t0, t1)
+        )
+        # depth 1: fetch immediately (reference loop); depth D: keep D-1
+        # dispatches in flight so the device step overlaps the previous
+        # fetch + post-process.
+        if len(self._inflight) >= self.pipeline_depth:
+            self._post_process(self._inflight.popleft())
+        return True
+
+    def _post_process(self, item) -> None:
+        packed_dev, drivers, n_active, t_tick0, t0, t1 = item
+        frame = self.mimi_cfg.frame_size
         packed = np.asarray(packed_dev)  # the tick's ONE device->host fetch
         t2 = time.perf_counter()
         dt = t2 - t0
@@ -355,13 +394,14 @@ class BatchedDuplexEngine:
         if self.tick_observer is not None:
             # (total step s, n_active, (gather, dispatch, fetch, post) s) —
             # same phase split the TTS engine reports; localises whether a
-            # missed 80 ms cadence is device time or host path.
+            # missed 80 ms cadence is device time or host path.  With
+            # pipeline_depth > 1 the fetch phase includes the overlapped
+            # wait behind newer dispatches.
             t3 = time.perf_counter()
             self.tick_observer(
-                dt, int(mask.sum()),
+                dt, n_active,
                 (t0 - t_tick0, t1 - t0, t2 - t1, t3 - t2),
             )
-        return True
 
     def _loop(self) -> None:
         while self.running:

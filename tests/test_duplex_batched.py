@@ -155,3 +155,40 @@ def test_engine_loop_thread():
         assert any(isinstance(e, DuplexDoneEvent) for e in evs)
     finally:
         eng.stop()
+
+
+def test_pipelined_engine_matches_unpipelined():
+    """pipeline_depth=2 (dispatch-ahead) delivers the identical event
+    sequence per session — the duplex input never depends on the previous
+    tick's fetched outputs — and Done still arrives after the last
+    audio/text (the in-flight guard)."""
+    def run(depth):
+        single, mimi_cfg = make_duplex_engine()
+        eng = BatchedDuplexEngine(
+            single.cfg, single.params, mimi_cfg, single.mimi_params,
+            single.tokenizer, batch_size=2, pipeline_depth=depth,
+        )
+        events = []
+        drv = eng.open_session(events.append)
+        rng = np.random.default_rng(3)
+        drv.push_pcm(
+            rng.standard_normal(mimi_cfg.frame_size * 6).astype(np.float32)
+            * 0.1
+        )
+        drv.end_input()
+        for _ in range(12):
+            eng.tick()
+        eng.stop()  # drains any in-flight item
+        return events
+
+    ev1 = run(1)
+    ev2 = run(2)
+    kinds1 = [type(e).__name__ for e in ev1]
+    kinds2 = [type(e).__name__ for e in ev2]
+    assert kinds1 == kinds2
+    assert kinds2[-1] == "DuplexDoneEvent"
+    for a, b in zip(ev1, ev2):
+        if isinstance(a, DuplexAudioEvent):
+            np.testing.assert_array_equal(a.pcm, b.pcm)
+        elif isinstance(a, DuplexTextEvent):
+            assert a.text == b.text

@@ -64,6 +64,12 @@ run "docs/SUSTAINED_DUPLEX_r03_b12.json" 3600 \
   python -m dsm_tpu.bench_perf --duplex-sustained 60 --batch 12
 run "docs/SUSTAINED_DUPLEX_r03_b16.json" 3600 \
   python -m dsm_tpu.bench_perf --duplex-sustained 60 --batch 16
+run "docs/SUSTAINED_DUPLEX_r03_b16_pipe2.json" 3600 \
+  env DSM_DUPLEX_PIPELINE=2 \
+  python -m dsm_tpu.bench_perf --duplex-sustained 60 --batch 16
+run "docs/SUSTAINED_DUPLEX_r03_b24_pipe2.json" 3600 \
+  env DSM_DUPLEX_PIPELINE=2 \
+  python -m dsm_tpu.bench_perf --duplex-sustained 60 --batch 24
 run "$OUT/stt26b_e2e.json" 3600 \
   python -m dsm_tpu.bench_perf --e2e --serving --model stt-2.6b --batch 64
 
