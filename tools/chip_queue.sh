@@ -78,5 +78,7 @@ run "$OUT/divergence_stt1b.json" 3600 \
   python tools/quant_divergence.py --model stt-1b --steps 750 --batch 4
 run "$OUT/divergence_tts16b.json" 3600 \
   python tools/quant_divergence.py --model tts-1.6b --steps 750 --batch 4
+run "$OUT/divergence_s2s2b.json" 3600 \
+  python tools/quant_divergence.py --model s2s-2b --steps 750 --batch 2
 
 log "queue complete"

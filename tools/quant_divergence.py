@@ -178,10 +178,82 @@ def run_tts(lm_cfg, steps: int, batch: int, seed: int = 0,
     }
 
 
+def run_duplex(lm_cfg, steps: int, batch: int, seed: int = 0,
+               kernels: bool = True) -> dict:
+    """s2s duplex profile: greedy text + audio over lm_gen.step with a
+    shared random user-token stream (the Mimi encode stage is bf16 in both
+    profiles and deterministic, so feeding tokens directly isolates the
+    LM/depformer quantisation effect)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dsm_tpu.models import lm as LM
+    from dsm_tpu.ops import ring_kernels as rk
+    from dsm_tpu.ops import transformer as T
+    from dsm_tpu.sessions import lm_gen
+
+    key = jax.random.PRNGKey(seed)
+    lm_bf16 = LM.init(lm_cfg, key, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(seed)
+    in_cb = lm_cfg.audio_codebooks // 2
+
+    def make(profile: str):
+        quant = profile == "serving"
+        cfg = lm_gen.DuplexConfig(
+            lm=lm_cfg, generated_audio_codebooks=in_cb,
+            input_audio_codebooks=in_cb, max_steps=steps + 64,
+            audio_temperature=0.0, text_temperature=0.0,
+        )
+        params = {"lm": T.quantize_weights(lm_bf16) if quant else lm_bf16}
+        state = lm_gen.init_state(cfg, batch, jnp.bfloat16, kv_quant=quant)
+
+        def _step(params, state, user_tokens, k):
+            with rk.kernels_forced(quant and kernels):
+                return lm_gen.step(cfg, params, state, user_tokens, k)
+
+        return cfg, params, state, jax.jit(_step, donate_argnums=(1,))
+
+    profiles = {p: make(p) for p in ("bf16", "serving")}
+    k0 = jax.random.PRNGKey(11)
+    text = {p: [] for p in profiles}
+    audio = {p: [] for p in profiles}
+    t0 = time.time()
+    for i in range(steps):
+        user = rng.integers(
+            0, lm_cfg.audio_vocab_size - 1, (batch, in_cb)
+        ).astype(np.int32)
+        # Both profiles free-run on the same user stream at temperature 0:
+        # the duplex text AND audio feedbacks are autoregressive (teacher-
+        # forcing text via force_text_token would replace the sampled token
+        # and trivialise the metric), so match fractions compound after the
+        # first argmax flip — first_text_divergence_step ("N frames
+        # bit-exact") is the primary quality bound here.
+        for p, (cfg, params, state, fn) in profiles.items():
+            out, state = fn(params, state, user, k0)
+            profiles[p] = (cfg, params, state, fn)
+            text[p].append(np.asarray(out["text_token"]))
+            audio[p].append(np.asarray(out["frame"]))
+        if i % 100 == 0:
+            print(f"  step {i}/{steps} ({time.time()-t0:.0f}s)", flush=True)
+
+    ta, tb = np.stack(text["bf16"]), np.stack(text["serving"])
+    aa, ab = np.stack(audio["bf16"]), np.stack(audio["serving"])
+    return {
+        "steps": steps,
+        "batch": batch,
+        "text_token_match_frac": round(float((ta == tb).mean()), 5),
+        "audio_token_match_frac": round(float((aa == ab).mean()), 5),
+        "first_text_divergence_step": (
+            int(np.argmin((ta == tb).all(axis=1)))
+            if not (ta == tb).all() else -1
+        ),
+    }
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="stt-1b",
-                   choices=["stt-1b", "tts-1.6b", "small"])
+                   choices=["stt-1b", "tts-1.6b", "s2s-2b", "small"])
     p.add_argument("--steps", type=int, default=750)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--no-kernels", action="store_true",
@@ -203,6 +275,9 @@ def main(argv=None):
     elif args.model == "tts-1.6b":
         res = run_tts(LM.tts_1_6b_en_fr(), args.steps, args.batch,
                       kernels=on_tpu and not args.no_kernels)
+    elif args.model == "s2s-2b":
+        res = run_duplex(LM.s2s_2b_16rvq_202501(), args.steps, args.batch,
+                         kernels=on_tpu and not args.no_kernels)
     else:
         import dataclasses
 
