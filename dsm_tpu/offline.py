@@ -77,8 +77,17 @@ def transcribe_file(
     # per-frame dispatch pays ~1 ms locally and a full round-trip over a
     # remote tunnel).  K is fixed so the program compiles once; the last
     # chunk pads with masked (state-frozen) frames.
+    #
+    # Meshed engines hold tp-PERMUTED params (parallel/mesh.py) that only
+    # the engine's own shard_map step interprets correctly, and a custom
+    # step_fn must be honoured — both fall back to the per-frame loop.
     import jax.numpy as jnp
     from .ops import ring_kernels as _rk
+
+    if engine.mesh is not None or not engine._seeded_step:
+        return _transcribe_per_frame(
+            engine, acfg, pcm, n_frames, frame, state, words_state, vad
+        )
 
     K = min(50, max(1, n_frames))
     n_prs = (acfg.lm.extra_heads or (0, 0))[0]
@@ -90,6 +99,7 @@ def transcribe_file(
                 out, st = ASR.step(
                     acfg, params, st, pcm_f, mask_f,
                     jnp.zeros((1,), bool), jax.random.fold_in(base_key, i),
+                    engine.condition,
                     seeds=jnp.zeros((1,), jnp.uint32),
                 )
                 return st, (
@@ -141,6 +151,61 @@ def transcribe_file(
                     open_word["stop_s"] = ev.stop_time
                     open_word = None
 
+    result = {
+        "words": [
+            {"text": w["text"], "start_s": w["start_s"], "stop_s": w["stop_s"]}
+            for w in words
+        ],
+        "text": " ".join(w["text"] for w in words),
+    }
+    if vad:
+        result["vad"] = vad_steps
+    return result
+
+
+def _transcribe_per_frame(engine, acfg, pcm, n_frames, frame, state,
+                          words_state, vad) -> dict:
+    """Frame-at-a-time fallback through ``engine.step_fn`` — required for
+    meshed engines (tp-permuted params) and custom step functions."""
+    import jax
+
+    from .sessions import asr as ASR
+
+    rng = jax.random.PRNGKey(0)
+    mask = np.ones(1, bool)
+    reset = np.zeros(1, bool)
+    words = []
+    vad_steps = []
+    open_word = None
+    step = engine.step_fn
+    for i in range(n_frames):
+        chunk = pcm[i * frame : (i + 1) * frame][None, None, :]
+        rng, sub = jax.random.split(rng)
+        if engine._seeded_step:
+            out, state = step(
+                engine.params, state, chunk, mask, reset, sub,
+                np.zeros(1, np.uint32),
+            )
+        else:
+            out, state = step(engine.params, state, chunk, mask, reset, sub)
+        text = np.asarray(out["text_token"])
+        steps = np.asarray(out["step_idx"])
+        if vad and out["prs"].shape[-1]:
+            vad_steps.append(
+                {"step_idx": int(steps[0]),
+                 "prs": np.asarray(out["prs"])[0].tolist()}
+            )
+        for ev in words_state.process(text, steps, mask):
+            if isinstance(ev, ASR.WordEvent):
+                open_word = {
+                    "text": engine.tokenizer.decode(ev.tokens),
+                    "start_s": ev.start_time,
+                    "stop_s": None,
+                }
+                words.append(open_word)
+            elif isinstance(ev, ASR.EndWordEvent) and open_word is not None:
+                open_word["stop_s"] = ev.stop_time
+                open_word = None
     result = {
         "words": [
             {"text": w["text"], "start_s": w["start_s"], "stop_s": w["stop_s"]}

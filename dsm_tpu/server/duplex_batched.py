@@ -239,6 +239,7 @@ class BatchedDuplexEngine:
         self.pipeline_depth = max(1, int(pipeline_depth))
         # (packed_dev, drivers, n_active, t_gather0, t_disp0, t_disp1)
         self._inflight: deque = deque()
+        self._last_fetch_t = None  # completion-to-completion step timing
 
     # -- session lifecycle --
 
@@ -364,7 +365,15 @@ class BatchedDuplexEngine:
         frame = self.mimi_cfg.frame_size
         packed = np.asarray(packed_dev)  # the tick's ONE device->host fetch
         t2 = time.perf_counter()
-        dt = t2 - t0
+        # With pipelining, dispatch->fetch of one item spans OTHER items'
+        # host work, so t2-t0 would double-count the overlap and misreport
+        # the optimisation it measures.  The honest per-tick cost is the
+        # service interval: completion-to-completion once the pipeline is
+        # warm (equals t2-t0 exactly at depth 1 / cold pipeline).
+        dt = min(t2 - t0, t2 - self._last_fetch_t) if (
+            self._last_fetch_t is not None
+        ) else t2 - t0
+        self._last_fetch_t = t2
         metrics.LM_STEP_DURATION.observe(dt)
         metrics.LM_STEPS_TOTAL.inc()
 

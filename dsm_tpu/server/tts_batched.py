@@ -16,6 +16,7 @@ Mimi decode for completed frames.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import threading
 import time
 from collections import deque
@@ -29,6 +30,8 @@ from ..sessions import tts as TTS
 from ..sessions import tts_script as SCRIPT
 from . import metrics
 from .tts_module import AudioEvent, WordEvent
+
+log = logging.getLogger("dsm.tts")
 
 
 @dataclasses.dataclass
@@ -317,6 +320,30 @@ class BatchedTtsEngine:
         n = batch_size
         delay = cfg.text_audio_delay_in_tokens + cfg.acoustic_delay
 
+        def _pack_frame(out, active_n, mimi_params, mimi_state):
+            """Shared tail of a tick: delay-gated masked Mimi decode + the
+            single packed int32 host-bound array (text, steps, dec_mask,
+            bitcast pcm).  Both the single-tick and the fused-scan paths
+            MUST use this — their bit-identity is the correctness contract
+            of tests/test_tts_fused.py."""
+            steps = out["step_idx"][:n]
+            dec_mask = (
+                out["frame_valid"][:n] & (steps > delay) & active_n
+            )
+            codes = out["frame"][:n, :, None].astype(jnp.int32)
+            pcm, mimi_state = MIMI.decode_step(
+                mimi_cfg, mimi_params, mimi_state, codes, dec_mask
+            )
+            packed = jnp.concatenate([
+                out["text_token"][:n].astype(jnp.int32),
+                steps.astype(jnp.int32),
+                dec_mask.astype(jnp.int32),
+                jax.lax.bitcast_convert_type(
+                    pcm[:, 0, :].astype(jnp.float32), jnp.int32
+                ).reshape(-1),
+            ])
+            return packed, mimi_state
+
         def _step(params, state, mimi_params, mimi_state, mode, tok, rng,
                   ca_kv, mask, reset, temps, seeds, alpha):
             """One fused tick: LM step + (masked) Mimi decode, all host-bound
@@ -341,22 +368,9 @@ class BatchedTtsEngine:
                         cfg, params, state, mode, tok, rng, ca_kv=ca_kv,
                         mask=mask, reset=reset, temps=temps, seeds=seeds,
                     )
-            steps = out["step_idx"][:n]
-            dec_mask = (
-                out["frame_valid"][:n] & (steps > delay) & mask[:n]
+            packed, mimi_state = _pack_frame(
+                out, mask[:n], mimi_params, mimi_state
             )
-            codes = out["frame"][:n, :, None].astype(jnp.int32)
-            pcm, mimi_state = MIMI.decode_step(
-                mimi_cfg, mimi_params, mimi_state, codes, dec_mask
-            )
-            packed = jnp.concatenate([
-                out["text_token"][:n].astype(jnp.int32),
-                steps.astype(jnp.int32),
-                dec_mask.astype(jnp.int32),
-                jax.lax.bitcast_convert_type(
-                    pcm[:, 0, :].astype(jnp.float32), jnp.int32
-                ).reshape(-1),
-            ])
             return packed, state, mimi_state
 
         self._step = jax.jit(_step, donate_argnums=(1, 3))
@@ -420,24 +434,9 @@ class BatchedTtsEngine:
                         state = TTS.overwrite_last_text_token(
                             state, cfg.text_pad_token, dup_rows(patch)
                         )
-                        steps = out["step_idx"][:n]
-                        dec_mask = (
-                            out["frame_valid"][:n]
-                            & (steps > delay)
-                            & step_mask
+                        packed_k, mimi_state = _pack_frame(
+                            out, step_mask, mimi_params, mimi_state
                         )
-                        codes = out["frame"][:n, :, None].astype(jnp.int32)
-                        pcm, mimi_state = MIMI.decode_step(
-                            mimi_cfg, mimi_params, mimi_state, codes, dec_mask
-                        )
-                        packed_k = jnp.concatenate([
-                            out["text_token"][:n].astype(jnp.int32),
-                            steps.astype(jnp.int32),
-                            dec_mask.astype(jnp.int32),
-                            jax.lax.bitcast_convert_type(
-                                pcm[:, 0, :].astype(jnp.float32), jnp.int32
-                            ).reshape(-1),
-                        ])
                         return (state, mimi_state, mstate), packed_k
 
                     (state, mimi_state, mstate), packed = jax.lax.scan(
@@ -654,6 +653,17 @@ class BatchedTtsEngine:
                     # has room (consumed positions free their space).
                     while drv.pending_words:
                         w = drv.pending_words[0]
+                        if len(w) > self.script_cap:
+                            # A single word can never outgrow the ring —
+                            # waiting for space would hang the session
+                            # (eos is only promoted once pending empties).
+                            log.warning(
+                                "tts slot %d: word of %d tokens truncated "
+                                "to script_cap=%d",
+                                slot, len(w), self.script_cap,
+                            )
+                            w = w[: self.script_cap]
+                            drv.pending_words[0] = w
                         space = self.script_cap - (drv.up_toks - drv.consumed)
                         if len(w) > space:
                             break

@@ -283,3 +283,20 @@ def test_fused_warmup_and_capacity():
         n += 1
     assert any(isinstance(e, DoneEvent) for e in ev)
     assert any(isinstance(e, AudioEvent) for e in ev)
+
+
+def test_fused_oversized_word_truncates_not_hangs():
+    """A single word longer than script_cap is truncated at gather (it
+    could never fit the ring; waiting for space would hang the session)."""
+    eng, cfg = make_engine(batch=1, fuse=2)
+    eng.script_cap = 16  # shrink below the word length (machine cap is 1024)
+    ev = []
+    drv = eng.open_session(ev.append, seed=2)
+    drv.feed_words([[30 + i for i in range(24)]])  # 24 > 16
+    drv.end_input()
+    n = 0
+    while eng.tick() and n < 200:
+        n += 1
+    assert any(isinstance(e, DoneEvent) for e in ev)
+    words = [e for e in ev if isinstance(e, WordEvent)]
+    assert len(words) == 1

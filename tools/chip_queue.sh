@@ -24,10 +24,11 @@ log "TPU is UP — starting queue"
 
 run() {  # run <artifact> <timeout_s> <cmd...>
   local art="$1" to="$2"; shift 2
+  local tmp="$OUT/$(basename "$art").tmp"  # keep partials in the ignored dir
   if [ -s "$art" ]; then log "skip (exists): $art"; return 0; fi
   log "RUN [$to s] -> $art : $*"
-  if timeout "$to" "$@" > "$art.tmp" 2> "$OUT/$(basename "$art").err"; then
-    mv "$art.tmp" "$art"; log "done: $art"
+  if timeout "$to" "$@" > "$tmp" 2> "$OUT/$(basename "$art").err"; then
+    mv "$tmp" "$art"; log "done: $art"
   else
     log "FAILED ($?): $art  (stderr tail:)"
     tail -3 "$OUT/$(basename "$art").err" | tee -a "$OUT/queue.log"
