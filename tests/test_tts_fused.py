@@ -300,3 +300,52 @@ def test_fused_oversized_word_truncates_not_hangs():
     assert any(isinstance(e, DoneEvent) for e in ev)
     words = [e for e in ev if isinstance(e, WordEvent)]
     assert len(words) == 1
+
+
+def test_fused_cfg_engine_matches_unfused():
+    """Classifier-free-guidance engines (doubled cond/uncond rows, voice
+    CA, per-request alpha) deliver identical word timelines and ulp-level
+    audio across fuse_ticks — the production TTS configuration."""
+    from dsm_tpu.ops import transformer as T
+
+    def mk(fuse):
+        cfg = small_tts_cfg(max_steps=96)
+        params = {"lm": LM.init(cfg.lm, jax.random.PRNGKey(0))}
+        mimi_cfg = small_mimi_cfg()
+        mimi_params = MIMI.init(mimi_cfg, jax.random.PRNGKey(1))
+        eng = BatchedTtsEngine(
+            cfg, params, mimi_cfg, mimi_params, FallbackTokenizer(),
+            batch_size=2, ca_len=6, cfg_enabled=True, fuse_ticks=fuse,
+        )
+        return eng, cfg
+
+    def voice(cfg, seed):
+        lmp = LM.init(cfg.lm, jax.random.PRNGKey(0))
+        ca_tokens = jax.random.normal(jax.random.PRNGKey(seed), (1, 6, 16))
+        return T.precompute_ca_kv(
+            cfg.lm.transformer, lmp["transformer"], ca_tokens
+        )
+
+    def run(fuse):
+        eng, cfg = mk(fuse)
+        ev = []
+        drv = eng.open_session(
+            ev.append, voice_ca=voice(cfg, 5), cfg_alpha=2.0, seed=9
+        )
+        drv.feed_words([[31, 7], [8]])
+        drv.end_input()
+        n = 0
+        while eng.tick() and n < 300:
+            n += 1
+        assert drv.finished
+        return ev
+
+    ta = _timeline(run(1))
+    tb = _timeline(run(3))
+    assert len(ta) == len(tb)
+    for xa, xb in zip(ta, tb):
+        assert xa[0] == xb[0]
+        if xa[0] == "word":
+            assert xa[1:] == xb[1:]
+        elif xa[0] == "audio":
+            np.testing.assert_allclose(xa[1], xb[1], atol=1e-6, rtol=0)
