@@ -349,3 +349,70 @@ def test_fused_cfg_engine_matches_unfused():
             assert xa[1:] == xb[1:]
         elif xa[0] == "audio":
             np.testing.assert_allclose(xa[1], xb[1], atol=1e-6, rtol=0)
+
+
+def test_fused_engine_random_lifecycle_stress():
+    """Randomized churn over a fused engine: sessions open/feed/eos/close
+    at arbitrary tick boundaries (words drip in across dispatches, some
+    sessions abandoned mid-stream).  Invariants: no engine exceptions,
+    every eos'd surviving session finishes with a DoneEvent, word events
+    never exceed fed words, and freed slots are reusable."""
+    rng = np.random.default_rng(123)
+    eng, cfg = make_engine(batch=3, fuse=2)
+    sessions = []  # (drv, events, fed_words, eosd, abandoned)
+
+    for tick in range(120):
+        r = rng.random()
+        if r < 0.15 and eng.used_slots() < 3:
+            ev = []
+            drv = eng.open_session(ev.append, seed=int(rng.integers(1e6)))
+            if drv is not None:
+                sessions.append({"drv": drv, "ev": ev, "fed": 0,
+                                 "eos": False, "gone": False})
+        alive = [s for s in sessions if not s["gone"] and not s["eos"]]
+        if alive and rng.random() < 0.5:
+            s = alive[int(rng.integers(len(alive)))]
+            n = int(rng.integers(1, 3))
+            s["drv"].feed_words(
+                [[int(rng.integers(30, 60))] for _ in range(n)]
+            )
+            s["fed"] += n
+        if alive and rng.random() < 0.15:
+            s = alive[int(rng.integers(len(alive)))]
+            s["drv"].end_input()
+            s["eos"] = True
+        live = [s for s in sessions if not s["gone"]]
+        if live and rng.random() < 0.05:
+            s = live[int(rng.integers(len(live)))]
+            eng.close_session(s["drv"])  # abandoned mid-stream
+            s["gone"] = True
+        eng.tick()
+        # Reap finished sessions so their slots recycle.
+        for s in sessions:
+            if not s["gone"] and s["drv"].finished:
+                eng.close_session(s["drv"])
+                s["gone"] = True
+
+    # Drain: eos everything still open and run the engine dry.
+    for s in sessions:
+        if not s["gone"] and not s["eos"]:
+            s["drv"].end_input()
+            s["eos"] = True
+    n = 0
+    while n < 300:
+        progressed = eng.tick()
+        for s in sessions:
+            if not s["gone"] and s["drv"].finished:
+                eng.close_session(s["drv"])
+                s["gone"] = True
+        if not progressed and all(s["gone"] for s in sessions):
+            break
+        n += 1
+
+    for s in sessions:
+        words = [e for e in s["ev"] if isinstance(e, WordEvent)]
+        assert len(words) <= s["fed"], "more word events than fed words"
+        if s["eos"] and not s["drv"].closed:
+            assert s["drv"].finished, "eos'd session never finished"
+        if s["drv"].finished:
+            assert any(isinstance(e, DoneEvent) for e in s["ev"])
