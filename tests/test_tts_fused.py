@@ -416,3 +416,28 @@ def test_fused_engine_random_lifecycle_stress():
             assert s["drv"].finished, "eos'd session never finished"
         if s["drv"].finished:
             assert any(isinstance(e, DoneEvent) for e in s["ev"])
+
+
+def test_fused_with_int8_voice_ca():
+    """fuse_ticks + the int8-native voice-CA store (the B=64 serving
+    profile: DSM_TTS_CA_INT8=1 DSM_TTS_FUSE=4) trace and synthesize."""
+    from tests.test_tts_batched import make_voice
+
+    cfg = small_tts_cfg(max_steps=96)
+    mimi_cfg = small_mimi_cfg()
+    params = {"lm": LM.init(cfg.lm, jax.random.PRNGKey(0))}
+    mimi_params = MIMI.init(mimi_cfg, jax.random.PRNGKey(1))
+    eng = BatchedTtsEngine(
+        cfg, params, mimi_cfg, mimi_params, FallbackTokenizer(),
+        batch_size=2, ca_len=6, ca_quant=True, fuse_ticks=3,
+    )
+    ev = []
+    drv = eng.open_session(ev.append, voice_ca=make_voice(cfg, 4), seed=3)
+    drv.feed_words([[31, 7], [9]])
+    drv.end_input()
+    n = 0
+    while eng.tick() and n < 200:
+        n += 1
+    assert drv.finished
+    assert any(isinstance(e, AudioEvent) for e in ev)
+    assert any(isinstance(e, DoneEvent) for e in ev)
