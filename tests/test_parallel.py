@@ -395,3 +395,78 @@ def test_dp_tp_shard_map_kernels_token_exact(monkeypatch):
         assert np.array_equal(toks_tp[i], np.asarray(out_ref["text_token"])), (
             f"step {i}: tp tokens diverge from unsharded"
         )
+
+
+def test_dp_tp_shard_map_quantized_weights_token_exact(monkeypatch):
+    """The serving profile's int8 weight dicts ({q, s}) permute and shard
+    correctly under tp (rows of q and their per-row scales move together):
+    dp=4 x tp=2 with quantised weights is token-exact vs the unsharded
+    quantised path."""
+    import dataclasses
+
+    import numpy as np
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from dsm_tpu.models import mimi as MIMI
+    from dsm_tpu.sessions import asr as ASR
+
+    mesh = M.make_mesh(dp=4, tp=2)
+    from tests.test_asr import make_params, small_asr_cfg
+
+    acfg = small_asr_cfg()
+    acfg = dataclasses.replace(acfg, temperature=0.0)
+    acfg_local = dataclasses.replace(
+        acfg,
+        lm=dataclasses.replace(
+            acfg.lm,
+            transformer=M.tp_local_transformer_cfg(acfg.lm.transformer, 2),
+        ),
+    )
+    params = make_params(acfg, jax.random.PRNGKey(0))
+    # min_size=0 scoped to the main transformer: quantise every projection
+    # at these tiny shapes (the production profile's min_size skips
+    # non-matmul leaves like extra_heads that a blanket min_size=0 would
+    # wrongly dict-ify).
+    params_q = {
+        "mimi": params["mimi"],
+        "lm": {
+            **params["lm"],
+            "transformer": T.quantize_weights(
+                params["lm"]["transformer"], min_size=0
+            ),
+        },
+    }
+    pparams = M.permute_tp_params(params_q, 2)
+
+    b = 8
+    pcm = jnp.asarray(
+        np.random.default_rng(1)
+        .standard_normal((b, 1, acfg.mimi.frame_size))
+        .astype(np.float32) * 0.1
+    )
+    mask = jnp.ones((b,), bool)
+    reset = jnp.zeros((b,), bool)
+    rng = jax.random.PRNGKey(7)
+    seeds = jnp.arange(b, dtype=jnp.uint32)
+
+    def local_fn(p, s, x, m, r, k, sd):
+        return ASR.step(acfg_local, p, s, x, m, r, k, seeds=sd)
+
+    def global_fn(p, s, x, m, r, k, sd):
+        return ASR.step(acfg, p, s, x, m, r, k, seeds=sd)
+
+    state0 = ASR.init_state(acfg, b, jnp.float32)
+    wrapped = jax.jit(M.dp_tp_shard_step(
+        mesh, local_fn, global_fn, b, acfg.lm.transformer.num_heads,
+        pparams, state0, pcm, mask, reset, rng, seeds,
+    ))
+    out, _ = wrapped(pparams, state0, pcm, mask, reset, rng, seeds)
+
+    state_ref = ASR.init_state(acfg, b, jnp.float32)
+    out_ref, _ = ASR.step(
+        acfg, params_q, state_ref, pcm, mask, reset, rng, seeds=seeds
+    )
+    assert np.array_equal(
+        np.asarray(out["text_token"]), np.asarray(out_ref["text_token"])
+    )
