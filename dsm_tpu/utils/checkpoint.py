@@ -591,3 +591,78 @@ def _layers_to_reference(out, prefix, tcfg, layers):
                     lp["norm_cross"]["bias"], np.float32
                 )
     return out
+
+
+def mimi_params_to_reference(
+    cfg: MIMI.MimiConfig, params: dict
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`build_mimi_params`: emit the reference (candle)
+    key layout so Mimi checkpoints roundtrip export -> reimport exactly —
+    the same contract :func:`lm_params_to_reference` provides for the LM
+    (and the missing piece that kept tools/validate_real.py's codec check
+    unrehearsed before real weights arrive)."""
+    out: Dict[str, np.ndarray] = {}
+    sn = cfg.seanet
+
+    def np32(a):
+        return np.asarray(a, np.float32)
+
+    def conv(prefix, p):
+        out[f"{prefix}.conv.conv.weight"] = np32(p["w"])
+        if "b" in p:
+            out[f"{prefix}.conv.conv.bias"] = np32(p["b"])
+
+    def convtr(prefix, p):
+        out[f"{prefix}.convtr.convtr.weight"] = np32(p["w"])
+        if "b" in p:
+            out[f"{prefix}.convtr.convtr.bias"] = np32(p["b"])
+
+    def resblock(prefix, p):
+        conv(f"{prefix}.block.1", p["b1"])
+        conv(f"{prefix}.block.3", p["b2"])
+
+    init_i, enc_stages, final_i = _seanet_enc_indices(sn)
+    enc = params["encoder"]
+    conv(f"encoder.model.{init_i}", enc["init"])
+    for (res_is, down_i), stage in zip(enc_stages, enc["layers"]):
+        for ri, rp in zip(res_is, stage["res"]):
+            resblock(f"encoder.model.{ri}", rp)
+        conv(f"encoder.model.{down_i}", stage["down"])
+    conv(f"encoder.model.{final_i}", enc["final"])
+
+    init_i, dec_stages, final_i = _seanet_dec_indices(sn)
+    dec = params["decoder"]
+    conv(f"decoder.model.{init_i}", dec["init"])
+    for (up_i, res_is), stage in zip(dec_stages, dec["layers"]):
+        convtr(f"decoder.model.{up_i}", stage["up"])
+        for ri, rp in zip(res_is, stage["res"]):
+            resblock(f"decoder.model.{ri}", rp)
+    conv(f"decoder.model.{final_i}", dec["final"])
+
+    _layers_to_reference(
+        out, "encoder_transformer.transformer", cfg.transformer,
+        params["encoder_transformer"],
+    )
+    _layers_to_reference(
+        out, "decoder_transformer.transformer", cfg.transformer,
+        params["decoder_transformer"],
+    )
+
+    out["downsample.conv.conv.conv.weight"] = np32(params["downsample"]["w"])
+    out["upsample.convtr.convtr.convtr.weight"] = np32(params["upsample"]["w"])
+
+    def rvq(prefix, p, n_q):
+        embed = np32(p["embed"])  # (n_q, bins, dim)
+        for q in range(n_q):
+            cb = f"{prefix}.vq.layers.{q}._codebook"
+            # cluster_usage == 1 makes embedding_sum / max(usage, eps)
+            # reproduce the embedding bit-exactly on reimport.
+            out[f"{cb}.embedding_sum"] = embed[q]
+            out[f"{cb}.cluster_usage"] = np.ones(embed.shape[1], np.float32)
+        # candle stores the 1x1 projs as (out, in, 1).
+        out[f"{prefix}.input_proj.weight"] = np32(p["input_proj"])[:, :, None]
+        out[f"{prefix}.output_proj.weight"] = np32(p["output_proj"])[:, :, None]
+
+    rvq("quantizer.rvq_first", params["quantizer"]["rvq_first"], 1)
+    rvq("quantizer.rvq_rest", params["quantizer"]["rvq_rest"], cfg.n_q - 1)
+    return out

@@ -36,6 +36,20 @@ if os.environ.get("DSM_PLATFORM"):
     _jax.config.update("jax_platforms", os.environ["DSM_PLATFORM"])
 
 BRIA = "/root/reference/audio/bria.mp3"
+# Quality gates assert only outside rehearsal mode (random/synthetic
+# weights exercise the plumbing; real weights must also pass quality).
+REHEARSAL = False
+
+
+def _gate(cond, msg, report):
+    """assert in the real run; record-and-continue in --rehearsal."""
+    if cond:
+        return
+    if REHEARSAL:
+        report.setdefault("rehearsal_skipped_gates", []).append(msg)
+        return
+    raise AssertionError(msg)
+
 
 
 def _resolve(cfg_mod):
@@ -78,8 +92,9 @@ def check_mimi_roundtrip(mod, report):
     }
     # A real codec reconstructs speech at positive SNR and uses a large
     # fraction of the codebook; random weights produce ~-? dB and few bins.
-    assert snr_db > 3.0, f"mimi roundtrip SNR {snr_db:.1f} dB — wrong weights?"
-    assert used_bins > 256, f"only {used_bins} codebook bins used"
+    _gate(snr_db > 3.0,
+          f"mimi roundtrip SNR {snr_db:.1f} dB — wrong weights?", report)
+    _gate(used_bins > 256, f"only {used_bins} codebook bins used", report)
 
 
 def check_transcript(config_path, report):
@@ -91,7 +106,7 @@ def check_transcript(config_path, report):
         "text": res.get("text", ""),
         "n_words": len(words),
     }
-    assert res.get("text"), "empty transcript"
+    _gate(bool(res.get("text")), "empty transcript", report)
     times = [w["start_s"] for w in words if w.get("start_s") is not None]
     assert all(b >= a for a, b in zip(times, times[1:])), "non-monotonic timestamps"
 
@@ -113,7 +128,7 @@ def check_gguf_roundtrip(mod, config_path, report):
     ref = CK.lm_params_to_reference(mod.lm, lm_params)
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "model-q8_0.gguf")
-        gguf.write_gguf(path, ref, quant="q8_0")
+        gguf.write_gguf(path, ref, quantize=True)  # q8_0 for eligible mats
         _meta, back = gguf.read_gguf(path)
         lm2 = CK.build_lm_params(mod.lm, back, jnp.bfloat16)
     # Greedy token parity over 16 frames of real audio codes.
@@ -137,7 +152,7 @@ def check_gguf_roundtrip(mod, config_path, report):
         toks.append(np.stack(seq))
     match = float((toks[0] == toks[1]).mean())
     report["gguf_q8_token_match"] = round(match, 4)
-    assert match > 0.95, f"gguf q8 reimport token match {match}"
+    _gate(match > 0.95, f"gguf q8 reimport token match {match}", report)
 
 
 def main(argv=None):
@@ -145,7 +160,18 @@ def main(argv=None):
     p.add_argument("--config", default="configs/config-stt.toml")
     p.add_argument("--skip", nargs="*", default=[],
                    choices=["mimi", "stt", "gguf"])
+    p.add_argument("--audio", default=None,
+                   help="override the reference bria.mp3 sample")
+    p.add_argument("--rehearsal", action="store_true",
+                   help="exercise all plumbing with whatever weights "
+                        "the config resolves (quality gates recorded, "
+                        "not asserted) — proves the validation itself "
+                        "works before real weights land")
     args = p.parse_args(argv)
+    global BRIA, REHEARSAL
+    if args.audio:
+        BRIA = args.audio
+    REHEARSAL = bool(args.rehearsal)
 
     from dsm_tpu.server.config import Config
 
@@ -166,7 +192,7 @@ def main(argv=None):
         print(json.dumps({"status": "no-reference-audio", "path": BRIA}))
         return 2
 
-    report = {"status": "ok"}
+    report = {"status": "ok-rehearsal" if REHEARSAL else "ok"}
     try:
         if "mimi" not in args.skip:
             print("[1/3] mimi roundtrip on bria.mp3 ...", flush=True)
