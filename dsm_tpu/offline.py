@@ -273,31 +273,68 @@ def synthesize_jsonl(
     if engine is None:
         engine = _build_tts_engine(config_path)
     os.makedirs(out_dir, exist_ok=True)
-    manifest = []
+
+    def item_kwargs(item):
+        voice = (item.get("voices") or [None])[0]
+        kw = {}
+        sig = inspect.signature(engine.synthesize).parameters
+        if voice:
+            try:
+                if "voice" in sig:
+                    kw["voice"] = voice
+                elif "ca_kv" in sig and hasattr(engine, "voice_kv"):
+                    kw["ca_kv"] = engine.voice_kv(voice)
+                elif "voice_ca" in sig and hasattr(engine, "voice_kv"):
+                    kw["voice_ca"] = engine.voice_kv(voice)
+            except FileNotFoundError:
+                pass  # voice files absent locally: synthesize unconditioned
+        return kw
+
     with open(jsonl_path) as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            item = json.loads(line)
+        items = [json.loads(ln) for ln in f if ln.strip()]
+
+    # Continuous-batching engines run the whole jsonl CONCURRENTLY: each
+    # synthesize() occupies one slot and the engine loop steps every live
+    # session in lock-step, so wall-clock is ~len(items)/batch_size of the
+    # sequential walk (the reference's tts.jsonl path is one-at-a-time
+    # behind its batch=1 mutex).
+    batched = hasattr(engine, "open_session")
+    pcms: list = [None] * len(items)
+    if batched and len(items) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        started = not engine.running
+        if started:
+            engine.start()
+        try:
+            def run(i):
+                item = items[i]
+                text = " ".join(item.get("turns", []))
+                # Per-item deterministic seed: output independent of batch
+                # composition (sampling is keyed (seed, step)).
+                return engine.synthesize(
+                    text, seed=i + 1, **item_kwargs(item)
+                )
+
+            with ThreadPoolExecutor(
+                max_workers=min(engine.batch_size, len(items))
+            ) as ex:
+                for i, res in enumerate(ex.map(run, range(len(items)))):
+                    pcms[i] = res
+        finally:
+            if started:
+                engine.stop()
+    else:
+        for i, item in enumerate(items):
             text = " ".join(item.get("turns", []))
-            voice = (item.get("voices") or [None])[0]
-            kw = {}
-            sig = inspect.signature(engine.synthesize).parameters
-            if voice:
-                try:
-                    if "voice" in sig:
-                        kw["voice"] = voice
-                    elif "ca_kv" in sig and hasattr(engine, "voice_kv"):
-                        kw["ca_kv"] = engine.voice_kv(voice)
-                    elif "voice_ca" in sig and hasattr(engine, "voice_kv"):
-                        kw["voice_ca"] = engine.voice_kv(voice)
-                except FileNotFoundError:
-                    pass  # voice files absent locally: synthesize unconditioned
-            pcm, transcript = engine.synthesize(text, **kw)
-            out_path = os.path.join(out_dir, f"{item.get('id', len(manifest))}.wav")
-            write_wav(out_path, pcm, 24_000)
-            manifest.append({
+            pcms[i] = engine.synthesize(text, **item_kwargs(item))
+
+    manifest = []
+    for item, res in zip(items, pcms):
+        pcm, transcript = res
+        out_path = os.path.join(out_dir, f"{item.get('id', len(manifest))}.wav")
+        write_wav(out_path, pcm, 24_000)
+        manifest.append({
                 "id": item.get("id"),
                 "out": out_path,
                 "duration_s": round(len(pcm) / 24_000.0, 3),

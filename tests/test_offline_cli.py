@@ -237,3 +237,25 @@ def test_dotenv_loading(tmp_path, monkeypatch):
     assert os.environ["DSM_TEST_DOTENV"] == "abc"
     assert os.environ["BETTER_AUTH_SECRET"] == "s3cret"
     assert os.environ["ALREADY"] == "from_env"
+
+
+def test_synthesize_jsonl_concurrent_batched(tmp_path):
+    """A continuous-batching engine runs the jsonl lines concurrently (the
+    engine loop steps all live sessions lock-step) and the manifest stays
+    in input order."""
+    import json
+
+    from dsm_tpu.offline import synthesize_jsonl
+    from tests.test_tts_batched import make_engine
+
+    engine, _cfg = make_engine(batch=3)
+    src = tmp_path / "in.jsonl"
+    src.write_text("".join(
+        json.dumps({"id": f"s{i}", "turns": [f"line {i}"], "voices": []}) + "\n"
+        for i in range(4)  # more lines than slots: queues on capacity
+    ))
+    manifest = synthesize_jsonl(str(src), str(tmp_path / "out"), engine=engine)
+    assert [m["id"] for m in manifest] == ["s0", "s1", "s2", "s3"]
+    for m in manifest:
+        assert (tmp_path / "out" / f"{m['id']}.wav").exists()
+        assert m["duration_s"] > 0.0
