@@ -105,10 +105,25 @@ def cmd_worker(args) -> int:
 
 
 def cmd_stt(args) -> int:
-    from .offline import transcribe_file
+    from .offline import transcribe_file, transcribe_files
 
+    if len(args.audio) > 1:
+        # Bulk mode: files batch over the model batch dim in one scan.
+        results = transcribe_files(
+            args.audio, config_path=args.config, vad=args.vad,
+        )
+        if args.json:
+            print(json.dumps(
+                [{"path": p, **r} for p, r in zip(args.audio, results)]
+            ))
+        else:
+            for p, r in zip(args.audio, results):
+                print(f"== {p}")
+                for w in r["words"]:
+                    print(f"[{w['start_s']:7.2f}s] {w['text']}")
+        return 0
     result = transcribe_file(
-        args.audio,
+        args.audio[0],
         config_path=args.config,
         vad=args.vad,
     )
@@ -391,7 +406,8 @@ def main(argv=None) -> int:
     v.set_defaults(fn=cmd_validate)
 
     s = sub.add_parser("stt", help="offline transcription")
-    s.add_argument("audio")
+    s.add_argument("audio", nargs="+",
+                   help="audio file(s); several batch in one device scan")
     s.add_argument("--config", default=None)
     s.add_argument("--vad", action="store_true")
     s.add_argument("--json", action="store_true")

@@ -66,31 +66,91 @@ def transcribe_file(
     pcm = np.concatenate([pcm, np.zeros(tail, np.float32)])
     n_frames = len(pcm) // frame
 
-    state = ASR.init_state(acfg, 1, engine.cache_dtype)
-    words_state = ASR.WordState(acfg, 1)
-    rng = jax.random.PRNGKey(0)
-    mask = np.ones(1, bool)
-
-    # Offline input is fully known upfront — unlike the live WS path there
-    # is no frame-cadence dependency, so K frames run per dispatch inside
-    # one lax.scan (a 60 s file is 15 dispatches instead of 750; each
-    # per-frame dispatch pays ~1 ms locally and a full round-trip over a
-    # remote tunnel).  K is fixed so the program compiles once; the last
-    # chunk pads with masked (state-frozen) frames.
-    #
     # Meshed engines hold tp-PERMUTED params (parallel/mesh.py) that only
     # the engine's own shard_map step interprets correctly, and a custom
     # step_fn must be honoured — both fall back to the per-frame loop.
-    import jax.numpy as jnp
-    from .ops import ring_kernels as _rk
-
     if engine.mesh is not None or not engine._seeded_step:
+        state = ASR.init_state(acfg, 1, engine.cache_dtype)
+        words_state = ASR.WordState(acfg, 1)
         return _transcribe_per_frame(
             engine, acfg, pcm, n_frames, frame, state, words_state, vad
         )
+    return _scan_transcribe(engine, acfg, [pcm], vad)[0]
 
+
+def transcribe_files(
+    paths,
+    config_path: Optional[str] = None,
+    vad: bool = False,
+    module_name: Optional[str] = None,
+    engine=None,
+    batch_cap: int = 16,
+) -> list:
+    """Bulk transcription: N files batch over the model's batch dimension
+    and scan at device speed (shorter files freeze behind their masks once
+    exhausted).  Returns one transcribe_file-style dict per input path, in
+    order.  The reference has no offline batch mode at all — its closest
+    analogue is one `moshi-cli` run per file."""
+    from .sessions import asr as ASR
+    from .server import builder
+    from .server.config import Config
+    from .utils.audio import decode_audio
+
+    if engine is None:
+        if config_path:
+            cfg = Config.load(config_path)
+            mods = [m for m in cfg.modules.values() if m.type in ("BatchedAsr", "Asr")]
+            mod = next((m for m in mods if m.name == module_name), mods[0])
+        else:
+            mod = _default_asr_module()
+        mod.batch_size = 1  # compute runs through the scan, not the engine
+        engine = builder.build_batched_asr(mod)
+    acfg = engine.cfg
+    frame = acfg.mimi.frame_size
+    tail = (acfg.asr_delay_in_tokens + 8) * frame
+
+    if engine.mesh is not None or not engine._seeded_step:
+        return [
+            transcribe_file(p, vad=vad, engine=engine) for p in paths
+        ]
+
+    pcms = []
+    for p in paths:
+        pcm = decode_audio(p, int(acfg.mimi.sample_rate))
+        pcms.append(np.concatenate([pcm, np.zeros(tail, np.float32)]))
+
+    results = []
+    for g0 in range(0, len(pcms), batch_cap):
+        results.extend(
+            _scan_transcribe(engine, acfg, pcms[g0 : g0 + batch_cap], vad)
+        )
+    return results
+
+
+def _scan_transcribe(engine, acfg, pcms, vad) -> list:
+    """Shared scan core: ``pcms`` (already tail-padded) ride the batch dim;
+    K frames per jitted dispatch (one lax.scan — offline input is fully
+    known upfront, so there is no frame-cadence dependency; a 60 s file is
+    15 dispatches instead of 750, and each extra file in the batch is
+    nearly free on the MXU).  K is fixed so the program compiles once per
+    group size; trailing chunks/short files pad with masked (state-frozen)
+    frames."""
+    import jax
+    import jax.numpy as jnp
+
+    from .ops import ring_kernels as _rk
+    from .sessions import asr as ASR
+
+    B = len(pcms)
+    frame = acfg.mimi.frame_size
+    frames_per = [len(p) // frame for p in pcms]
+    n_frames = max(frames_per)
     K = min(50, max(1, n_frames))
     n_prs = (acfg.lm.extra_heads or (0, 0))[0]
+
+    state = ASR.init_state(acfg, B, engine.cache_dtype)
+    words_state = ASR.WordState(acfg, B)
+    rng = jax.random.PRNGKey(0)
 
     def scan_chunk(params, state, pcm_k, mask_k, base_key):
         with _rk.kernels_forced(_rk.kernels_override()):
@@ -98,13 +158,11 @@ def transcribe_file(
                 pcm_f, mask_f, i = x
                 out, st = ASR.step(
                     acfg, params, st, pcm_f, mask_f,
-                    jnp.zeros((1,), bool), jax.random.fold_in(base_key, i),
+                    jnp.zeros((B,), bool), jax.random.fold_in(base_key, i),
                     engine.condition,
-                    seeds=jnp.zeros((1,), jnp.uint32),
+                    seeds=jnp.zeros((B,), jnp.uint32),
                 )
-                return st, (
-                    out["text_token"][0], out["step_idx"][0], out["prs"][0]
-                )
+                return st, (out["text_token"], out["step_idx"], out["prs"])
 
             state, ys = jax.lax.scan(
                 body, state,
@@ -114,17 +172,18 @@ def transcribe_file(
 
     scan_jit = jax.jit(scan_chunk, donate_argnums=(1,))
 
-    words = []
-    vad_steps = []
-    open_word = None
+    words = [[] for _ in range(B)]
+    vad_steps = [[] for _ in range(B)]
+    open_word = [None] * B
     for c0 in range(0, n_frames, K):
         nk = min(K, n_frames - c0)
-        pcm_k = np.zeros((K, 1, 1, frame), np.float32)
-        pcm_k[:nk, 0, 0, :] = pcm[c0 * frame : (c0 + nk) * frame].reshape(
-            nk, frame
-        )
-        mask_k = np.zeros((K, 1), bool)
-        mask_k[:nk] = True
+        pcm_k = np.zeros((K, B, 1, frame), np.float32)
+        mask_k = np.zeros((K, B), bool)
+        for b, (pcm, nf) in enumerate(zip(pcms, frames_per)):
+            hi = min(c0 + nk, nf)
+            for j in range(c0, hi):
+                pcm_k[j - c0, b, 0, :] = pcm[j * frame : (j + 1) * frame]
+            mask_k[: max(hi - c0, 0), b] = True
         rng, sub = jax.random.split(rng)
         (text_k, steps_k, prs_k), state = scan_jit(
             engine.params, state, jnp.asarray(pcm_k), jnp.asarray(mask_k), sub
@@ -134,33 +193,38 @@ def transcribe_file(
         prs_k = np.asarray(prs_k)
         for i in range(nk):
             if vad and n_prs:
-                vad_steps.append(
-                    {"step_idx": int(steps_k[i]), "prs": prs_k[i].tolist()}
-                )
-            for ev in words_state.process(
-                text_k[i : i + 1], steps_k[i : i + 1], mask
-            ):
+                for b in range(B):
+                    if mask_k[i, b]:
+                        vad_steps[b].append(
+                            {"step_idx": int(steps_k[i, b]),
+                             "prs": prs_k[i, b].tolist()}
+                        )
+            for ev in words_state.process(text_k[i], steps_k[i], mask_k[i]):
+                b = ev.batch_idx
                 if isinstance(ev, ASR.WordEvent):
-                    open_word = {
+                    open_word[b] = {
                         "text": engine.tokenizer.decode(ev.tokens),
                         "start_s": ev.start_time,
                         "stop_s": None,
                     }
-                    words.append(open_word)
-                elif isinstance(ev, ASR.EndWordEvent) and open_word is not None:
-                    open_word["stop_s"] = ev.stop_time
-                    open_word = None
+                    words[b].append(open_word[b])
+                elif isinstance(ev, ASR.EndWordEvent) and open_word[b] is not None:
+                    open_word[b]["stop_s"] = ev.stop_time
+                    open_word[b] = None
 
-    result = {
-        "words": [
-            {"text": w["text"], "start_s": w["start_s"], "stop_s": w["stop_s"]}
-            for w in words
-        ],
-        "text": " ".join(w["text"] for w in words),
-    }
-    if vad:
-        result["vad"] = vad_steps
-    return result
+    out = []
+    for b in range(B):
+        result = {
+            "words": [
+                {"text": w["text"], "start_s": w["start_s"], "stop_s": w["stop_s"]}
+                for w in words[b]
+            ],
+            "text": " ".join(w["text"] for w in words[b]),
+        }
+        if vad:
+            result["vad"] = vad_steps[b]
+        out.append(result)
+    return out
 
 
 def _transcribe_per_frame(engine, acfg, pcm, n_frames, frame, state,

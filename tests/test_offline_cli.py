@@ -259,3 +259,45 @@ def test_synthesize_jsonl_concurrent_batched(tmp_path):
     for m in manifest:
         assert (tmp_path / "out" / f"{m['id']}.wav").exists()
         assert m["duration_s"] > 0.0
+
+
+def test_transcribe_files_batched_matches_solo(tmp_path):
+    """Two files of different lengths batch through one scan; per-file
+    transcripts are identical to solo runs (sampling keyed (seed, step) is
+    batch-independent, and masks freeze the shorter file)."""
+    import jax
+
+    from dsm_tpu import offline
+    from dsm_tpu.server import batched_asr as eng
+    from dsm_tpu.utils import audio as AUD
+    from dsm_tpu.utils.tokenizer import FallbackTokenizer
+    from tests.test_asr import make_params, small_asr_cfg
+
+    cfg = small_asr_cfg()
+    saved = eng.FRAME_SIZE
+    eng.FRAME_SIZE = cfg.mimi.frame_size
+    try:
+        params = make_params(cfg, jax.random.PRNGKey(0))
+        engine = eng.BatchedAsrEngine(cfg, params, batch_size=1)
+        engine.tokenizer = FallbackTokenizer()
+        rng = np.random.default_rng(1)
+        paths = []
+        for i, secs in enumerate((1.0, 0.4)):
+            pcm = rng.standard_normal(
+                int(cfg.mimi.sample_rate * secs)
+            ).astype(np.float32) * 0.1
+            p = str(tmp_path / f"f{i}.wav")
+            AUD.write_wav(p, pcm, int(cfg.mimi.sample_rate))
+            paths.append(p)
+
+        batched = offline.transcribe_files(paths, engine=engine)
+        solo = [offline.transcribe_file(p, engine=engine) for p in paths]
+        assert [r["text"] for r in batched] == [r["text"] for r in solo]
+        assert [len(r["words"]) for r in batched] == [
+            len(r["words"]) for r in solo
+        ]
+        for rb, rs in zip(batched, solo):
+            for wb, ws in zip(rb["words"], rs["words"]):
+                assert wb["start_s"] == ws["start_s"]
+    finally:
+        eng.FRAME_SIZE = saved
