@@ -117,7 +117,12 @@ def decode_audio(path: str, target_rate: int = 24_000) -> np.ndarray:
         raise NotImplementedError(
             f"cannot decode {path!r}: no ogg codec available"
         )
+    if low.endswith(".flac"):
+        from . import flac as flac_mod
+
+        pcm, sr = flac_mod.decode_flac_file(path)
+        return resample(pcm.mean(axis=1), sr, target_rate)
     raise NotImplementedError(
         f"no codec backend available for {path!r}; supported: wav, mp3, "
-        "ogg (vorbis/opus)"
+        "ogg (vorbis/opus), flac"
     )
