@@ -399,23 +399,17 @@ class App:
             body = await request.json()
             pcm = np.asarray(body.get("pcm", []), np.float32)
         else:
-            import io
-            import wave
-
-            from ..utils.audio import resample
+            # Container sniffed by magic bytes: wav/mp3/ogg/flac, the
+            # reference's pcm_decode upload surface (utils.rs:263-305).
+            from ..utils.audio import decode_audio_bytes
 
             raw = await request.read()
             try:
-                with wave.open(io.BytesIO(raw)) as w:
-                    sr = w.getframerate()
-                    ch_n = w.getnchannels()
-                    frames = w.readframes(w.getnframes())
-                pcm = np.frombuffer(frames, "<i2").astype(np.float32) / 32768.0
-                if ch_n > 1:
-                    pcm = pcm.reshape(-1, ch_n).mean(axis=1)
-                pcm = resample(pcm, sr, 24_000)
+                pcm = decode_audio_bytes(raw, 24_000)
             except Exception as e:
-                return web.json_response({"error": f"bad wav: {e}"}, status=400)
+                return web.json_response(
+                    {"error": f"bad audio payload: {e}"}, status=400
+                )
 
         loop = asyncio.get_running_loop()
         events_q: asyncio.Queue = asyncio.Queue()

@@ -3,8 +3,9 @@
 Covers the reference's kaudio/symphonia usage for the PCM paths
 (moshi-core/src/wav.rs write_pcm_as_wav; moshi-server/src/utils.rs:263-305
 pcm_decode; client resamplers in kyutai-client-core/src/audio.rs).
-Compressed formats (mp3/ogg/opus) are gated behind optional backends — this
-environment ships no codec library; the wire protocols all support raw PCM.
+Compressed formats: mp3 via libmpg123, ogg vorbis via libvorbisfile,
+ogg opus via libopus (utils/codecs.py, utils/opus.py), flac via the
+pure-python decoder (utils/flac.py).
 """
 
 from __future__ import annotations
@@ -125,4 +126,65 @@ def decode_audio(path: str, target_rate: int = 24_000) -> np.ndarray:
     raise NotImplementedError(
         f"no codec backend available for {path!r}; supported: wav, mp3, "
         "ogg (vorbis/opus), flac"
+    )
+
+
+def decode_audio_bytes(data: bytes, target_rate: int = 24_000) -> np.ndarray:
+    """Decode an in-memory audio payload to mono float pcm at target_rate,
+    sniffing the container by magic bytes — the upload-body analogue of
+    :func:`decode_audio` (reference pcm_decode consumes HTTP bodies the
+    same way, utils.rs:263-305)."""
+    if data[:4] == b"RIFF":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(data)) as w:
+            sr = w.getframerate()
+            ch_n = w.getnchannels()
+            frames = w.readframes(w.getnframes())
+        pcm = np.frombuffer(frames, "<i2").astype(np.float32) / 32768.0
+        if ch_n > 1:
+            pcm = pcm.reshape(-1, ch_n).mean(axis=1)
+        return resample(pcm, sr, target_rate)
+    if data[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        pcm, sr = decode_flac(data)
+        return resample(pcm.mean(axis=1), sr, target_rate)
+    if data[:4] == b"OggS":
+        from . import codecs, opus as opus_mod
+
+        if opus_mod.available():
+            try:
+                pcm = opus_mod.OggOpusDecoder().decode(data)
+                if len(pcm):
+                    return resample(pcm, opus_mod.SAMPLE_RATE, target_rate)
+            except Exception:
+                pass  # not opus; try vorbis below
+        if codecs.vorbis_available():
+            import os
+            import tempfile
+
+            fd, tmp = tempfile.mkstemp(suffix=".ogg")
+            try:
+                with os.fdopen(fd, "wb") as f:
+                    f.write(data)
+                pcm, sr = codecs.decode_vorbis_file(tmp)
+            finally:
+                os.unlink(tmp)
+            return resample(pcm.mean(axis=1), sr, target_rate)
+        raise NotImplementedError("no ogg codec available")
+    if data[:3] == b"ID3" or (
+        len(data) > 1 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+    ):
+        from . import codecs
+
+        if not codecs.mp3_available():
+            raise NotImplementedError("libmpg123 not available")
+        pcm, sr = codecs.decode_mp3(data)
+        if pcm.ndim > 1:
+            pcm = pcm.mean(axis=1)
+        return resample(pcm, sr, target_rate)
+    raise NotImplementedError(
+        "unrecognised audio payload (supported: wav, flac, ogg, mp3)"
     )

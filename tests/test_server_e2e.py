@@ -241,6 +241,32 @@ def test_http_one_shot_transcription(asr_app):
             )
             assert r.status == 200
 
+            # FLAC body (pcm_decode upload parity): magic-sniffed.
+            from tests.test_flac import (
+                W, crc16, frame_header, streaminfo, subframe_verbatim,
+            )
+
+            samples = np.clip(pcm[:240] * 32767, -32768, 32767).astype(int)
+            wf = W()
+            frame_header(wf, len(samples), ch_code=0)
+            subframe_verbatim(wf, samples.tolist())
+            crc16(wf)
+            flac_body = (
+                b"fLaC" + streaminfo(24_000, 1, 16, len(samples)) + wf.bytes()
+            )
+            r = await client.post(
+                "/api/asr", data=flac_body,
+                headers={"content-type": "audio/flac"},
+            )
+            assert r.status == 200
+
+            # Garbage body -> clean 400, not a 500.
+            r = await client.post(
+                "/api/asr", data=b"\x00\x01garbage",
+                headers={"content-type": "application/octet-stream"},
+            )
+            assert r.status == 400
+
     asyncio.run(main())
 
 
