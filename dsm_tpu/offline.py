@@ -170,7 +170,14 @@ def _scan_transcribe(engine, acfg, pcms, vad) -> list:
             )
         return ys, state
 
-    scan_jit = jax.jit(scan_chunk, donate_argnums=(1,))
+    # One compile per (B, K) per engine: groups of the same size reuse the
+    # program (compiles are minutes at flagship shapes on TPU).
+    cache = getattr(engine, "_offline_scan_cache", None)
+    if cache is None:
+        cache = engine._offline_scan_cache = {}
+    scan_jit = cache.get((B, K))
+    if scan_jit is None:
+        scan_jit = cache[(B, K)] = jax.jit(scan_chunk, donate_argnums=(1,))
 
     words = [[] for _ in range(B)]
     vad_steps = [[] for _ in range(B)]
@@ -362,8 +369,19 @@ def synthesize_jsonl(
     # session in lock-step, so wall-clock is ~len(items)/batch_size of the
     # sequential walk (the reference's tts.jsonl path is one-at-a-time
     # behind its batch=1 mutex).
+    manifest = []
+
+    def emit(item, pcm, transcript):
+        out_path = os.path.join(out_dir, f"{item.get('id', len(manifest))}.wav")
+        write_wav(out_path, pcm, 24_000)  # write as produced: O(1) pcm held
+        manifest.append({
+            "id": item.get("id"),
+            "out": out_path,
+            "duration_s": round(len(pcm) / 24_000.0, 3),
+            "words": len(transcript),
+        })
+
     batched = hasattr(engine, "open_session")
-    pcms: list = [None] * len(items)
     if batched and len(items) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -383,25 +401,18 @@ def synthesize_jsonl(
             with ThreadPoolExecutor(
                 max_workers=min(engine.batch_size, len(items))
             ) as ex:
-                for i, res in enumerate(ex.map(run, range(len(items)))):
-                    pcms[i] = res
+                # ex.map yields in input order: write each wav as soon as
+                # its item completes instead of buffering all audio.
+                for i, (pcm, transcript) in enumerate(
+                    ex.map(run, range(len(items)))
+                ):
+                    emit(items[i], pcm, transcript)
         finally:
             if started:
                 engine.stop()
     else:
-        for i, item in enumerate(items):
+        for item in items:
             text = " ".join(item.get("turns", []))
-            pcms[i] = engine.synthesize(text, **item_kwargs(item))
-
-    manifest = []
-    for item, res in zip(items, pcms):
-        pcm, transcript = res
-        out_path = os.path.join(out_dir, f"{item.get('id', len(manifest))}.wav")
-        write_wav(out_path, pcm, 24_000)
-        manifest.append({
-                "id": item.get("id"),
-                "out": out_path,
-                "duration_s": round(len(pcm) / 24_000.0, 3),
-                "words": len(transcript),
-            })
+            pcm, transcript = engine.synthesize(text, **item_kwargs(item))
+            emit(item, pcm, transcript)
     return manifest

@@ -42,10 +42,15 @@ def wav_bytes(pcm: np.ndarray, sample_rate: int = 24_000) -> bytes:
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
     """Read a WAV file -> (mono float32 [-1,1], sample_rate)."""
     with wave.open(path, "rb") as w:
-        sr = w.getframerate()
-        ch = w.getnchannels()
-        sw = w.getsampwidth()
-        raw = w.readframes(w.getnframes())
+        return _decode_wave_obj(w)
+
+
+def _decode_wave_obj(w) -> Tuple[np.ndarray, int]:
+    """Shared 8/16/32-bit + multichannel decode for file and bytes paths."""
+    sr = w.getframerate()
+    ch = w.getnchannels()
+    sw = w.getsampwidth()
+    raw = w.readframes(w.getnframes())
     if sw == 2:
         x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
     elif sw == 4:
@@ -136,15 +141,9 @@ def decode_audio_bytes(data: bytes, target_rate: int = 24_000) -> np.ndarray:
     same way, utils.rs:263-305)."""
     if data[:4] == b"RIFF":
         import io
-        import wave
 
         with wave.open(io.BytesIO(data)) as w:
-            sr = w.getframerate()
-            ch_n = w.getnchannels()
-            frames = w.readframes(w.getnframes())
-        pcm = np.frombuffer(frames, "<i2").astype(np.float32) / 32768.0
-        if ch_n > 1:
-            pcm = pcm.reshape(-1, ch_n).mean(axis=1)
+            pcm, sr = _decode_wave_obj(w)
         return resample(pcm, sr, target_rate)
     if data[:4] == b"fLaC":
         from .flac import decode_flac
@@ -152,15 +151,12 @@ def decode_audio_bytes(data: bytes, target_rate: int = 24_000) -> np.ndarray:
         pcm, sr = decode_flac(data)
         return resample(pcm.mean(axis=1), sr, target_rate)
     if data[:4] == b"OggS":
+        # Same codec order as decode_audio: vorbis first (ValueError means
+        # "not vorbis" and falls through), then opus — so identical content
+        # resolves identically via path or bytes, and real opus decode
+        # errors surface instead of being swallowed.
         from . import codecs, opus as opus_mod
 
-        if opus_mod.available():
-            try:
-                pcm = opus_mod.OggOpusDecoder().decode(data)
-                if len(pcm):
-                    return resample(pcm, opus_mod.SAMPLE_RATE, target_rate)
-            except Exception:
-                pass  # not opus; try vorbis below
         if codecs.vorbis_available():
             import os
             import tempfile
@@ -169,10 +165,17 @@ def decode_audio_bytes(data: bytes, target_rate: int = 24_000) -> np.ndarray:
             try:
                 with os.fdopen(fd, "wb") as f:
                     f.write(data)
-                pcm, sr = codecs.decode_vorbis_file(tmp)
+                try:
+                    pcm, sr = codecs.decode_vorbis_file(tmp)
+                    return resample(pcm.mean(axis=1), sr, target_rate)
+                except ValueError:
+                    pass  # not vorbis; try opus
             finally:
                 os.unlink(tmp)
-            return resample(pcm.mean(axis=1), sr, target_rate)
+        if opus_mod.available():
+            pcm = opus_mod.OggOpusDecoder().decode(data)
+            if len(pcm):
+                return resample(pcm, opus_mod.SAMPLE_RATE, target_rate)
         raise NotImplementedError("no ogg codec available")
     if data[:3] == b"ID3" or (
         len(data) > 1 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0

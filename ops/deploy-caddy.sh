@@ -20,6 +20,9 @@ if ! command -v caddy &>/dev/null; then
   exit 1
 fi
 
+log_info "Validating Caddyfile syntax (before touching the live config)"
+caddy validate --config "$SCRIPT_DIR/Caddyfile" --adapter caddyfile
+
 log_info "Copying Caddyfile to /etc/caddy/Caddyfile"
 install -o root -g root -m 644 "$SCRIPT_DIR/Caddyfile" /etc/caddy/Caddyfile
 
@@ -29,9 +32,6 @@ install -o root -g root -m 644 \
   "$SCRIPT_DIR/systemd/caddy.service.d/override.conf" \
   /etc/systemd/system/caddy.service.d/override.conf
 systemctl daemon-reload
-
-log_info "Validating Caddyfile syntax"
-caddy validate --config /etc/caddy/Caddyfile
 
 log_info "Reloading Caddy (graceful)"
 systemctl reload caddy || systemctl restart caddy

@@ -17,7 +17,7 @@ set -euo pipefail
 
 SCRIPT_DIR="$(cd "$(dirname "${BASH_SOURCE[0]}")" && pwd)"
 REPO_ROOT="$(dirname "$SCRIPT_DIR")"
-CONFIG="${1:-$REPO_ROOT/configs/stt/config-stt-en_fr-hf.toml}"
+CONFIG="${1:-$REPO_ROOT/configs/config-stt.toml}"
 shift || true
 
 cd "$REPO_ROOT"

@@ -65,13 +65,29 @@ def main():
         print(f"## Headline\n\n```json\n{json.dumps(hl)}\n```\n")
 
     print("## Sustained artifacts\n")
-    for path in sorted(
-        glob.glob(f"{docs}/SUSTAINED_*r03*.json")
-        + glob.glob(f"{chipq}/stt26b_e2e.json")
-    ):
-        d = _load(path)
-        print(f"* `{os.path.relpath(path, REPO)}`: "
-              f"{json.dumps(d)[:400]}")
+    # Expected set mirrors tools/chip_queue.sh so absences are FLAGGED
+    # (a glob over existing files can never report what's missing).
+    expected = [
+        f"{docs}/SUSTAINED_r03.json",
+        f"{docs}/SUSTAINED_TTS_r03_b32.json",
+        f"{docs}/SUSTAINED_TTS_r03_b32_fuse4.json",
+        f"{docs}/SUSTAINED_TTS_r03_b64.json",
+        f"{docs}/SUSTAINED_TTS_r03_b64_fuse4.json",
+        f"{docs}/SUSTAINED_DUPLEX_r03_b8.json",
+        f"{docs}/SUSTAINED_DUPLEX_r03_b12.json",
+        f"{docs}/SUSTAINED_DUPLEX_r03_b16.json",
+        f"{docs}/SUSTAINED_DUPLEX_r03_b16_pipe2.json",
+        f"{docs}/SUSTAINED_DUPLEX_r03_b24_pipe2.json",
+        f"{chipq}/stt26b_e2e.json",
+    ]
+    extra = sorted(
+        set(glob.glob(f"{docs}/SUSTAINED_*r03*.json")) - set(expected)
+    )
+    for path in expected + extra:
+        d = get(path)
+        if d is not None:
+            print(f"* `{os.path.relpath(path, REPO)}`: "
+                  f"{json.dumps(d)[:400]}")
     print()
 
     print("## Quant divergence\n")
