@@ -175,3 +175,22 @@ def test_condition_provider_checkpoint_load():
         "condition_provider.conditioners.style.output_proj.weight"
     ].T
     np.testing.assert_allclose(after[0], want, rtol=1e-5)
+
+
+def test_lm_gen_simple_chunked_matches_per_step():
+    """Chunked-scan generation (chunk=K) is bit-identical to the per-step
+    loop (chunk=1): the PRNG subkeys are precomputed with the same split
+    sequence, so dispatch grouping cannot change outputs."""
+    import numpy as np
+
+    from dsm_tpu.sessions import lm_gen_simple as G
+
+    dup = small_duplex_cfg()
+    cfg = G.GenConfig(
+        lm=dup.lm, audio_delays=(0, 2, 2), text_start_token=40, max_steps=64,
+    )
+    params = {"lm": LM.init(dup.lm, jax.random.PRNGKey(0))}
+    t1, f1 = G.generate(cfg, params, 30, seed=3, forced_text=[7, 8], chunk=1)
+    t2, f2 = G.generate(cfg, params, 30, seed=3, forced_text=[7, 8], chunk=8)
+    assert t1 == t2
+    np.testing.assert_array_equal(f1, f2)
