@@ -99,8 +99,10 @@ def test_mp3_garbage_rejected():
 
 
 def test_decode_audio_unknown_extension():
+    # .flac gained a decoder in round 3 (utils/flac.py, tests/test_flac.py)
+    # — use a genuinely unsupported container.
     with pytest.raises(NotImplementedError):
-        decode_audio("x.flac")
+        decode_audio("x.aiff")
 
 
 @pytest.mark.skipif(not codecs.vorbis_available(), reason="libvorbisfile unavailable")
