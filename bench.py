@@ -85,6 +85,9 @@ def bench_asr(batch: int, fused_steps: int = 25, reps: int = 4):
 
 
 def main():
+    from dsm_tpu.utils.compile_cache import enable_if_tpu
+
+    enable_if_tpu()
     # Note: this environment's remote-AOT compile path does not honour
     # buffer donation, so the step's KV caches are double-buffered during
     # the bench; batch 128 fits that 2x envelope with int8 KV in 16 GiB HBM

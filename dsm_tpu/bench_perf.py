@@ -697,6 +697,9 @@ def bench_memory() -> dict:
 
 
 def main(argv=None):
+    from .utils.compile_cache import enable_if_tpu
+
+    enable_if_tpu()
     p = argparse.ArgumentParser()
     p.add_argument("--mimi", action="store_true")
     p.add_argument("--lm", action="store_true")

@@ -41,9 +41,11 @@ def cmd_worker(args) -> int:
     from .server.app import App
     from .server.auth import AuthContext
     from .server.config import Config
+    from .utils.compile_cache import enable_if_tpu
     from .utils.logging import setup_logging
 
     setup_logging(args.log_style)
+    enable_if_tpu()
     cfg = Config.load(args.config)
     asr_engine = None
     tts_engine = None
@@ -106,6 +108,9 @@ def cmd_worker(args) -> int:
 
 def cmd_stt(args) -> int:
     from .offline import transcribe_file, transcribe_files
+    from .utils.compile_cache import enable_if_tpu
+
+    enable_if_tpu()
 
     if len(args.audio) > 1:
         # Bulk mode: files batch over the model batch dim in one scan.
@@ -137,6 +142,9 @@ def cmd_stt(args) -> int:
 
 
 def cmd_tts(args) -> int:
+    from .utils.compile_cache import enable_if_tpu
+
+    enable_if_tpu()
     if args.jsonl:
         from .offline import synthesize_jsonl
 
@@ -283,6 +291,9 @@ def cmd_gen(args) -> int:
 
     from .models import lm as LM
     from .sessions import lm_gen_simple as G
+    from .utils.compile_cache import enable_if_tpu
+
+    enable_if_tpu()
 
     import jax
     import jax.numpy as jnp

@@ -113,6 +113,9 @@ def probe(B, H, C, Dh, pos, window, steps, label):
 
 
 def main():
+    from dsm_tpu.utils.compile_cache import enable_if_tpu
+
+    enable_if_tpu()
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--batch", type=int, default=8)

@@ -251,6 +251,9 @@ def run_duplex(lm_cfg, steps: int, batch: int, seed: int = 0,
 
 
 def main(argv=None):
+    from dsm_tpu.utils.compile_cache import enable_if_tpu
+
+    enable_if_tpu()
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="stt-1b",
                    choices=["stt-1b", "tts-1.6b", "s2s-2b", "small"])
