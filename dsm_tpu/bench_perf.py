@@ -21,7 +21,8 @@ import time
 import numpy as np
 
 
-def _setup(batch, small=False, serving=False, model="stt-1b"):
+def _setup(batch, small=False, serving=False, model="stt-1b",
+           skip_state=False):
     import jax.numpy as jnp
     import __graft_entry__ as ge
 
@@ -31,6 +32,7 @@ def _setup(batch, small=False, serving=False, model="stt-1b"):
         cfg, fn, (params, *rest) = ge._asr_setup(
             batch, jnp.bfloat16, jnp.bfloat16,
             kv_quant=True, mimi_dtype="bfloat16", model=model,
+            skip_state=skip_state,
         )
         from dsm_tpu.ops import transformer as T
 
@@ -281,7 +283,10 @@ def bench_server_sustained(batch: int, seconds: float) -> dict:
 
     from dsm_tpu.server.batched_asr import BatchedAsrEngine
 
-    cfg, _, (params, _st, _pcm, _m, _r, _rng) = _setup(batch, serving=True)
+    # skip_state: the engine allocates its own B-sized state; a second
+    # example state here OOMed the chip at B=128 (two ~6 GB ring sets).
+    cfg, _, (params, *_unused) = _setup(batch, serving=True, skip_state=True)
+    del _unused
     engine = BatchedAsrEngine(cfg, params, batch_size=batch, pipeline_depth=1)
 
     lat, util = [], []
