@@ -523,6 +523,31 @@ def bench_tts_sustained(batch: int, seconds: float, engine=None,
             round(float(np.percentile([sum(p) for p in phases], 50)) * 1e3, 1)
             if phases else None
         ),
+        # Tail stats: per-session wall = ttfb + n_ticks * MEAN tick (a few
+        # slow ticks — tunnel jitter, XLA re-compiles — drag every live
+        # session equally), so the mean/p95 explain rtf_per_session when
+        # they diverge from the p50.
+        "tick_ms_mean": (
+            round(float(np.mean([sum(p) for p in phases])) * 1e3, 1)
+            if phases else None
+        ),
+        "tick_ms_p95": (
+            round(float(np.percentile([sum(p) for p in phases], 95)) * 1e3, 1)
+            if phases else None
+        ),
+        "tick_ms_p99": (
+            round(float(np.percentile([sum(p) for p in phases], 99)) * 1e3, 1)
+            if phases else None
+        ),
+        # Steady-state capacity: every tick produces one 80 ms frame per
+        # live slot, so batch * 80ms / tick is the realtime-stream ceiling
+        # this engine sustains with slots kept full (independent of the
+        # short-session launch pattern above).
+        "capacity_realtime_streams_p50": (
+            round(batch * 0.080
+                  / float(np.percentile([sum(p) for p in phases], 50)), 1)
+            if phases else None
+        ),
         # With fuse_ticks > 1 each observed tick covers `fuse` frames; the
         # per-frame cadence cost is tick_ms_p50 / fuse_ticks.
         "fuse_ticks": engine.fuse,
