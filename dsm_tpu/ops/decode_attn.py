@@ -23,8 +23,15 @@ Replaces the reference's per-step cache read + masked softmax
 (moshi-core/src/batched_transformer.rs:64-121, kv_cache.rs:119-173) with a
 single fused TPU pass.
 
-Environment note: like ops/ring_kernels.py, only block loads + vector ops +
-MXU dots — no manual DMA (the remote kernel compiler crashes on those).
+Environment notes:
+- like ops/ring_kernels.py, only block loads + vector ops + MXU dots — no
+  manual DMA (the remote kernel compiler crashes on those);
+- NO in-kernel reshapes: Mosaic's shape-cast inference only supports a few
+  layout-preserving patterns.  ``(1, h, dh) -> (h, 1, dh)`` happens to lower
+  at h=16/dh=128 but fails at dh=64 or h=32 ("unsupported shape cast").
+  Every kernel here therefore takes operands pre-collapsed to head-major
+  ``(B*H, 1|C, Dh)`` form — a free row-major collapse done by XLA outside
+  the kernel — and the bodies are reshape-free.
 """
 
 from __future__ import annotations
@@ -41,70 +48,69 @@ NEG_INF = -1e9
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "interpret")
+    jax.jit, static_argnames=("h", "window", "interpret")
 )
 def _decode_attend_q(
     q, k_cache, v_cache, k_scale, v_scale, k_new, v_new, valid, pos,
-    *, window: int, interpret: bool = False
+    *, h: int, window: int, interpret: bool = False
 ):
-    b, h, dh = q.shape
-    c = k_cache.shape[2]
+    """Whole-ring-per-block variant.
+
+    Head-major operands: q/k_new/v_new ``(B*H, 1, Dh)``, ring ``(B*H, C,
+    Dh)`` int8, scales ``(B*H, 1, C)``, valid ``(B, 1, C)``.
+    """
+    g, _, dh = q.shape
+    b = g // h
+    c = k_cache.shape[1]
     scale = 1.0 / (dh ** 0.5)
 
     def kernel(pos_ref, q_ref, kc, vc, ks, vs, kn, vn, va, out):
         p = pos_ref[0]
         w = p % c
-        j = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c), 2)
         k_pos = p - ((w - j) % c)
-        ok = (k_pos >= 0) & (p - k_pos < window) & (j != w)  # (1, C)
-        ok = ok & (va[...][:, 0, :] != 0)  # va (bb, 1, C) -> (bb, C)
+        ok = (k_pos >= 0) & (p - k_pos < window) & (j != w)  # (1, 1, C)
+        ok = ok & (va[...] != 0)  # va block (1, 1, C)
 
-        qv = q_ref[...]  # (bb, H, Dh) bf16
-        bb = qv.shape[0]
-        g = bb * h
-        qf = qv.reshape(g, 1, dh)
-        kcf = kc[...].reshape(g, c, dh)
+        qf = q_ref[...]  # (h, 1, Dh) bf16
         scores = jax.lax.dot_general(
-            qf, kcf.astype(qv.dtype),
+            qf, kc[...].astype(qf.dtype),
             (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).reshape(bb, h, c)
+        )  # (h, 1, C)
         scores = scores * (ks[...] * scale)
-        scores = jnp.where(ok[:, None, :], scores, NEG_INF)
+        scores = jnp.where(ok, scores, NEG_INF)
 
         s_new = jnp.sum(
-            qv.astype(jnp.float32) * kn[...].astype(jnp.float32), axis=-1
-        ) * scale  # (bb, H)
+            qf.astype(jnp.float32) * kn[...].astype(jnp.float32), axis=-1
+        ) * scale  # (h, 1)
 
-        m = jnp.maximum(jnp.max(scores, axis=-1), s_new)
+        m = jnp.maximum(jnp.max(scores, axis=-1), s_new)  # (h, 1)
         e_c = jnp.exp(scores - m[..., None])  # masked rows underflow to 0
         e_n = jnp.exp(s_new - m)
-        denom = jnp.sum(e_c, axis=-1) + e_n
+        denom = jnp.sum(e_c, axis=-1) + e_n  # (h, 1)
 
-        p_c = (e_c * vs[...]).astype(jnp.bfloat16)
-        vcf = vc[...].reshape(g, c, dh)
+        p_c = (e_c * vs[...]).astype(jnp.bfloat16)  # (h, 1, C)
         out_c = jax.lax.dot_general(
-            p_c.reshape(g, 1, c), vcf.astype(jnp.bfloat16),
+            p_c, vc[...].astype(jnp.bfloat16),
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).reshape(bb, h, dh)
+        )  # (h, 1, Dh)
         res = (out_c + e_n[..., None] * vn[...].astype(jnp.float32)) / denom[
             ..., None
         ]
         out[...] = res.astype(out.dtype)
 
-    bb = 1  # one batch row per block: K+V int8 + dequant copies fit VMEM
-    kv_spec = pl.BlockSpec((bb, h, c, dh), lambda i, p_ref: (i, 0, 0, 0))
-    s_spec = pl.BlockSpec((bb, h, c), lambda i, p_ref: (i, 0, 0))
-    row_spec = pl.BlockSpec((bb, h, dh), lambda i, p_ref: (i, 0, 0))
-    # (B, 1, C): TPU block shapes need the second-minor dim to be a
-    # multiple of 8 or the full array dim — a singleton middle axis
-    # satisfies that for the per-slot bitmap.
-    va_spec = pl.BlockSpec((bb, 1, c), lambda i, p_ref: (i, 0, 0))
+    # One batch row (= h head rows) per block: K+V int8 + dequant copies
+    # fit VMEM (_mono_ok).
+    kv_spec = pl.BlockSpec((h, c, dh), lambda i, p_ref: (i, 0, 0))
+    s_spec = pl.BlockSpec((h, 1, c), lambda i, p_ref: (i, 0, 0))
+    row_spec = pl.BlockSpec((h, 1, dh), lambda i, p_ref: (i, 0, 0))
+    va_spec = pl.BlockSpec((1, 1, c), lambda i, p_ref: (i, 0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b // bb,),
+        grid=(b,),
         in_specs=[row_spec, kv_spec, kv_spec, s_spec, s_spec,
                   row_spec, row_spec, va_spec],
         out_specs=row_spec,
@@ -112,55 +118,52 @@ def _decode_attend_q(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((g, 1, dh), q.dtype),
         interpret=interpret,
     )(pos, q, k_cache, v_cache, k_scale, v_scale, k_new, v_new, valid)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "interpret")
+    jax.jit, static_argnames=("h", "window", "interpret")
 )
 def _decode_attend_q4(
     q, k_cache, v_cache, k_scale, v_scale, k_new, v_new, valid, pos,
-    *, window: int, interpret: bool = False
+    *, h: int, window: int, interpret: bool = False
 ):
-    """Packed-int4 variant: the ring is uint8 nibbles (B, H, C, Dh/2),
+    """Packed-int4 variant: the ring is uint8 nibbles (B*H, C, Dh/2),
     excess-8 encoded (ops/attention.pack4).  Unpack is add/shift arithmetic
     on the VPU; everything else matches _decode_attend_q."""
-    b, h, dh = q.shape
-    c = k_cache.shape[2]
+    g, _, dh = q.shape
+    b = g // h
+    c = k_cache.shape[1]
     scale = 1.0 / (dh ** 0.5)
 
     def kernel(pos_ref, q_ref, kc, vc, ks, vs, kn, vn, va, out):
         p = pos_ref[0]
         w = p % c
-        j = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c), 2)
         k_pos = p - ((w - j) % c)
         ok = (k_pos >= 0) & (p - k_pos < window) & (j != w)
-        ok = ok & (va[...][:, 0, :] != 0)
+        ok = ok & (va[...] != 0)
 
-        qv = q_ref[...]
-        bb = qv.shape[0]
-        g = bb * h
+        qf = q_ref[...]  # (h, 1, Dh)
 
-        def unpack(blk):  # (bb, H, C, Dh/2) uint8 -> (g, C, Dh) bf16
+        def unpack(blk):  # (h, C, Dh/2) uint8 -> (h, C, Dh) bf16
             pi = blk[...].astype(jnp.int32)
             lo = (pi & 15) - 8
             hi = (pi >> 4) - 8
-            full = jnp.concatenate([lo, hi], axis=-1)
-            return full.reshape(g, c, dh).astype(jnp.bfloat16)
+            return jnp.concatenate([lo, hi], axis=-1).astype(jnp.bfloat16)
 
-        qf = qv.reshape(g, 1, dh)
         scores = jax.lax.dot_general(
             qf.astype(jnp.bfloat16), unpack(kc),
             (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).reshape(bb, h, c)
+        )  # (h, 1, C)
         scores = scores * (ks[...] * scale)
-        scores = jnp.where(ok[:, None, :], scores, NEG_INF)
+        scores = jnp.where(ok, scores, NEG_INF)
 
         s_new = jnp.sum(
-            qv.astype(jnp.float32) * kn[...].astype(jnp.float32), axis=-1
+            qf.astype(jnp.float32) * kn[...].astype(jnp.float32), axis=-1
         ) * scale
 
         m = jnp.maximum(jnp.max(scores, axis=-1), s_new)
@@ -170,25 +173,24 @@ def _decode_attend_q4(
 
         p_c = (e_c * vs[...]).astype(jnp.bfloat16)
         out_c = jax.lax.dot_general(
-            p_c.reshape(g, 1, c), unpack(vc),
+            p_c, unpack(vc),
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).reshape(bb, h, dh)
+        )
         res = (out_c + e_n[..., None] * vn[...].astype(jnp.float32)) / denom[
             ..., None
         ]
         out[...] = res.astype(out.dtype)
 
-    bb = 1
     dh2 = dh // 2
-    kv_spec = pl.BlockSpec((bb, h, c, dh2), lambda i, p_ref: (i, 0, 0, 0))
-    s_spec = pl.BlockSpec((bb, h, c), lambda i, p_ref: (i, 0, 0))
-    row_spec = pl.BlockSpec((bb, h, dh), lambda i, p_ref: (i, 0, 0))
-    va_spec = pl.BlockSpec((bb, 1, c), lambda i, p_ref: (i, 0, 0))
+    kv_spec = pl.BlockSpec((h, c, dh2), lambda i, p_ref: (i, 0, 0))
+    s_spec = pl.BlockSpec((h, 1, c), lambda i, p_ref: (i, 0, 0))
+    row_spec = pl.BlockSpec((h, 1, dh), lambda i, p_ref: (i, 0, 0))
+    va_spec = pl.BlockSpec((1, 1, c), lambda i, p_ref: (i, 0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b // bb,),
+        grid=(b,),
         in_specs=[row_spec, kv_spec, kv_spec, s_spec, s_spec,
                   row_spec, row_spec, va_spec],
         out_specs=row_spec,
@@ -196,21 +198,21 @@ def _decode_attend_q4(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((g, 1, dh), q.dtype),
         interpret=interpret,
     )(pos, q, k_cache, v_cache, k_scale, v_scale, k_new, v_new, valid)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "interpret")
+    jax.jit, static_argnames=("h", "window", "interpret")
 )
 def _decode_attend_q_flash(
     q, k_cache, v_cache, k_scale, v_scale, k_new, v_new, valid, pos,
-    *, window: int, interpret: bool = False
+    *, h: int, window: int, interpret: bool = False
 ):
     """c-blocked streaming-softmax variant for rings too large for one VMEM
     block (s2s-2b: 20 heads x ring 3072 x 128 = 7.9 MB int8/slot) and for
-    head counts the mono grid was never validated on (h % 8 != 0).
+    head counts the mono grid never supported (h % 8 != 0).
 
     Grid (B, C/cb); per batch row the ring streams through VMEM in cb-wide
     chunks with the standard online-softmax update (m/l/acc carried in VMEM
@@ -218,8 +220,9 @@ def _decode_attend_q_flash(
     all-masked first block cannot produce the exp(NEG_INF - NEG_INF) = 1
     artefact.  Semantics match _decode_attend_q / attend_global_split_q
     (fp-association-level; tests/test_decode_attn.py)."""
-    b, h, dh = q.shape
-    c = k_cache.shape[2]
+    g, _, dh = q.shape
+    b = g // h
+    c = k_cache.shape[1]
     cb = _pick_cblock(h, c, dh)
     nc = c // cb
     scale = 1.0 / (dh ** 0.5)
@@ -229,38 +232,34 @@ def _decode_attend_q_flash(
         jb = pl.program_id(1)
         p = pos_ref[0]
         w = p % c
-        jj = jb * cb + jax.lax.broadcasted_iota(jnp.int32, (1, cb), 1)
+        jj = jb * cb + jax.lax.broadcasted_iota(jnp.int32, (1, 1, cb), 2)
         k_pos = p - ((w - jj) % c)
-        ok = (k_pos >= 0) & (p - k_pos < window) & (jj != w)  # (1, cb)
-        ok = ok & (va[...][:, 0, :] != 0)
+        ok = (k_pos >= 0) & (p - k_pos < window) & (jj != w)  # (1, 1, cb)
+        ok = ok & (va[...] != 0)
 
-        qv = q_ref[...]  # (1, H, Dh) bf16
-        qf = qv.reshape(h, 1, dh)
-        kcf = kc[...].reshape(h, cb, dh)
+        qf = q_ref[...]  # (h, 1, Dh) bf16
         scores = jax.lax.dot_general(
-            qf, kcf.astype(qv.dtype),
+            qf, kc[...].astype(qf.dtype),
             (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).reshape(1, h, cb)
+        )  # (h, 1, cb)
         scores = scores * (ks[...] * scale)
-        scores = jnp.where(ok[:, None, :], scores, NEG_INF)
-        blk_m = jnp.max(scores, axis=-1)  # (1, H)
+        scores = jnp.where(ok, scores, NEG_INF)
+        blk_m = jnp.max(scores, axis=-1)  # (h, 1)
 
-        vcf = vc[...].reshape(h, cb, dh)
-
-        def blk_dot(e):  # (1, H, cb) f32 -> (1, H, Dh) f32
+        def blk_dot(e):  # (h, 1, cb) f32 -> (h, 1, Dh) f32
             pc = (e * vs[...]).astype(jnp.bfloat16)
             return jax.lax.dot_general(
-                pc.reshape(h, 1, cb), vcf.astype(jnp.bfloat16),
+                pc, vc[...].astype(jnp.bfloat16),
                 (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            ).reshape(1, h, dh)
+            )
 
         @pl.when(jb == 0)
         def _init():
             s_new = jnp.sum(
-                qv.astype(jnp.float32) * kn[...].astype(jnp.float32), axis=-1
-            ) * scale  # (1, H) — always finite: seeds the running max
+                qf.astype(jnp.float32) * kn[...].astype(jnp.float32), axis=-1
+            ) * scale  # (h, 1) — always finite: seeds the running max
             m0 = jnp.maximum(blk_m, s_new)
             e_c = jnp.exp(scores - m0[..., None])
             e_n = jnp.exp(s_new - m0)
@@ -268,8 +267,8 @@ def _decode_attend_q_flash(
                 jnp.float32
             )
             l0 = jnp.sum(e_c, axis=-1) + e_n
-            mbuf[...] = jnp.broadcast_to(m0[..., None], (1, h, 128))
-            lbuf[...] = jnp.broadcast_to(l0[..., None], (1, h, 128))
+            mbuf[...] = jnp.broadcast_to(m0[..., None], (h, 1, 128))
+            lbuf[...] = jnp.broadcast_to(l0[..., None], (h, 1, 128))
 
         @pl.when(jb > 0)
         def _accum():
@@ -280,8 +279,8 @@ def _decode_attend_q_flash(
             e_c = jnp.exp(scores - m_new[..., None])
             acc[...] = acc[...] * corr[..., None] + blk_dot(e_c)
             l_new = l_old * corr + jnp.sum(e_c, axis=-1)
-            mbuf[...] = jnp.broadcast_to(m_new[..., None], (1, h, 128))
-            lbuf[...] = jnp.broadcast_to(l_new[..., None], (1, h, 128))
+            mbuf[...] = jnp.broadcast_to(m_new[..., None], (h, 1, 128))
+            lbuf[...] = jnp.broadcast_to(l_new[..., None], (h, 1, 128))
 
         @pl.when(jb == nc - 1)
         def _final():
@@ -289,9 +288,9 @@ def _decode_attend_q_flash(
                 acc[...] / lbuf[...][:, :, 0][..., None]
             ).astype(out.dtype)
 
-    kv_spec = pl.BlockSpec((1, h, cb, dh), lambda i, j, p_ref: (i, 0, j, 0))
-    s_spec = pl.BlockSpec((1, h, cb), lambda i, j, p_ref: (i, 0, j))
-    row_spec = pl.BlockSpec((1, h, dh), lambda i, j, p_ref: (i, 0, 0))
+    kv_spec = pl.BlockSpec((h, cb, dh), lambda i, j, p_ref: (i, j, 0))
+    s_spec = pl.BlockSpec((h, 1, cb), lambda i, j, p_ref: (i, 0, j))
+    row_spec = pl.BlockSpec((h, 1, dh), lambda i, j, p_ref: (i, 0, 0))
     va_spec = pl.BlockSpec((1, 1, cb), lambda i, j, p_ref: (i, 0, j))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -301,15 +300,15 @@ def _decode_attend_q_flash(
                   row_spec, row_spec, va_spec],
         out_specs=row_spec,
         scratch_shapes=[
-            pltpu.VMEM((1, h, dh), jnp.float32),   # acc
-            pltpu.VMEM((1, h, 128), jnp.float32),  # running max
-            pltpu.VMEM((1, h, 128), jnp.float32),  # running denom
+            pltpu.VMEM((h, 1, dh), jnp.float32),   # acc
+            pltpu.VMEM((h, 1, 128), jnp.float32),  # running max
+            pltpu.VMEM((h, 1, 128), jnp.float32),  # running denom
         ],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((g, 1, dh), q.dtype),
         interpret=interpret,
     )(pos, q, k_cache, v_cache, k_scale, v_scale, k_new, v_new, valid)
 
@@ -372,6 +371,10 @@ def decode_attend(
     step's commit (ops/ring_kernels.ring_commit); the committed row is masked
     from the ring read and the fresh ``k_new``/``v_new`` attend in exact
     dtype, so results match the XLA split path.
+
+    Operands are collapsed to head-major ``(B*H, ...)`` here — in XLA, where
+    a row-major leading-dim collapse is free — so the kernels stay
+    reshape-free (see module docstring).
     """
     if interpret is None:
         try:
@@ -388,64 +391,67 @@ def decode_attend(
         fn = _decode_attend_q
     else:
         fn = _decode_attend_q_flash
+    g = b * h
     out = fn(
-        q[:, :, 0, :],
-        k_cache, v_cache,
-        k_scale.astype(jnp.float32), v_scale.astype(jnp.float32),
-        k_new[:, :, 0, :], v_new[:, :, 0, :],
+        q[:, :, 0, :].reshape(g, 1, dh),
+        k_cache.reshape(g, c, k_cache.shape[3]),
+        v_cache.reshape(g, c, v_cache.shape[3]),
+        k_scale.astype(jnp.float32).reshape(g, 1, c),
+        v_scale.astype(jnp.float32).reshape(g, 1, c),
+        k_new[:, :, 0, :].reshape(g, 1, dh),
+        v_new[:, :, 0, :].reshape(g, 1, dh),
         valid_old.astype(jnp.int8)[:, None, :], pos,
-        window=window, interpret=bool(interpret),
+        h=h, window=window, interpret=bool(interpret),
     )
-    return out[:, :, None, :]
+    return out.reshape(b, h, dh)[:, :, None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("h", "interpret"))
 def _ca_decode_attend_q(q, k_src, v_src, k_scale, v_scale, s_len,
-                        *, interpret: bool = False):
-    b, h, dh = q.shape
-    s = k_src.shape[2]
+                        *, h: int, interpret: bool = False):
+    """Head-major operands like _decode_attend_q: q ``(B*H, 1, Dh)``,
+    source ``(B*H, S, Dh)`` int8, scales ``(B*H, 1, S)``."""
+    g, _, dh = q.shape
+    b = g // h
+    s = k_src.shape[1]
     scale = 1.0 / (dh ** 0.5)
 
     def kernel(slen_ref, q_ref, kc, vc, ks, vs, out):
         n = slen_ref[0]
-        j = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s), 2)
         ok = j < n  # mask the int8-tile padding rows
-        qv = q_ref[...]
-        bb = qv.shape[0]
-        g = bb * h
-        qf = qv.reshape(g, 1, dh)
+        qf = q_ref[...]  # (h, 1, Dh)
         scores = jax.lax.dot_general(
-            qf, kc[...].reshape(g, s, dh).astype(qv.dtype),
+            qf, kc[...].astype(qf.dtype),
             (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).reshape(bb, h, s)
+        )  # (h, 1, S)
         scores = scores * (ks[...] * scale)
-        scores = jnp.where(ok[:, None, :], scores, NEG_INF)
+        scores = jnp.where(ok, scores, NEG_INF)
         m = jnp.max(scores, axis=-1)
         e = jnp.exp(scores - m[..., None])
         denom = jnp.sum(e, axis=-1)
         p = (e * vs[...]).astype(jnp.bfloat16)
         out_c = jax.lax.dot_general(
-            p.reshape(g, 1, s), vc[...].reshape(g, s, dh).astype(jnp.bfloat16),
+            p, vc[...].astype(jnp.bfloat16),
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).reshape(bb, h, dh)
+        )  # (h, 1, Dh)
         out[...] = (out_c / denom[..., None]).astype(out.dtype)
 
-    bb = 1
-    kv_spec = pl.BlockSpec((bb, h, s, dh), lambda i, n_ref: (i, 0, 0, 0))
-    s_spec = pl.BlockSpec((bb, h, s), lambda i, n_ref: (i, 0, 0))
-    row_spec = pl.BlockSpec((bb, h, dh), lambda i, n_ref: (i, 0, 0))
+    kv_spec = pl.BlockSpec((h, s, dh), lambda i, n_ref: (i, 0, 0))
+    s_spec = pl.BlockSpec((h, 1, s), lambda i, n_ref: (i, 0, 0))
+    row_spec = pl.BlockSpec((h, 1, dh), lambda i, n_ref: (i, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b // bb,),
+        grid=(b,),
         in_specs=[row_spec, kv_spec, kv_spec, s_spec, s_spec],
         out_specs=row_spec,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((g, 1, dh), q.dtype),
         interpret=interpret,
     )(s_len, q, k_src, v_src, k_scale, v_scale)
 
@@ -476,13 +482,18 @@ def ca_decode_attend(q, k_src, v_src, k_scale, v_scale, s_len,
             interpret = jax.devices()[0].platform != "tpu"
         except Exception:
             interpret = True
+    b, h, t, dh = q.shape
+    s = k_src.shape[2]
+    g = b * h
     n = jnp.asarray(s_len, jnp.int32).reshape((1,))
     out = _ca_decode_attend_q(
-        q[:, :, 0, :], k_src, v_src,
-        k_scale.astype(jnp.float32), v_scale.astype(jnp.float32),
-        n, interpret=bool(interpret),
+        q[:, :, 0, :].reshape(g, 1, dh),
+        k_src.reshape(g, s, dh), v_src.reshape(g, s, dh),
+        k_scale.astype(jnp.float32).reshape(g, 1, s),
+        v_scale.astype(jnp.float32).reshape(g, 1, s),
+        n, h=h, interpret=bool(interpret),
     )
-    return out[:, :, None, :]
+    return out.reshape(b, h, dh)[:, :, None, :]
 
 
 def decode_attn_enabled() -> bool:

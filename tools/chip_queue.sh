@@ -43,53 +43,54 @@ run() {  # run <artifact> <timeout_s> <cmd...>
 pass() {
   MISSING=0
 
-  # 1. flash-decode kernel probe (equivalence + perf on chip)
-  run "$OUT/flash_probe.json" 2400 \
-    python tools/flash_probe.py --steps 50 --batch 8
+  # End-of-round priority order: each artifact proves a distinct VERDICT-r2
+  # item; earlier rows are strictly more valuable.  Sustained runs dropped
+  # to 45 s to fit more jobs in the remaining window.
 
-  # 2. server-sustained (host-tail-latency proof) + headline
+  # 1. server-sustained b128 (host-tail-latency proof; the original r03
+  #    artifact was lost to a workspace reset)
   run "docs/SUSTAINED_r03.json" 3600 \
-    python -m dsm_tpu.bench_perf --server-sustained 60 --batch 128 \
+    python -m dsm_tpu.bench_perf --server-sustained 45 --batch 128 \
       --events docs/SUSTAINED_r03_events.json
-  run "$OUT/headline.json" 3600 python bench.py
 
-  # 3. TTS 32/64 (flash kernel now live for hd=64), duplex 12/16/24
-  run "docs/SUSTAINED_TTS_r03_b32.json" 3600 \
-    python -m dsm_tpu.bench_perf --tts-sustained 60 --batch 32
+  # 2. fused-tick TTS at B=32 (the depformer/tick headroom lever)
   run "docs/SUSTAINED_TTS_r03_b32_fuse4.json" 3600 \
-    env DSM_TTS_FUSE=4 python -m dsm_tpu.bench_perf --tts-sustained 60 --batch 32
-  run "docs/SUSTAINED_TTS_r03_b64.json" 3600 \
-    env DSM_TTS_CA_INT8=1 python -m dsm_tpu.bench_perf --tts-sustained 60 --batch 64
-  run "docs/SUSTAINED_TTS_r03_b64_fuse4.json" 3600 \
-    env DSM_TTS_CA_INT8=1 DSM_TTS_FUSE=4 \
-    python -m dsm_tpu.bench_perf --tts-sustained 60 --batch 64
-  run "docs/SUSTAINED_DUPLEX_r03_b12.json" 3600 \
-    python -m dsm_tpu.bench_perf --duplex-sustained 60 --batch 12
-  run "docs/SUSTAINED_DUPLEX_r03_b16.json" 3600 \
-    python -m dsm_tpu.bench_perf --duplex-sustained 60 --batch 16
+    env DSM_TTS_FUSE=4 python -m dsm_tpu.bench_perf --tts-sustained 45 --batch 32
+
+  # 3. duplex with dispatch-ahead at B=16 (b16 depth-1 p50 was 93.8 ms)
   run "docs/SUSTAINED_DUPLEX_r03_b16_pipe2.json" 3600 \
     env DSM_DUPLEX_PIPELINE=2 \
-    python -m dsm_tpu.bench_perf --duplex-sustained 60 --batch 16
-  run "docs/SUSTAINED_DUPLEX_r03_b24_pipe2.json" 3600 \
-    env DSM_DUPLEX_PIPELINE=2 \
-    python -m dsm_tpu.bench_perf --duplex-sustained 60 --batch 24
+    python -m dsm_tpu.bench_perf --duplex-sustained 45 --batch 16
 
-  # 4. flagship quant-divergence study + stt-2.6b e2e
+  # 4. flagship quant-divergence study (headline-profile quality bound)
   run "$OUT/divergence_stt1b.json" 3600 \
     python tools/quant_divergence.py --model stt-1b --steps 750 --batch 4
-  run "$OUT/divergence_tts16b.json" 3600 \
-    python tools/quant_divergence.py --model tts-1.6b --steps 750 --batch 4
-  run "$OUT/divergence_s2s2b.json" 3600 \
-    python tools/quant_divergence.py --model s2s-2b --steps 750 --batch 2
+
+  # 5. stt-2.6b e2e (hd=64 → flash kernel path, newly live on chip)
   run "$OUT/stt26b_e2e.json" 3600 \
     python -m dsm_tpu.bench_perf --e2e --serving --model stt-2.6b --batch 64
 
-  # 5. LM W8A8 A/B (confirmation of the earlier on-chip 13.14->12.51 A/B;
-  #    the w8a8 trace compiles for >40 min over the tunnel, hence 5400 s)
+  # 6. flash-decode kernel probe full sweep (s2s + mono64 + headline shapes)
+  run "$OUT/flash_probe.json" 2400 \
+    python tools/flash_probe.py --steps 50 --batch 8
+
+  # 7. TTS B=64 with int8-native voice CA (fused)
+  run "docs/SUSTAINED_TTS_r03_b64_fuse4.json" 3600 \
+    env DSM_TTS_CA_INT8=1 DSM_TTS_FUSE=4 \
+    python -m dsm_tpu.bench_perf --tts-sustained 45 --batch 64
+
+  # 8. LM W8A8 on-leg A/B (off leg already measured: 13.73 ms)
   run "$OUT/lm_w8a8_on.json" 5400 \
     env DSM_W8A8=1 python -m dsm_tpu.bench_perf --lm --serving --batch 128
-  run "$OUT/lm_w8a8_off.json" 5400 \
-    env DSM_W8A8=0 python -m dsm_tpu.bench_perf --lm --serving --batch 128
+
+  # 9. remaining divergence models + duplex b24
+  run "$OUT/divergence_tts16b.json" 3600 \
+    python tools/quant_divergence.py --model tts-1.6b --steps 750 --batch 4
+  run "docs/SUSTAINED_DUPLEX_r03_b24_pipe2.json" 3600 \
+    env DSM_DUPLEX_PIPELINE=2 \
+    python -m dsm_tpu.bench_perf --duplex-sustained 45 --batch 24
+  run "$OUT/divergence_s2s2b.json" 3600 \
+    python tools/quant_divergence.py --model s2s-2b --steps 750 --batch 2
 }
 
 MAX_PASSES="${MAX_PASSES:-4}"

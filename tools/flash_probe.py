@@ -127,6 +127,10 @@ def main():
         (args.batch, 32, 384, 64, 1000, 375, "stt-2.6b-mono64"),
         # tts_202501 CA-era main transformer: 32 heads dh=64 ring 512.
         (args.batch, 32, 512, 64, 700, 500, "tts202501-mono64"),
+        # Production headline shapes (revalidate after the head-major
+        # reshape-free restructure): stt-1b and tts-1.6b main transformer.
+        (args.batch, 16, 768, 128, 1000, 750, "stt-1b-mono"),
+        (args.batch, 16, 1024, 128, 1500, 1000, "tts-1.6b-mono"),
     ]
     ok = True
     for B, H, C, Dh, pos, window, label in shapes:
