@@ -265,7 +265,9 @@ def bench_sustained(batch: int, seconds: float,
     return s
 
 
-def bench_server_sustained(batch: int, seconds: float) -> dict:
+def bench_server_sustained(batch: int, seconds: float,
+                           events_out: str | None = None,
+                           engine=None, cfg=None) -> dict:
     """Drive the production ``BatchedAsrEngine`` with ``batch`` live
     synthetic-mailbox sessions for ``seconds`` — the host path included:
     native frame packer, marker heap, word post-process, per-slot dispatch
@@ -283,14 +285,23 @@ def bench_server_sustained(batch: int, seconds: float) -> dict:
 
     from dsm_tpu.server.batched_asr import BatchedAsrEngine
 
-    # skip_state: the engine allocates its own B-sized state; a second
-    # example state here OOMed the chip at B=128 (two ~6 GB ring sets).
-    cfg, _, (params, *_unused) = _setup(batch, serving=True, skip_state=True)
-    del _unused
-    engine = BatchedAsrEngine(cfg, params, batch_size=batch, pipeline_depth=1)
+    if engine is None:
+        # skip_state: the engine allocates its own B-sized state; a second
+        # example state here OOMed the chip at B=128 (two ~6 GB ring sets).
+        cfg, _, (params, *_unused) = _setup(
+            batch, serving=True, skip_state=True
+        )
+        del _unused
+        engine = BatchedAsrEngine(
+            cfg, params, batch_size=batch, pipeline_depth=1
+        )
 
-    lat, util = [], []
-    engine.step_observer = lambda dt, u: (lat.append(dt), util.append(u))
+    lat, util, ev_t = [], [], []
+    t_origin = time.perf_counter()
+    engine.step_observer = lambda dt, u: (
+        lat.append(dt), util.append(u),
+        ev_t.append(time.perf_counter() - t_origin),
+    )
 
     # Null-dispatch RTT: the tunnel tax on any host->device->host turnaround.
     x = jnp.zeros((8,), jnp.float32)
@@ -366,6 +377,15 @@ def bench_server_sustained(batch: int, seconds: float) -> dict:
     steps_per_slot = [len(ev) for ev in per_slot_events]
     expected = seconds / 0.080
     lat_ms = np.asarray(lat) * 1e3
+    if events_out:
+        # Engine-step timeline (benchmark.rs:57-138 pattern): wall-clock
+        # completion time + duration + batch utilization per tick.
+        with open(events_out, "w") as f:
+            json.dump(
+                [{"t": round(t, 4), "step_ms": round(dt * 1e3, 2),
+                  "util": round(u, 3)}
+                 for t, dt, u in zip(ev_t, lat, util)], f
+            )
     return {
         "batch": batch,
         "seconds": round(wall, 1),
@@ -804,7 +824,7 @@ def _run_all(args, results):
         )
     if args.server_sustained:
         results["server_sustained"] = bench_server_sustained(
-            args.batch, args.server_sustained
+            args.batch, args.server_sustained, events_out=args.events
         )
     if args.tts_sustained:
         results["tts_sustained"] = bench_tts_sustained(
