@@ -297,10 +297,9 @@ def bench_server_sustained(batch: int, seconds: float,
         )
 
     lat, util, ev_t = [], [], []
-    t_origin = time.perf_counter()
     engine.step_observer = lambda dt, u: (
         lat.append(dt), util.append(u),
-        ev_t.append(time.perf_counter() - t_origin),
+        ev_t.append(time.perf_counter()),
     )
 
     # Null-dispatch RTT: the tunnel tax on any host->device->host turnaround.
@@ -353,6 +352,7 @@ def bench_server_sustained(batch: int, seconds: float,
     engine.warmup()
     lat.clear()
     util.clear()
+    ev_t.clear()
     engine.start()
     feed_thread = threading.Thread(target=feeder, daemon=True)
     t_start = time.perf_counter()
@@ -378,11 +378,11 @@ def bench_server_sustained(batch: int, seconds: float,
     expected = seconds / 0.080
     lat_ms = np.asarray(lat) * 1e3
     if events_out:
-        # Engine-step timeline (benchmark.rs:57-138 pattern): wall-clock
-        # completion time + duration + batch utilization per tick.
+        # Engine-step timeline (benchmark.rs:57-138 pattern): completion
+        # time relative to engine start + duration + batch utilization.
         with open(events_out, "w") as f:
             json.dump(
-                [{"t": round(t, 4), "step_ms": round(dt * 1e3, 2),
+                [{"t": round(t - t_start, 4), "step_ms": round(dt * 1e3, 2),
                   "util": round(u, 3)}
                  for t, dt, u in zip(ev_t, lat, util)], f
             )

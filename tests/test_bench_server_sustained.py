@@ -1,0 +1,28 @@
+"""bench_perf.bench_server_sustained drives a real engine and dumps the
+engine-step timeline (the moshi-backend benchmark pattern,
+moshi-backend/src/benchmark.rs:57-138) — covered here at tiny shapes via
+the injectable-engine hook so no flagship compile is needed."""
+
+import json
+
+from dsm_tpu import bench_perf
+from tests.test_batched_engine import small_engine
+
+
+def test_server_sustained_events_timeline(tmp_path):
+    eng, cfg = small_engine(batch=2)
+    out = tmp_path / "events.json"
+    res = bench_perf.bench_server_sustained(
+        2, 1.5, events_out=str(out), engine=eng, cfg=cfg
+    )
+    assert res["batch"] == 2
+    assert res["engine_steps"] > 0
+    assert res["markers_completed"] == 2
+    events = json.loads(out.read_text())
+    # One timeline entry per observed engine step, rebased on engine start.
+    assert len(events) == res["engine_steps"]
+    assert all(set(e) == {"t", "step_ms", "util"} for e in events)
+    ts = [e["t"] for e in events]
+    assert ts == sorted(ts)
+    assert 0 <= ts[0] < 5.0  # rebased: starts near 0, not at warmup offset
+    assert all(e["step_ms"] > 0 for e in events)
