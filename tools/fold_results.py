@@ -23,7 +23,12 @@ def _load(path):
         lines = [ln for ln in txt.splitlines() if ln.strip().startswith("{")]
         if len(lines) > 1:
             return [json.loads(ln) for ln in lines]
-        return json.loads(txt)
+        try:
+            return json.loads(txt)
+        except Exception:
+            # tools that print progress lines before the result JSON
+            # (e.g. quant_divergence's "step N/750" heartbeat)
+            return json.loads(lines[-1])
     except Exception as e:
         return {"_error": str(e)}
 
