@@ -71,7 +71,12 @@ def _ring_commit_q(k_cache, v_cache, ks_cache, vs_cache,
     # Scales are (B, H, C): their ring dim is the *lane* dim, so blocks span
     # 128 ring slots (full lane tiles); K/V blocks span ``r`` sublane rows.
     rs = min(128, cap)
-    bb = min(b, 16)
+    # Mosaic double-buffers every in/out block; at h=32 presets (stt-2.6b,
+    # tts_202501) the 16-row batch block overflows the 16 MB scoped-VMEM
+    # limit (measured 18 MB at h32/dh64/cap384/B64) — the wider scale
+    # blocks and select temporaries outgrow what h<=16 configs fit.  Halve
+    # the batch block there; h<=16 keeps the proven headline program.
+    bb = min(b, 16 if h <= 16 else 8)
 
     def kernel(w_ref, kn, vn, ksn, vsn, kcb, vcb, kscb, vscb,
                ko, vo, kso, vso):

@@ -23,6 +23,9 @@ from dsm_tpu.ops import transformer as T
         (8, 2, 32, 64, 2, jnp.bfloat16),
         (16, 4, 128, 128, 1, jnp.int8),
         (8, 3, 128, 64, 2, jnp.int8),
+        # h>16 exercises the halved batch block (scoped-VMEM guard) with
+        # b > bb so the grid actually splits.
+        (16, 32, 128, 64, 1, jnp.int8),
         (4, 2, 32, 128, 1, jnp.float32),
     ],
 )
