@@ -1,0 +1,26 @@
+#!/bin/bash
+# Follow-up chip measurements not covered by tools/chip_queue.sh:
+# the W8A8 leg of the quant-divergence study (the actual headline
+# serving profile; the main queue measures the W8A8-off leg).
+# Run after the main queue exits; same skip-if-exists contract.
+set -u
+cd /root/repo
+OUT=docs/chipq
+mkdir -p "$OUT"
+log() { echo "[$(date +%H:%M:%S)] $*" | tee -a "$OUT/queue.log"; }
+
+run() {
+  local art="$1" to="$2"; shift 2
+  local tmp="$OUT/$(basename "$art").tmp"
+  if [ -s "$art" ]; then return 0; fi
+  log "RUN [$to s] -> $art : $*"
+  if timeout "$to" "$@" > "$tmp" 2> "$OUT/$(basename "$art").err"; then
+    mv "$tmp" "$art"; log "done: $art"
+  else
+    log "FAILED ($?): $art"
+    tail -3 "$OUT/$(basename "$art").err" | tee -a "$OUT/queue.log"
+  fi
+}
+
+run "$OUT/divergence_stt1b_w8a8.json" 3600 \
+  env DSM_W8A8=1 python tools/quant_divergence.py --model stt-1b --steps 750 --batch 4
