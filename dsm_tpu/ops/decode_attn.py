@@ -26,12 +26,18 @@ single fused TPU pass.
 Environment notes:
 - like ops/ring_kernels.py, only block loads + vector ops + MXU dots — no
   manual DMA (the remote kernel compiler crashes on those);
-- NO in-kernel reshapes: Mosaic's shape-cast inference only supports a few
-  layout-preserving patterns.  ``(1, h, dh) -> (h, 1, dh)`` happens to lower
-  at h=16/dh=128 but fails at dh=64 or h=32 ("unsupported shape cast").
-  Every kernel here therefore takes operands pre-collapsed to head-major
-  ``(B*H, 1|C, Dh)`` form — a free row-major collapse done by XLA outside
-  the kernel — and the bodies are reshape-free.
+- In-kernel reshapes: Mosaic's shape-cast inference only supports a few
+  layout-preserving patterns.  ``(1, h, dh) -> (h, 1, dh)`` lowers at
+  h<=16/dh=128 but fails at dh=64 or h=32 ("unsupported shape cast").
+  Two kernel families therefore coexist:
+  * the original 4-D-block bodies (``*_4d``) for h<=16/dh=128 — operands
+    keep their ``(B, H, C, Dh)`` shapes, which also avoids the XLA-side
+    collapse of the multi-GB ring between the commit and attend custom
+    calls (measured +1.1 ms/step bf16-act, +3.6 ms W8A8 at stt-1b B=128
+    when collapsed);
+  * reshape-free head-major bodies taking ``(B*H, 1|C, Dh)`` operands for
+    every other shape (stt-2.6b / tts_202501 / s2s flash), where the 4-D
+    bodies cannot lower at all.
 """
 
 from __future__ import annotations
@@ -361,6 +367,178 @@ def supported(q, k_cache, plan) -> bool:
     return (not packed4) and _pick_cblock(h, c, dh) is not None
 
 
+def _legacy_4d(h: int, dh: int) -> bool:
+    """Shapes whose original 4-D-block kernels both lower AND measure
+    faster than the head-major variants: at h <= 16 / Dh = 128 the
+    in-kernel ``(1,h,*) -> (h,1,*)`` shape casts lower fine, and keeping
+    operands 4-D avoids the XLA-side collapse of the multi-GB ring
+    between the commit and attend custom calls (measured +1.1 ms/step
+    bf16-act / +3.6 ms W8A8 at stt-1b B=128 when collapsed).  Dh = 64 or
+    h > 16 hits Mosaic's "unsupported shape cast" in the 4-D bodies and
+    must take the reshape-free head-major path."""
+    return dh == 128 and h % 8 == 0 and h <= 16
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "interpret")
+)
+def _decode_attend_q_4d(
+    q, k_cache, v_cache, k_scale, v_scale, k_new, v_new, valid, pos,
+    *, window: int, interpret: bool = False
+):
+    b, h, dh = q.shape
+    c = k_cache.shape[2]
+    scale = 1.0 / (dh ** 0.5)
+
+    def kernel(pos_ref, q_ref, kc, vc, ks, vs, kn, vn, va, out):
+        p = pos_ref[0]
+        w = p % c
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+        k_pos = p - ((w - j) % c)
+        ok = (k_pos >= 0) & (p - k_pos < window) & (j != w)  # (1, C)
+        ok = ok & (va[...][:, 0, :] != 0)  # va (bb, 1, C) -> (bb, C)
+
+        qv = q_ref[...]  # (bb, H, Dh) bf16
+        bb = qv.shape[0]
+        g = bb * h
+        qf = qv.reshape(g, 1, dh)
+        kcf = kc[...].reshape(g, c, dh)
+        scores = jax.lax.dot_general(
+            qf, kcf.astype(qv.dtype),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(bb, h, c)
+        scores = scores * (ks[...] * scale)
+        scores = jnp.where(ok[:, None, :], scores, NEG_INF)
+
+        s_new = jnp.sum(
+            qv.astype(jnp.float32) * kn[...].astype(jnp.float32), axis=-1
+        ) * scale  # (bb, H)
+
+        m = jnp.maximum(jnp.max(scores, axis=-1), s_new)
+        e_c = jnp.exp(scores - m[..., None])  # masked rows underflow to 0
+        e_n = jnp.exp(s_new - m)
+        denom = jnp.sum(e_c, axis=-1) + e_n
+
+        p_c = (e_c * vs[...]).astype(jnp.bfloat16)
+        vcf = vc[...].reshape(g, c, dh)
+        out_c = jax.lax.dot_general(
+            p_c.reshape(g, 1, c), vcf.astype(jnp.bfloat16),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(bb, h, dh)
+        res = (out_c + e_n[..., None] * vn[...].astype(jnp.float32)) / denom[
+            ..., None
+        ]
+        out[...] = res.astype(out.dtype)
+
+    bb = 1  # one batch row per block: K+V int8 + dequant copies fit VMEM
+    kv_spec = pl.BlockSpec((bb, h, c, dh), lambda i, p_ref: (i, 0, 0, 0))
+    s_spec = pl.BlockSpec((bb, h, c), lambda i, p_ref: (i, 0, 0))
+    row_spec = pl.BlockSpec((bb, h, dh), lambda i, p_ref: (i, 0, 0))
+    # (B, 1, C): TPU block shapes need the second-minor dim to be a
+    # multiple of 8 or the full array dim — a singleton middle axis
+    # satisfies that for the per-slot bitmap.
+    va_spec = pl.BlockSpec((bb, 1, c), lambda i, p_ref: (i, 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // bb,),
+        in_specs=[row_spec, kv_spec, kv_spec, s_spec, s_spec,
+                  row_spec, row_spec, va_spec],
+        out_specs=row_spec,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, dh), q.dtype),
+        interpret=interpret,
+    )(pos, q, k_cache, v_cache, k_scale, v_scale, k_new, v_new, valid)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "interpret")
+)
+def _decode_attend_q4_4d(
+    q, k_cache, v_cache, k_scale, v_scale, k_new, v_new, valid, pos,
+    *, window: int, interpret: bool = False
+):
+    """Packed-int4 variant: the ring is uint8 nibbles (B, H, C, Dh/2),
+    excess-8 encoded (ops/attention.pack4).  Unpack is add/shift arithmetic
+    on the VPU; everything else matches _decode_attend_q."""
+    b, h, dh = q.shape
+    c = k_cache.shape[2]
+    scale = 1.0 / (dh ** 0.5)
+
+    def kernel(pos_ref, q_ref, kc, vc, ks, vs, kn, vn, va, out):
+        p = pos_ref[0]
+        w = p % c
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+        k_pos = p - ((w - j) % c)
+        ok = (k_pos >= 0) & (p - k_pos < window) & (j != w)
+        ok = ok & (va[...][:, 0, :] != 0)
+
+        qv = q_ref[...]
+        bb = qv.shape[0]
+        g = bb * h
+
+        def unpack(blk):  # (bb, H, C, Dh/2) uint8 -> (g, C, Dh) bf16
+            pi = blk[...].astype(jnp.int32)
+            lo = (pi & 15) - 8
+            hi = (pi >> 4) - 8
+            full = jnp.concatenate([lo, hi], axis=-1)
+            return full.reshape(g, c, dh).astype(jnp.bfloat16)
+
+        qf = qv.reshape(g, 1, dh)
+        scores = jax.lax.dot_general(
+            qf.astype(jnp.bfloat16), unpack(kc),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(bb, h, c)
+        scores = scores * (ks[...] * scale)
+        scores = jnp.where(ok[:, None, :], scores, NEG_INF)
+
+        s_new = jnp.sum(
+            qv.astype(jnp.float32) * kn[...].astype(jnp.float32), axis=-1
+        ) * scale
+
+        m = jnp.maximum(jnp.max(scores, axis=-1), s_new)
+        e_c = jnp.exp(scores - m[..., None])
+        e_n = jnp.exp(s_new - m)
+        denom = jnp.sum(e_c, axis=-1) + e_n
+
+        p_c = (e_c * vs[...]).astype(jnp.bfloat16)
+        out_c = jax.lax.dot_general(
+            p_c.reshape(g, 1, c), unpack(vc),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(bb, h, dh)
+        res = (out_c + e_n[..., None] * vn[...].astype(jnp.float32)) / denom[
+            ..., None
+        ]
+        out[...] = res.astype(out.dtype)
+
+    bb = 1
+    dh2 = dh // 2
+    kv_spec = pl.BlockSpec((bb, h, c, dh2), lambda i, p_ref: (i, 0, 0, 0))
+    s_spec = pl.BlockSpec((bb, h, c), lambda i, p_ref: (i, 0, 0))
+    row_spec = pl.BlockSpec((bb, h, dh), lambda i, p_ref: (i, 0, 0))
+    va_spec = pl.BlockSpec((bb, 1, c), lambda i, p_ref: (i, 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // bb,),
+        in_specs=[row_spec, kv_spec, kv_spec, s_spec, s_spec,
+                  row_spec, row_spec, va_spec],
+        out_specs=row_spec,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, dh), q.dtype),
+        interpret=interpret,
+    )(pos, q, k_cache, v_cache, k_scale, v_scale, k_new, v_new, valid)
+
+
 def decode_attend(
     q, k_cache, v_cache, k_scale, v_scale, k_new, v_new, plan, valid_old,
     *, window: int, interpret=None
@@ -385,6 +563,16 @@ def decode_attend(
     c = k_cache.shape[2]
     pos = jnp.asarray(plan["q_pos"][0], jnp.int32).reshape((1,))
     packed4 = k_cache.dtype == jnp.uint8
+    if _legacy_4d(h, dh) and _mono_ok(h, c, dh, packed4):
+        fn4 = _decode_attend_q4_4d if packed4 else _decode_attend_q_4d
+        out = fn4(
+            q[:, :, 0, :], k_cache, v_cache,
+            k_scale.astype(jnp.float32), v_scale.astype(jnp.float32),
+            k_new[:, :, 0, :], v_new[:, :, 0, :],
+            valid_old.astype(jnp.int8)[:, None, :], pos,
+            window=window, interpret=bool(interpret),
+        )
+        return out[:, :, None, :]
     if packed4:
         fn = _decode_attend_q4
     elif _mono_ok(h, c, dh, False):
@@ -468,6 +656,58 @@ def ca_supported(q, k_src) -> bool:
         and h % 8 == 0
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _ca_decode_attend_q_4d(q, k_src, v_src, k_scale, v_scale, s_len,
+                        *, interpret: bool = False):
+    b, h, dh = q.shape
+    s = k_src.shape[2]
+    scale = 1.0 / (dh ** 0.5)
+
+    def kernel(slen_ref, q_ref, kc, vc, ks, vs, out):
+        n = slen_ref[0]
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+        ok = j < n  # mask the int8-tile padding rows
+        qv = q_ref[...]
+        bb = qv.shape[0]
+        g = bb * h
+        qf = qv.reshape(g, 1, dh)
+        scores = jax.lax.dot_general(
+            qf, kc[...].reshape(g, s, dh).astype(qv.dtype),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(bb, h, s)
+        scores = scores * (ks[...] * scale)
+        scores = jnp.where(ok[:, None, :], scores, NEG_INF)
+        m = jnp.max(scores, axis=-1)
+        e = jnp.exp(scores - m[..., None])
+        denom = jnp.sum(e, axis=-1)
+        p = (e * vs[...]).astype(jnp.bfloat16)
+        out_c = jax.lax.dot_general(
+            p.reshape(g, 1, s), vc[...].reshape(g, s, dh).astype(jnp.bfloat16),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(bb, h, dh)
+        out[...] = (out_c / denom[..., None]).astype(out.dtype)
+
+    bb = 1
+    kv_spec = pl.BlockSpec((bb, h, s, dh), lambda i, n_ref: (i, 0, 0, 0))
+    s_spec = pl.BlockSpec((bb, h, s), lambda i, n_ref: (i, 0, 0))
+    row_spec = pl.BlockSpec((bb, h, dh), lambda i, n_ref: (i, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // bb,),
+        in_specs=[row_spec, kv_spec, kv_spec, s_spec, s_spec],
+        out_specs=row_spec,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, dh), q.dtype),
+        interpret=interpret,
+    )(s_len, q, k_src, v_src, k_scale, v_scale)
+
+
+
 def ca_decode_attend(q, k_src, v_src, k_scale, v_scale, s_len,
                      *, interpret=None):
     """Fused decode cross-attention over a quantised voice-conditioning
@@ -484,8 +724,15 @@ def ca_decode_attend(q, k_src, v_src, k_scale, v_scale, s_len,
             interpret = True
     b, h, t, dh = q.shape
     s = k_src.shape[2]
-    g = b * h
     n = jnp.asarray(s_len, jnp.int32).reshape((1,))
+    if _legacy_4d(h, dh):
+        out = _ca_decode_attend_q_4d(
+            q[:, :, 0, :], k_src, v_src,
+            k_scale.astype(jnp.float32), v_scale.astype(jnp.float32),
+            n, interpret=bool(interpret),
+        )
+        return out[:, :, None, :]
+    g = b * h
     out = _ca_decode_attend_q(
         q[:, :, 0, :].reshape(g, 1, dh),
         k_src.reshape(g, s, dh), v_src.reshape(g, s, dh),

@@ -42,6 +42,9 @@ def _mk(B, H, C, Dh, pos, seed=0, valid_frac=1.0):
         (2, 8, 256, 128, 1000, 250, 1.0),   # deep wrap, window < capacity
         (2, 8, 256, 128, 1000, 250, 0.6),   # per-slot validity holes
         (1, 16, 768, 128, 3000, 750, 0.9),  # stt-1b serving shape
+        # head-major (reshape-free) mono path: Dh=64 / h=32 presets
+        (2, 32, 384, 64, 1000, 375, 0.9),   # stt-2.6b shape
+        (2, 32, 512, 64, 700, 500, 1.0),    # tts_202501 shape
     ],
 )
 def test_decode_attend_matches_xla(B, H, C, Dh, pos, window, valid_frac):
@@ -149,7 +152,11 @@ def _mk_ca(B, H, S, Dh, seed=0):
     return q, ca_k, ca_v
 
 
-@pytest.mark.parametrize("B,H,S,Dh", [(2, 8, 256, 128), (1, 16, 625, 128)])
+@pytest.mark.parametrize(
+    "B,H,S,Dh",
+    [(2, 8, 256, 128), (1, 16, 625, 128),
+     (2, 32, 256, 64)],  # head-major CA path (Dh=64 / h=32)
+)
 def test_ca_decode_attend_matches_fallback_and_float(B, H, S, Dh):
     from dsm_tpu.ops import transformer as T
 
