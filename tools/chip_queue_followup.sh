@@ -24,3 +24,8 @@ run() {
 
 run "$OUT/divergence_stt1b_w8a8.json" 3600 \
   env DSM_W8A8=1 python tools/quant_divergence.py --model stt-1b --steps 750 --batch 4
+
+# stt-2.6b e2e: B=64 needs 17.3 GB HBM (no donation in this env) — B=32
+# is the honest single-chip batch for the 2.6B preset.
+run "$OUT/stt26b_e2e_b32.json" 3600 \
+  python -m dsm_tpu.bench_perf --e2e --serving --model stt-2.6b --batch 32
