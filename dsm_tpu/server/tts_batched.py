@@ -390,12 +390,14 @@ class BatchedTtsEngine:
                 from ..parallel import mesh as M
 
                 self._mstate = M.shard_batched_state(mesh, self._mstate, n)
-            self._m_init = jax.jit(SCRIPT.reset_row, donate_argnums=(0,))
-            self._m_deact = jax.jit(SCRIPT.deactivate_row, donate_argnums=(0,))
-            self._m_eos = jax.jit(SCRIPT.set_eos_row, donate_argnums=(0,))
-            self._m_write = jax.jit(
-                SCRIPT.write_word_chunk, donate_argnums=(0,)
-            )
+            # Queued ops are flushed in ONE batched dispatch per bucket
+            # (SCRIPT.apply_ops).  One jitted dispatch PER op — the
+            # original design — cost ~52 dispatches per session open
+            # (init + one chunk per word + eos), which stalled the tick
+            # for seconds at session churn (the measured tick p99 in
+            # docs/SUSTAINED_TTS_r03_b*_fuse4.json).
+            self._m_ops = jax.jit(SCRIPT.apply_ops, donate_argnums=(0,))
+            self._op_buckets = (8, 64, 512)
             self._pending_script: List[tuple] = []
             K = self.fuse
 
@@ -600,6 +602,17 @@ class BatchedTtsEngine:
                         self.mimi_state, modes, toks, sub, self._ca(),
                         mask, reset, temps, seeds, self._cfg_alpha.copy(),
                     )
+            if self.fuse > 1:
+                # Precompile every op-batch bucket so the first session
+                # open never pays XLA compile inside a tick.
+                z = np.zeros
+                for b in self._op_buckets:
+                    self._mstate = self._m_ops(
+                        self._mstate, z(b, np.int32), z(b, np.int32),
+                        z((b, SCRIPT.WORD_CHUNK), np.int32), z(b, np.int32),
+                        z(b, np.int32), z(b, np.int32),
+                    )
+                jax.block_until_ready(self._mstate)
             jax.block_until_ready(packed)
             metrics.WARMUP_SUCCESS.inc()
         except Exception:
@@ -616,17 +629,27 @@ class BatchedTtsEngine:
         (same donation-safety rule as _apply_voice_writes)."""
         if not actions:
             return
+        KIND = {"init": SCRIPT.OP_INIT, "deact": SCRIPT.OP_DEACT,
+                "eos": SCRIPT.OP_EOS, "word": SCRIPT.OP_WORD}
         m = self._mstate
-        for kind, slot, payload in actions:
-            if kind == "init":
-                m = self._m_init(m, slot)
-            elif kind == "deact":
-                m = self._m_deact(m, slot)
-            elif kind == "eos":
-                m = self._m_eos(m, slot)
-            else:  # "word"
-                toks, count, word_id, start = payload
-                m = self._m_write(m, slot, toks, count, word_id, start)
+        cap = self._op_buckets[-1]
+        for off in range(0, len(actions), cap):
+            chunk = actions[off : off + cap]
+            n = next(b for b in self._op_buckets if b >= len(chunk))
+            kinds = np.zeros(n, np.int32)  # OP_NOP pads
+            slots = np.zeros(n, np.int32)
+            toks = np.zeros((n, SCRIPT.WORD_CHUNK), np.int32)
+            counts = np.zeros(n, np.int32)
+            wids = np.zeros(n, np.int32)
+            starts = np.zeros(n, np.int32)
+            for i, (kind, slot, payload) in enumerate(chunk):
+                kinds[i] = KIND[kind]
+                slots[i] = slot
+                if kind == "word":
+                    t, c, w, s = payload
+                    toks[i] = t
+                    counts[i], wids[i], starts[i] = c, w, s
+            m = self._m_ops(m, kinds, slots, toks, counts, wids, starts)
         self._mstate = m
 
     def _tick_fused(self) -> bool:

@@ -137,6 +137,41 @@ def write_word_chunk(m: dict, slot, toks, count, word_id, start) -> dict:
     return out
 
 
+# Batched op application: one device dispatch for a whole queue of script
+# updates.  The per-op jits above cost one tunnel/PJRT dispatch EACH; a
+# fresh session enqueues init + one chunk per word + eos (~52 ops for a
+# 50-word request), so opening a session used to stall the engine tick for
+# seconds of pure dispatch overhead (measured: tick p99 2.1-3.9 s at
+# B=32/64, docs/SUSTAINED_TTS_r03_b{32,64}_fuse4.json).  apply_ops folds
+# the queue into ONE lax.scan program; the engine pads to bucketed sizes so
+# only a handful of shapes ever compile.
+OP_NOP, OP_INIT, OP_DEACT, OP_EOS, OP_WORD = 0, 1, 2, 3, 4
+
+
+def apply_ops(m: dict, kinds, slots, toks, counts, wids, starts) -> dict:
+    """Apply a padded batch of queued script ops in program order.
+
+    ``kinds (N,)`` selects the op (OP_* above; OP_NOP pads), ``slots (N,)``
+    the target row, ``toks (N, WORD_CHUNK)``/``counts``/``wids``/``starts``
+    the write_word_chunk payload (ignored by other kinds).  jit with
+    donate_argnums=(0,); order within the batch is preserved (lax.scan),
+    matching the sequential per-op path bit-for-bit."""
+
+    def body(m, op):
+        kind, slot, tk, cnt, wid, st = op
+        branches = [
+            lambda m: m,
+            lambda m: reset_row(m, slot),
+            lambda m: deactivate_row(m, slot),
+            lambda m: set_eos_row(m, slot),
+            lambda m: write_word_chunk(m, slot, tk, cnt, wid, st),
+        ]
+        return jax.lax.switch(kind, branches, m), None
+
+    m, _ = jax.lax.scan(body, m, (kinds, slots, toks, counts, wids, starts))
+    return m
+
+
 def constraint(cc: ScriptConsts, m: dict):
     """-> (mode, token, step_mask, m').  The device analogue of
     TtsSlot.next_constraint over the whole batch: drained slots force pad

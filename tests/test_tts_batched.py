@@ -14,14 +14,14 @@ from tests.test_mimi import small_cfg as small_mimi_cfg
 from tests.test_tts import small_tts_cfg
 
 
-def make_engine(batch=2):
+def make_engine(batch=2, **kw):
     cfg = small_tts_cfg(max_steps=96)
     mimi_cfg = small_mimi_cfg()  # n_q=4 matches generated codebooks
     params = {"lm": LM.init(cfg.lm, jax.random.PRNGKey(0))}
     mimi_params = MIMI.init(mimi_cfg, jax.random.PRNGKey(1))
     eng = BatchedTtsEngine(
         cfg, params, mimi_cfg, mimi_params, FallbackTokenizer(),
-        batch_size=batch, ca_len=6,
+        batch_size=batch, ca_len=6, **kw,
     )
     return eng, cfg
 

@@ -441,3 +441,65 @@ def test_fused_with_int8_voice_ca():
     assert drv.finished
     assert any(isinstance(e, AudioEvent) for e in ev)
     assert any(isinstance(e, DoneEvent) for e in ev)
+
+
+# ---------------------------------------------------------------------------
+# Batched op application (SCRIPT.apply_ops): one dispatch per queue flush
+# must equal the sequential per-op path bit-for-bit, NOP padding included.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_apply_ops_matches_sequential(seed):
+    rng = np.random.default_rng(seed)
+    batch, cap = 4, 64
+    m_seq = SCRIPT.init(batch, cap)
+    n_ops = int(rng.integers(1, 24))
+    kinds = np.zeros(n_ops, np.int32)
+    slots = rng.integers(0, batch, n_ops).astype(np.int32)
+    toks = np.zeros((n_ops, SCRIPT.WORD_CHUNK), np.int32)
+    counts = np.zeros(n_ops, np.int32)
+    wids = np.zeros(n_ops, np.int32)
+    starts = np.zeros(n_ops, np.int32)
+    per_slot = {s: {"toks": 0, "words": 0} for s in range(batch)}
+    for i in range(n_ops):
+        kind = int(rng.integers(1, 5))
+        kinds[i] = kind
+        s = int(slots[i])
+        if kind == SCRIPT.OP_INIT:
+            per_slot[s] = {"toks": 0, "words": 0}
+            m_seq = SCRIPT.reset_row(m_seq, s)
+        elif kind == SCRIPT.OP_DEACT:
+            m_seq = SCRIPT.deactivate_row(m_seq, s)
+        elif kind == SCRIPT.OP_EOS:
+            m_seq = SCRIPT.set_eos_row(m_seq, s)
+        else:
+            c = int(rng.integers(1, SCRIPT.WORD_CHUNK + 1))
+            toks[i, :c] = rng.integers(1, 100, c)
+            counts[i] = c
+            wids[i] = per_slot[s]["words"]
+            starts[i] = per_slot[s]["toks"]
+            m_seq = SCRIPT.write_word_chunk(
+                m_seq, s, jnp.asarray(toks[i]), c, int(wids[i]),
+                int(starts[i]),
+            )
+            per_slot[s]["toks"] += c
+            per_slot[s]["words"] += 1
+
+    # Pad with NOPs like the engine's bucketed flush does.
+    pad = 32 - n_ops
+    z = np.zeros
+    m_bat = SCRIPT.apply_ops(
+        SCRIPT.init(batch, cap),
+        jnp.asarray(np.concatenate([kinds, z(pad, np.int32)])),
+        jnp.asarray(np.concatenate([slots, z(pad, np.int32)])),
+        jnp.asarray(np.concatenate([toks, z((pad, SCRIPT.WORD_CHUNK),
+                                            np.int32)])),
+        jnp.asarray(np.concatenate([counts, z(pad, np.int32)])),
+        jnp.asarray(np.concatenate([wids, z(pad, np.int32)])),
+        jnp.asarray(np.concatenate([starts, z(pad, np.int32)])),
+    )
+    for k in m_seq:
+        np.testing.assert_array_equal(
+            np.asarray(m_seq[k]), np.asarray(m_bat[k]), err_msg=k
+        )

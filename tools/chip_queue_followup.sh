@@ -29,3 +29,10 @@ run "$OUT/divergence_stt1b_w8a8.json" 3600 \
 # is the honest single-chip batch for the 2.6B preset.
 run "$OUT/stt26b_e2e_b32.json" 3600 \
   python -m dsm_tpu.bench_perf --e2e --serving --model stt-2.6b --batch 32
+
+run "docs/SUSTAINED_DUPLEX_r03_b24_pipe2.json" 3600 \
+  env DSM_DUPLEX_PIPELINE=2 \
+  python -m dsm_tpu.bench_perf --duplex-sustained 45 --batch 24
+
+run "$OUT/divergence_s2s2b.json" 3600 \
+  python tools/quant_divergence.py --model s2s-2b --steps 750 --batch 2
