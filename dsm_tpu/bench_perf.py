@@ -455,6 +455,8 @@ def bench_tts_sustained(batch: int, seconds: float, engine=None,
             # DSM_TTS_FUSE=K: K frames per dispatch through the device
             # script machine (sessions/tts_script.py).
             fuse_ticks=int(os.environ.get("DSM_TTS_FUSE", "1")),
+            # DSM_TTS_PIPELINE=D: dispatch-ahead depth (fused path).
+            pipeline_depth=int(os.environ.get("DSM_TTS_PIPELINE", "1")),
         )
     mimi_cfg = engine.mimi_cfg
 

@@ -248,6 +248,12 @@ def build_tts(mod: CFG.ModuleConfig) -> TtsEngine:
             fuse_ticks=int(mod.raw.get(
                 "fuse_ticks", os.environ.get("DSM_TTS_FUSE", "1")
             )),
+            # Dispatch-ahead (fused path): keep D-1 fused dispatches in
+            # flight so the device step overlaps the previous fetch+post;
+            # costs fuse*(D-1) frames of delivery latency.
+            pipeline_depth=int(mod.raw.get(
+                "pipeline_depth", os.environ.get("DSM_TTS_PIPELINE", "1")
+            )),
         )
         engine.voices = resolver
         engine.condition_provider = cond_provider

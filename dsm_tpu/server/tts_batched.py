@@ -143,6 +143,7 @@ class BatchedTtsEngine:
         mesh=None,
         fuse_ticks: int = 1,
         script_cap: int = 1024,
+        pipeline_depth: int = 1,
     ):
         """``mesh``: optional dp-only jax Mesh — session state (and the
         doubled CFG rows) shard over dp, params replicate, and the fused
@@ -383,6 +384,16 @@ class BatchedTtsEngine:
         # host) amortises across K frames.
         self.fuse = max(1, int(fuse_ticks))
         self.script_cap = int(script_cap)
+        # Dispatch-ahead (fused path only; same design as
+        # BatchedDuplexEngine.pipeline_depth): the device script machine
+        # means tick N+1's INPUTS never depend on tick N's fetched output
+        # — the host mirror only replays tokens for event emission and a
+        # conservative upload-space view — so depth D keeps D-1 dispatches
+        # in flight and the device step overlaps the previous fetch + post.
+        # Trades up to fuse*(D-1) frames of delivery latency for cadence.
+        self.pipeline_depth = max(1, int(pipeline_depth))
+        self._inflight_f: deque = deque()
+        self._last_fetch_t: Optional[float] = None
         if self.fuse > 1:
             cc = SCRIPT.ScriptConsts.from_cfg(cfg)
             self._mstate = SCRIPT.init(n, self.script_cap)
@@ -562,6 +573,10 @@ class BatchedTtsEngine:
         self.running = False
         if self.thread:
             self.thread.join(timeout=5)
+        # Deliver anything still in the dispatch-ahead pipeline so no
+        # session loses its final frames/Done at shutdown.
+        while self._inflight_f:
+            self._post_fused(self._inflight_f.popleft())
 
     def _ca(self):
         # Both modes keep the SERVED form in _ca_raw — bf16 (k, v) tuple,
@@ -717,6 +732,9 @@ class BatchedTtsEngine:
         self._apply_voice_writes(pending_voice)
         self._apply_script_actions(actions)
         if not any(d is not None for d in drivers) and not reset.any():
+            if self._inflight_f:  # drain the pipeline when input pauses
+                self._post_fused(self._inflight_f.popleft())
+                return True
             return False
 
         t_disp0 = time.perf_counter()
@@ -740,10 +758,29 @@ class BatchedTtsEngine:
             )
         )
         t_fetch0 = time.perf_counter()
+        self._inflight_f.append(
+            (packed_dev, drivers, t_gather0, t_disp0, t0, t_fetch0)
+        )
+        # depth 1: fetch immediately; depth D: keep D-1 dispatches in
+        # flight so the device step overlaps the previous fetch + post.
+        if len(self._inflight_f) >= self.pipeline_depth:
+            self._post_fused(self._inflight_f.popleft())
+        return True
+
+    def _post_fused(self, item) -> None:
+        packed_dev, drivers, t_gather0, t_disp0, t0, t_fetch0 = item
+        n = self.batch_size
         packed = np.asarray(packed_dev)  # ONE fetch for all K frames
         t_fetch1 = time.perf_counter()
         frame = self.mimi_cfg.frame_size
-        metrics.LM_STEP_DURATION.observe((time.perf_counter() - t0) / self.fuse)
+        # With pipelining, dispatch->fetch of one item spans OTHER items'
+        # host work; the honest per-tick cost is the service interval
+        # (completion-to-completion; equals t_fetch1-t0 at depth 1 / cold).
+        dt = min(t_fetch1 - t0, t_fetch1 - self._last_fetch_t) if (
+            self._last_fetch_t is not None
+        ) else t_fetch1 - t0
+        self._last_fetch_t = t_fetch1
+        metrics.LM_STEP_DURATION.observe(dt / self.fuse)
         metrics.LM_STEPS_TOTAL.inc(self.fuse)
         for k in range(self.fuse):
             row = packed[k]
@@ -779,7 +816,6 @@ class BatchedTtsEngine:
                 t_fetch1 - t_fetch0,
                 t_end - t_fetch1,
             )
-        return True
 
     def _tick_single(self) -> bool:
         import jax

@@ -179,14 +179,14 @@ def test_ring_wraparound():
 # ---------------------------------------------------------------------------
 
 
-def make_engine(batch=2, fuse=1):
+def make_engine(batch=2, fuse=1, **kw):
     cfg = small_tts_cfg(max_steps=96)
     mimi_cfg = small_mimi_cfg()
     params = {"lm": LM.init(cfg.lm, jax.random.PRNGKey(0))}
     mimi_params = MIMI.init(mimi_cfg, jax.random.PRNGKey(1))
     return BatchedTtsEngine(
         cfg, params, mimi_cfg, mimi_params, FallbackTokenizer(),
-        batch_size=batch, ca_len=6, fuse_ticks=fuse,
+        batch_size=batch, ca_len=6, fuse_ticks=fuse, **kw,
     ), cfg
 
 
@@ -503,3 +503,26 @@ def test_apply_ops_matches_sequential(seed):
         np.testing.assert_array_equal(
             np.asarray(m_seq[k]), np.asarray(m_bat[k]), err_msg=k
         )
+
+
+def test_fused_pipeline_depth_bit_identical():
+    """Dispatch-ahead (pipeline_depth=2) delivers the exact same event
+    timeline as depth 1: sampling is keyed (seed, step) and the device
+    script machine owns the constraint walk, so dispatch lookahead can
+    only delay HOST-side delivery, never change tokens or ordering.
+    Done stays ordered after the session's final audio."""
+    scripts = [[[31, 7], [8]], [[31, 9, 11]]]
+    seeds = [11, 22]
+    ev_a = _run(make_engine(batch=2, fuse=2)[0], scripts, seeds)
+    ev_b = _run(make_engine(batch=2, fuse=2, pipeline_depth=2)[0],
+                scripts, seeds)
+    for a, b in zip(ev_a, ev_b):
+        ta, tb = _timeline(a), _timeline(b)
+        assert len(ta) == len(tb)
+        assert ta[-1] == ("done",) and tb[-1] == ("done",)
+        for xa, xb in zip(ta, tb):
+            assert xa[0] == xb[0]
+            if xa[0] == "word":
+                assert xa[1:] == xb[1:]
+            elif xa[0] == "audio":
+                np.testing.assert_array_equal(xa[1], xb[1])
