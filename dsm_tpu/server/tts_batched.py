@@ -392,6 +392,15 @@ class BatchedTtsEngine:
         # in flight and the device step overlaps the previous fetch + post.
         # Trades up to fuse*(D-1) frames of delivery latency for cadence.
         self.pipeline_depth = max(1, int(pipeline_depth))
+        if self.pipeline_depth > 1 and self.fuse == 1:
+            # _tick_single ignores pipeline_depth; warn so a misconfigured
+            # bench (DSM_TTS_PIPELINE=2 without DSM_TTS_FUSE>1) isn't
+            # silently measuring the unpipelined path.
+            log.warning(
+                "tts: pipeline_depth=%d has no effect with fuse_ticks=1; "
+                "set fuse_ticks>1 to enable dispatch-ahead",
+                self.pipeline_depth,
+            )
         self._inflight_f: deque = deque()
         self._last_fetch_t: Optional[float] = None
         if self.fuse > 1:
@@ -574,9 +583,13 @@ class BatchedTtsEngine:
         if self.thread:
             self.thread.join(timeout=5)
         # Deliver anything still in the dispatch-ahead pipeline so no
-        # session loses its final frames/Done at shutdown.
-        while self._inflight_f:
-            self._post_fused(self._inflight_f.popleft())
+        # session loses its final frames/Done at shutdown — but only once
+        # the loop thread has actually exited; draining while it is still
+        # alive would have both threads popping/posting concurrently and
+        # could interleave a session's frame/Done delivery out of order.
+        if self.thread is None or not self.thread.is_alive():
+            while self._inflight_f:
+                self._post_fused(self._inflight_f.popleft())
 
     def _ca(self):
         # Both modes keep the SERVED form in _ca_raw — bf16 (k, v) tuple,

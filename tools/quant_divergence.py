@@ -94,7 +94,7 @@ def run_asr(lm_cfg, steps: int, batch: int, seed: int = 0,
             if out["prs"].shape[-1]:
                 prs[p].append(np.asarray(out["prs"], np.float32))
         if i % 100 == 0:
-            print(f"  step {i}/{steps} ({time.time()-t0:.0f}s)", flush=True)
+            print(f"  step {i}/{steps} ({time.time()-t0:.0f}s)", file=sys.stderr, flush=True)
 
     a = np.stack(toks["bf16"])       # (steps, B)
     b = np.stack(toks["serving"])
@@ -162,7 +162,7 @@ def run_tts(lm_cfg, steps: int, batch: int, seed: int = 0,
             text[p].append(np.asarray(out["text_token"]))
             audio[p].append(np.asarray(out["frame"]))
         if i % 100 == 0:
-            print(f"  step {i}/{steps} ({time.time()-t0:.0f}s)", flush=True)
+            print(f"  step {i}/{steps} ({time.time()-t0:.0f}s)", file=sys.stderr, flush=True)
 
     ta, tb = np.stack(text["bf16"]), np.stack(text["serving"])
     aa, ab = np.stack(audio["bf16"]), np.stack(audio["serving"])
@@ -234,7 +234,7 @@ def run_duplex(lm_cfg, steps: int, batch: int, seed: int = 0,
             text[p].append(np.asarray(out["text_token"]))
             audio[p].append(np.asarray(out["frame"]))
         if i % 100 == 0:
-            print(f"  step {i}/{steps} ({time.time()-t0:.0f}s)", flush=True)
+            print(f"  step {i}/{steps} ({time.time()-t0:.0f}s)", file=sys.stderr, flush=True)
 
     ta, tb = np.stack(text["bf16"]), np.stack(text["serving"])
     aa, ab = np.stack(audio["bf16"]), np.stack(audio["serving"])
