@@ -130,6 +130,7 @@ class BatchedAsrEngine:
         pipeline_depth: int = 1,
         mesh=None,
         session_logger=None,
+        fill_gate_frac: float = 0.9,
     ):
         """``mesh``: optional jax.sharding.Mesh (dp[, tp]) — shards the
         continuous batch across chips over ICI and (optionally) attention
@@ -143,6 +144,16 @@ class BatchedAsrEngine:
         self.condition = condition
         self.tick_sleep = tick_sleep
         self.mesh = mesh
+        # Fill gating (see tick()): hold partial-batch dispatches for up to
+        # this fraction of a frame period after the previous dispatch.
+        # 0 disables.  DSM_ASR_FILL_GATE overrides (bench A/B lever).
+        import os as _os
+
+        self._fill_gate_frac = float(
+            _os.environ.get("DSM_ASR_FILL_GATE", fill_gate_frac)
+        )
+        self._frame_period_s = cfg.mimi.frame_size / 24000.0
+        self._last_dispatch_t = 0.0
 
         self._seeded_step = step_fn is None
         self.cache_dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
@@ -419,6 +430,35 @@ class BatchedAsrEngine:
         reset = np.zeros(self.batch_size, bool)
         chans: List[Optional[Channel]] = [None] * self.batch_size
 
+        # Cadence-aware fill gating: clients push one frame per 80 ms in a
+        # near-simultaneous burst, but a tick that races the burst catches
+        # only the first arrivals and burns a FULL-batch-cost device step at
+        # ~5% utilization — the stragglers then ride the NEXT step and the
+        # loop falls one step of cadence debt behind (measured: the >80 ms
+        # tail steps of docs/SUSTAINED_r03.json correlate with util 0.07-
+        # 0.45 steps).  When some but not all open slots have a frame
+        # ready, hold the dispatch until either the batch fills or the
+        # frame-period deadline passes — a frame is never delayed by more
+        # than one frame period, and a stalled client can't block the rest.
+        if self._fill_gate_frac > 0:
+            now = t_pre0
+            n_open = 0
+            n_ready = 0
+            with self.slot_lock:
+                any_reset = bool(self.pending_resets.any())
+                for ch in self.slots:
+                    if ch is not None and not ch.closed:
+                        n_open += 1
+                        if ch.buffered_samples() >= self.frame_size:
+                            n_ready += 1
+            if (
+                0 < n_ready < n_open
+                and not any_reset
+                and now - self._last_dispatch_t
+                < self._frame_period_s * self._fill_gate_frac
+            ):
+                return False
+
         with self.slot_lock:
             reset[:] = self.pending_resets
             self.pending_resets[:] = False
@@ -456,6 +496,7 @@ class BatchedAsrEngine:
             return False
 
         t0 = time.perf_counter()
+        self._last_dispatch_t = t0
         metrics.PIPELINE_PREPROCESS_DURATION.observe(t0 - t_pre0)
         out = self._invoke_step(self._pcm_buf, mask, reset)
         self.step_count += 1

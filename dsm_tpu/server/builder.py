@@ -95,7 +95,13 @@ def build_batched_asr(mod: CFG.ModuleConfig) -> BatchedAsrEngine:
 
     batch = auto_batch_size(mod.batch_size, mod.lm)
     mesh = build_mesh_from_config(mod)
-    engine = BatchedAsrEngine(asr_cfg, params, batch_size=batch, mesh=mesh)
+    engine = BatchedAsrEngine(
+        asr_cfg, params, batch_size=batch, mesh=mesh,
+        pipeline_depth=int(mod.raw.get(
+            "pipeline_depth", os.environ.get("DSM_ASR_PIPELINE", "1")
+        )),
+        fill_gate_frac=float(mod.raw.get("fill_gate_frac", 0.9)),
+    )
     tok_path = (
         CFG.resolve_path(mod.text_tokenizer_file) if mod.text_tokenizer_file else None
     )

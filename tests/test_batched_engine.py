@@ -191,3 +191,66 @@ def test_per_request_seed_replay_determinism():
     assert a == b  # same seed, different slot + co-resident load
     assert a  # produced tokens at all
     assert a != c or len(a) < 3  # different seed diverges (stochastic)
+
+
+def test_fill_gate_partial_batch():
+    """Cadence-aware fill gating: a partial batch (some open slots with a
+    frame ready, others without) is held until the frame-period deadline
+    since the previous dispatch, so a tick racing the clients' frame burst
+    can't burn a full-cost device step at ~5% utilization.  Full batches
+    and reset-only ticks dispatch immediately."""
+    saved = eng.FRAME_SIZE
+    try:
+        e, cfg = small_engine(batch=2)
+        eng.FRAME_SIZE = cfg.mimi.frame_size
+        e._pcm_buf = np.zeros((2, 1, cfg.mimi.frame_size), np.float32)
+        rng = np.random.default_rng(0)
+        pcm = rng.standard_normal(cfg.mimi.frame_size).astype(np.float32)
+
+        evs1, evs2 = [], []
+        ch1 = e.open_channel(evs1.append)
+        ch2 = e.open_channel(evs2.append)
+
+        # Make the gate window observable on any host speed.
+        e._frame_period_s = 60.0
+        e._fill_gate_frac = 0.9
+
+        # Initial full tick clears the open-channel resets (reset ticks are
+        # never gated) and compiles the step.
+        ch1.push_pcm(pcm)
+        ch2.push_pcm(pcm)
+        assert e.tick()
+        e.flush()
+        assert len(evs1) == 1 and len(evs2) == 1
+        assert not e.pending_resets.any()
+
+        # Partial fill straight after a dispatch: gated (no step).
+        ch1.push_pcm(pcm)
+        e._last_dispatch_t = __import__("time").perf_counter()
+        assert not e.tick()
+        assert len(evs1) == 1  # nothing new delivered
+
+        # Deadline passed: the partial batch dispatches.
+        e._last_dispatch_t -= 120.0
+        assert e.tick()
+        e.flush()
+        assert len(evs1) == 2 and len(evs2) == 1
+
+        # Full batch: dispatches immediately even inside the window.
+        ch1.push_pcm(pcm)
+        ch2.push_pcm(pcm)
+        assert e.tick()
+        e.flush()
+        assert len(evs1) == 3 and len(evs2) == 2
+
+        # Reset-only tick (slot reuse) is never gated even on partial fill.
+        e.close_channel(ch2)
+        evs3 = []
+        ch3 = e.open_channel(evs3.append)
+        ch3.push_pcm(pcm)  # ch1 idle now -> partial fill
+        assert e.pending_resets[ch3.slot]
+        assert e.tick()
+        e.flush()
+        assert len(evs3) == 1
+    finally:
+        eng.FRAME_SIZE = saved
