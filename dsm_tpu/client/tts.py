@@ -69,10 +69,13 @@ class TtsClient:
                         continue
                     m = msgpack.unpackb(msg.data, raw=False)
                     t = m.get("type")
-                    if t == "Audio":
+                    if t in ("Audio", "OggOpus"):
                         if ttfb is None:
                             ttfb = time.monotonic() - t0
-                        if "data" in m:  # OggOpusMessagePack envelope
+                        if t == "OggOpus" or "data" in m:
+                            # OggOpusMessagePack envelope (tts.rs OutMsg::
+                            # OggOpus :174; "Audio"+data accepted for
+                            # backward compat with older emitters).
                             from ..utils import opus as opus_mod
 
                             if opus_dec is None:

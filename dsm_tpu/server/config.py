@@ -65,7 +65,7 @@ def resolve_path(spec: str, cache_dir: Optional[str] = None) -> Optional[str]:
             matches = sorted(globlib.glob(pat))
             if matches:
                 return matches[0]
-        return None
+        return _maybe_download(spec)
     if spec.startswith("hf-snapshot://"):
         rel = spec[len("hf-snapshot://"):]
         matches = sorted(globlib.glob(os.path.join(cache, rel), recursive=True))
@@ -80,8 +80,19 @@ def resolve_path(spec: str, cache_dir: Optional[str] = None) -> Optional[str]:
             matches = sorted(globlib.glob(pat, recursive=True))
             if matches:
                 return matches[0]
-        return None
+        return _maybe_download(spec)
     return spec if os.path.exists(spec) else None
+
+
+def _maybe_download(spec: str) -> Optional[str]:
+    """Network leg on local-cache miss (utils.rs resolve_or_download
+    :53-186), gated off in zero-egress environments (DSM_HF_DOWNLOAD=1
+    opens it)."""
+    from . import hf_download
+
+    if not hf_download.download_enabled():
+        return None
+    return hf_download.resolve_or_download(spec)
 
 
 def _norm_kind(v: str) -> str:

@@ -114,8 +114,13 @@ def asr_marker(marker_id: int) -> bytes:
 
 
 def asr_step(step_idx: int, prs: List[float], buffered_pcm: int) -> bytes:
+    # prs is Vec<f32> in the reference OutMsg (asr.rs:31) — pack
+    # single-precision so the bytes match rmp_serde's encoding (the other
+    # fields are ints, unaffected by the float width flag).
     return pack(
-        {"type": "Step", "step_idx": step_idx, "prs": prs, "buffered_pcm": buffered_pcm}
+        {"type": "Step", "step_idx": step_idx, "prs": prs,
+         "buffered_pcm": buffered_pcm},
+        single_float=True,
     )
 
 
@@ -139,9 +144,11 @@ def tts_audio(pcm: List[float]) -> bytes:
 
 
 def tts_audio_opus(data: bytes) -> bytes:
-    """OggOpusMessagePack format: compressed pages in a msgpack envelope
-    (tts.rs Encoder::OggOpusMessagePack)."""
-    return pack({"type": "Audio", "data": data})
+    """OggOpusMessagePack format: compressed pages in a msgpack envelope —
+    a DISTINCT ``OggOpus`` variant, not ``Audio`` (tts.rs OutMsg :174 and
+    Encoder::OggOpusMessagePack :216,259; the Rust client's InMsg decodes
+    it by that tag)."""
+    return pack({"type": "OggOpus", "data": data})
 
 
 def tts_error(message: str) -> bytes:
