@@ -88,11 +88,13 @@ def main():
     from dsm_tpu.utils.compile_cache import enable_if_tpu
 
     enable_if_tpu()
-    # Note: this environment's remote-AOT compile path does not honour
-    # buffer donation, so the step's KV caches are double-buffered during
-    # the bench; batch 128 fits that 2x envelope with int8 KV in 16 GiB HBM
-    # (production local PJRT donates and fits ~2x more).
-    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    # Donation note: earlier rounds measured this environment's compile
+    # path ignoring buffer donation (KV rings double-buffered, capping the
+    # batch at 128).  Re-probed in round 4: donation IS honoured now —
+    # B=192/224 execute (single-buffered state ~12.6 GB + weights at 224),
+    # B=256 OOMs as the single-buffer arithmetic predicts
+    # (docs/PERFORMANCE.md).  224 is the measured single-chip ceiling.
+    batch = int(os.environ.get("BENCH_BATCH", "224"))
     reps = int(os.environ.get("BENCH_REPS", "8"))
     times = bench_asr(batch, reps=reps)
     p50 = float(np.percentile(times, 50))

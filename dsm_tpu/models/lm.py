@@ -367,7 +367,7 @@ def step(
 
     ys = norm_mod.apply_norm(cfg.transformer.norm, params["out_norm"], ys)
     hidden = ys[:, 0, :]
-    text_logits = T.mm(hidden, params["text_linear"])
+    text_logits = T.mm(hidden, params["text_linear"], site="text_linear")
     return text_logits, hidden, {"t": t_state}
 
 
@@ -428,7 +428,7 @@ def _mm_all_slices(hidden: jax.Array, w) -> jax.Array:
 def _dep_embed(dep_params, slice_params, token, low_rank_w):
     emb = slice_params[token]
     if low_rank_w is not None:
-        emb = T.mm(emb, low_rank_w)
+        emb = T.mm(emb, low_rank_w, site="low_rank")
     return emb
 
 
@@ -489,10 +489,10 @@ def depformer_sample(
     def slice_logits(i_params, kv, x_in, idx):
         if lean:
             h, kv = T.micro_step(dcfg, i_params["transformer"], kv, x_in, idx)
-            logits = T.mm(h, i_params["linear_out"])
+            logits = T.mm(h, i_params["linear_out"], site="dep_out")
         else:
             h, kv = T.step(dcfg, i_params["transformer"], kv, x_in[:, None, :])
-            logits = T.mm(h[:, 0], i_params["linear_out"])
+            logits = T.mm(h[:, 0], i_params["linear_out"], site="dep_out")
         return logits, kv
 
     def _draw(logits, k):
@@ -531,7 +531,7 @@ def depformer_sample(
         0,
     )
     lr0 = _tree_index(dp["low_rank"], 0) if "low_rank" in dp else None
-    x0_base = x_base[0] if lean else T.mm(hidden, p0["linear_in"])
+    x0_base = x_base[0] if lean else T.mm(hidden, p0["linear_in"], site="dep_in")
     x0 = x0_base + _dep_embed(
         dp, dp["text_emb"], text_token, lr0
     ).astype(hidden.dtype)
@@ -560,7 +560,7 @@ def depformer_sample(
         kv, last, idx = carry
         sp, forced_i, k_i = xs
         lr = sp.get("low_rank")
-        base = sp["x_base"] if lean else T.mm(hidden, sp["linear_in"])
+        base = sp["x_base"] if lean else T.mm(hidden, sp["linear_in"], site="dep_in")
         x = base + _dep_embed(dp, sp["emb"], last, lr).astype(hidden.dtype)
         logits, kv = slice_logits(sp, kv, x, idx)
         tok = combine_and_sample(logits, k_i)

@@ -46,12 +46,13 @@ def init(
     }
 
 
-def _mm(x, w):
+def _mm(x, w, site=None):
     # Dense or weight-only int8 ({"q", "s"}; ops/transformer.quantize_weights).
+    # ``site``: mixed-profile W8A8 filter identity (ops/qmm.set_w8a8_sites).
     if isinstance(w, dict) and "q" in w:
         from . import qmm as qmm_mod
 
-        if qmm_mod.w8a8_enabled():
+        if qmm_mod.w8a8_enabled(site):
             return qmm_mod.mm_w8a8(x, w["q"], w["s"])  # int8 MXU dots
         if qmm_mod.qmm_enabled() and qmm_mod.supported(x, w["q"]):
             return qmm_mod.qmm(x, w["q"], w["s"])  # on-chip dequant
@@ -61,10 +62,10 @@ def _mm(x, w):
 
 def apply(params: dict, x: jax.Array) -> jax.Array:
     if "linear_in" in params:
-        y = _mm(x, params["linear_in"])
+        y = _mm(x, params["linear_in"], site="mlp_in")
         a, b = jnp.split(y, 2, axis=-1)
         y = jax.nn.silu(a) * b
-        return _mm(y, params["linear_out"])
-    y = _mm(x, params["linear1"])
+        return _mm(y, params["linear_out"], site="mlp_out")
+    y = _mm(x, params["linear1"], site="mlp_in")
     y = jax.nn.gelu(y, approximate=False)
-    return _mm(y, params["linear2"])
+    return _mm(y, params["linear2"], site="mlp_out")

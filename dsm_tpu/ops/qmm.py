@@ -114,11 +114,44 @@ def set_w8a8_default(value: bool) -> None:
     _w8a8_default = bool(value)
 
 
-def w8a8_enabled() -> bool:
+# Per-SITE gating for a mixed quant profile: W8A8 where it is free,
+# weight-only int8 where activation quantisation costs quality.  Sites are
+# short matmul identities passed by the callers of ops/transformer.mm
+# ("in_proj", "out_proj", "ca_q", "ca_out", "mlp_in", "mlp_out",
+# "text_linear", "dep_in", "dep_out", "low_rank").  None = no site filter
+# (all matmuls follow the global gate).  Reference parity concept:
+# nn.rs:24-33 picks the matmul dtype per backend — this is the same idea
+# at per-matmul grain (VERDICT r3 #6).
+_w8a8_sites = None
+
+
+def set_w8a8_sites(sites) -> None:
+    """``sites``: iterable of site names to keep on W8A8 (others fall back
+    to the weight-only dequant path), or None to disable filtering."""
+    global _w8a8_sites
+    _w8a8_sites = None if sites is None else frozenset(sites)
+
+
+def w8a8_sites():
+    env = os.environ.get("DSM_W8A8_SITES")
+    if env is not None:
+        if env in ("", "all"):
+            return None
+        return frozenset(s.strip() for s in env.split(",") if s.strip())
+    return _w8a8_sites
+
+
+def w8a8_enabled(site: str = None) -> bool:
     """Dynamic-activation int8 matmuls: per-row absmax activation quant
     feeding native s8xs8->s32 MXU dots.  Removes the int8->bf16
     weight-dequant HBM materialisation entirely (the weight is consumed as
-    int8 by the MXU) and doubles MXU throughput."""
+    int8 by the MXU) and doubles MXU throughput.
+
+    ``site``: optional matmul identity checked against the site filter
+    (set_w8a8_sites / DSM_W8A8_SITES) for mixed profiles."""
+    sites = w8a8_sites()
+    if site is not None and sites is not None and site not in sites:
+        return False
     env = os.environ.get("DSM_W8A8")
     if env is None:
         return _w8a8_default

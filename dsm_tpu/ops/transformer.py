@@ -194,12 +194,15 @@ def reset_state(state: dict, reset_mask: jax.Array) -> dict:
     }
 
 
-def mm(x: jax.Array, w) -> jax.Array:
+def mm(x: jax.Array, w, site: str = None) -> jax.Array:
     """x @ w.T where ``w`` is either a dense array or a weight-only int8
     dict ``{"q": int8 (O, I), "s": f32 (O,)}`` with per-output-channel
-    scales (see :func:`quantize_weights`)."""
+    scales (see :func:`quantize_weights`).
+
+    ``site``: matmul identity for the mixed-profile W8A8 site filter
+    (ops/qmm.set_w8a8_sites)."""
     if isinstance(w, dict) and "q" in w:
-        if qmm_mod.w8a8_enabled():
+        if qmm_mod.w8a8_enabled(site):
             # Native int8 MXU dots (W8A8): no bf16 weight-dequant
             # materialisation, 2x MXU rate (ops/qmm.py mm_w8a8).
             return qmm_mod.mm_w8a8(x, w["q"], w["s"])
@@ -267,7 +270,7 @@ def quantize_weights(tree, min_size: int = 1 << 16):
 def _qkv(cfg, lp, x):
     b, t, _ = x.shape
     h, hd = cfg.num_heads, cfg.hd
-    qkv = mm(x, lp["in_proj_w"])
+    qkv = mm(x, lp["in_proj_w"], site="in_proj")
     if "in_proj_b" in lp:
         qkv = qkv + lp["in_proj_b"].astype(x.dtype)
     qkv = qkv.reshape(b, t, 3, h, hd)
@@ -279,7 +282,7 @@ def _qkv(cfg, lp, x):
 
 def _proj_out(cfg, lp, y, b, t):
     y = y.transpose(0, 2, 1, 3).reshape(b, t, cfg.num_heads * cfg.hd)
-    y = mm(y, lp["out_proj_w"])
+    y = mm(y, lp["out_proj_w"], site="out_proj")
     if cfg.tp_axis:
         # Row-parallel output projection: shards hold partial sums over
         # their head slice; reduce BEFORE the (replicated) bias.
@@ -313,7 +316,7 @@ def _cross_block(cfg, lp, x, ca_k, ca_v, ca_q=None):
     takes precedence over ``ca_k/ca_v``."""
     b, t, _ = x.shape
     xn = norm_mod.apply_norm(cfg.ca_norm or cfg.norm_kind, lp["norm_cross"], x)
-    q = mm(xn, lp["ca_q_w"])
+    q = mm(xn, lp["ca_q_w"], site="ca_q")
     q = q.reshape(b, t, cfg.num_heads, cfg.hd).transpose(0, 2, 1, 3)
     if ca_q is not None:
         if (
@@ -331,7 +334,7 @@ def _cross_block(cfg, lp, x, ca_k, ca_v, ca_q=None):
     else:
         y = attn.cross_attend(q, ca_k, ca_v)
     y = y.transpose(0, 2, 1, 3).reshape(b, t, cfg.num_heads * cfg.hd)
-    y = mm(y, lp["ca_out_w"])
+    y = mm(y, lp["ca_out_w"], site="ca_out")
     if cfg.tp_axis:
         # The gate is computed from the replicated xn, so gating commutes
         # with the reduction; reduce first to gate a replicated value.

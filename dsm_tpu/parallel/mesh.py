@@ -36,20 +36,40 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
 def _spec_for_param(path: str, leaf) -> P:
     """TP sharding rules for stacked transformer layer params.
 
-    Leaves have a leading num_layers axis.  Column-parallel for the input
-    projections (shard the fused output dim), row-parallel for the output
-    projections (shard the input dim) — the standard Megatron split, which
-    GSPMD turns into one psum per attention/MLP block over ICI.
+    Leaves have leading stacking axes — (L, out, in) for the main
+    transformer, (S, L, out, in) for the depformer's per-slice stacks —
+    and the projection dims are always the LAST two.  Column-parallel for
+    the input projections (shard the fused output dim), row-parallel for
+    the output projections (shard the input dim) — the standard Megatron
+    split, which GSPMD turns into one psum per attention/MLP block over
+    ICI.
     """
-    if path.endswith("in_proj_w") or path.endswith("ca_q_w") or path.endswith("ca_kv_w"):
-        return P(None, "tp", None)
-    if path.endswith("out_proj_w") or path.endswith("ca_out_w"):
-        return P(None, None, "tp")
-    if path.endswith("mlp/linear_in") or path.endswith("mlp/linear1"):
-        return P(None, "tp", None)
-    if path.endswith("mlp/linear_out") or path.endswith("mlp/linear2"):
-        return P(None, None, "tp")
-    return P()  # replicated
+    nd = getattr(leaf, "ndim", 0)
+    # Weight-only-int8 dicts (ops/transformer.quantize_weights) hang a
+    # {"q": int8, "s": per-out-channel f32} pair under the dense leaf's
+    # name: "q" shards exactly like the dense weight; "s" follows the OUT
+    # dim (sharded for column-parallel, replicated for row-parallel).
+    quant_leaf = None
+    if path.endswith("/q") or path.endswith("/s"):
+        quant_leaf = path[-1]
+        path = path[:-2]
+    col = (
+        path.endswith("in_proj_w") or path.endswith("ca_q_w")
+        or path.endswith("ca_kv_w") or path.endswith("mlp/linear_in")
+        or path.endswith("mlp/linear1")
+    )
+    row = (
+        path.endswith("out_proj_w") or path.endswith("ca_out_w")
+        or path.endswith("mlp/linear_out") or path.endswith("mlp/linear2")
+    )
+    if not (col or row):
+        return P()
+    if quant_leaf == "s":
+        return P(*(None,) * (nd - 1), "tp") if col else P()
+    if nd < 2:
+        return P()
+    lead = (None,) * (nd - 2)
+    return P(*lead, "tp", None) if col else P(*lead, None, "tp")
 
 
 def _path_str(path) -> str:

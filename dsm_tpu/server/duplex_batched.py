@@ -107,11 +107,12 @@ class BatchedDuplexEngine:
         mesh=None,
         pipeline_depth: int = 1,
     ):
-        """``mesh``: optional dp-only jax Mesh — dialogue state shards over
-        dp, params replicate, and the fused tick runs SPMD via GSPMD
-        (same contract as BatchedAsrEngine / BatchedTtsEngine; Pallas
-        kernels are trace-disabled under a mesh since GSPMD cannot
-        partition pallas_call).
+        """``mesh``: optional jax Mesh (dp[, tp]) — dialogue state shards
+        over dp; with tp > 1 the LM weights take the Megatron column/row
+        split and KV heads shard over tp (same contract as
+        BatchedAsrEngine / BatchedTtsEngine; Pallas kernels are
+        trace-disabled under a mesh since GSPMD cannot partition
+        pallas_call).
 
         ``pipeline_depth``: 1 = fetch each tick's outputs before the next
         dispatch (lowest latency — the default, matching the reference
@@ -162,14 +163,25 @@ class BatchedDuplexEngine:
         if mesh is not None:
             from ..parallel import mesh as M
 
-            if mesh.shape.get("tp", 1) != 1:
-                raise ValueError("duplex engine meshes are dp-only")
+            tp = mesh.shape.get("tp", 1)
             if batch_size % mesh.shape["dp"]:
                 raise ValueError(
                     f"batch {batch_size} not divisible by dp="
                     f"{mesh.shape['dp']}"
                 )
-            self.params = M.replicate(mesh, self.params)
+            if tp > 1 and cfg.lm.transformer.num_heads % tp:
+                raise ValueError(
+                    f"num_heads {cfg.lm.transformer.num_heads} not divisible "
+                    f"by tp={tp}"
+                )
+            # tp > 1: Megatron-split LM weights (quantised {"q","s"} dicts
+            # included — parallel/mesh._spec_for_param shards "q" like the
+            # dense weight and "s" along the out channel); GSPMD inserts
+            # the psum joins over ICI.
+            self.params = (
+                M.shard_transformer_params(mesh, self.params)
+                if tp > 1 else M.replicate(mesh, self.params)
+            )
             self.state = M.shard_batched_state(mesh, self.state, batch_size)
             self.enc_state = M.shard_batched_state(
                 mesh, self.enc_state, batch_size

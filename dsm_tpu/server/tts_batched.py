@@ -145,11 +145,12 @@ class BatchedTtsEngine:
         script_cap: int = 1024,
         pipeline_depth: int = 1,
     ):
-        """``mesh``: optional dp-only jax Mesh — session state (and the
-        doubled CFG rows) shard over dp, params replicate, and the fused
-        tick runs SPMD via GSPMD.  Pallas kernels are trace-disabled under
-        a mesh (GSPMD cannot partition pallas_call; same rule as
-        BatchedAsrEngine)."""
+        """``mesh``: optional jax Mesh (dp[, tp]) — session state (and the
+        doubled CFG rows) shard over dp; with tp > 1 the LM weights take
+        the Megatron column/row split and KV + voice-CA heads shard over
+        tp (GSPMD inserts the psum joins).  Pallas kernels are
+        trace-disabled under a mesh (GSPMD cannot partition pallas_call;
+        same rule as BatchedAsrEngine)."""
         import jax
         import jax.numpy as jnp
 
@@ -288,24 +289,38 @@ class BatchedTtsEngine:
         if mesh is not None:
             from ..parallel import mesh as M
 
-            if mesh.shape.get("tp", 1) != 1:
-                raise ValueError("TTS engine meshes are dp-only")
+            tp = mesh.shape.get("tp", 1)
             if self.rows % mesh.shape["dp"]:
                 raise ValueError(
                     f"rows {self.rows} not divisible by dp={mesh.shape['dp']}"
                 )
-            self.params = M.replicate(mesh, self.params)
+            if tp > 1 and cfg.lm.transformer.num_heads % tp:
+                raise ValueError(
+                    f"num_heads {cfg.lm.transformer.num_heads} not divisible "
+                    f"by tp={tp}"
+                )
+            # tp > 1: Megatron-split LM weights over tp (GSPMD inserts the
+            # psum joins; parallel/mesh._spec_for_param rules, incl. the
+            # depformer's (S, L, out, in) stacks and the voice-CA
+            # projections).  The Pallas kernels are already trace-disabled
+            # under any mesh, so the XLA paths partition cleanly.
+            self.params = (
+                M.shard_transformer_params(mesh, self.params)
+                if tp > 1 else M.replicate(mesh, self.params)
+            )
             self.mimi_params = M.replicate(mesh, self.mimi_params)
             self.state = M.shard_batched_state(mesh, self.state, self.rows)
             self.mimi_state = M.shard_batched_state(
                 mesh, self.mimi_state, batch_size
             )
-            # Voice CA: rows ride on axis 1 of (L, rows, H, S, Dh).
+            # Voice CA: rows ride on axis 1 of (L, rows, H, S, Dh); heads
+            # follow the attention tp split.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            ca_sh = NamedSharding(mesh, P(None, "dp", None, None, None))
+            tp_ax = "tp" if tp > 1 else None
+            ca_sh = NamedSharding(mesh, P(None, "dp", tp_ax, None, None))
             if self.ca_quant:
-                ca_sh4 = NamedSharding(mesh, P(None, "dp", None, None))
+                ca_sh4 = NamedSharding(mesh, P(None, "dp", tp_ax, None))
                 self._ca_raw = {
                     "k": jax.device_put(self._ca_raw["k"], ca_sh),
                     "v": jax.device_put(self._ca_raw["v"], ca_sh),

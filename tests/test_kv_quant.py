@@ -110,3 +110,55 @@ def test_sample_dynamic_temperature_semantics():
     top5 = jax.lax.top_k(logits, 5)[1]
     for b in range(4):
         assert int(toks[b]) in np.asarray(top5[b])
+
+
+def test_w8a8_site_filter(monkeypatch):
+    """Mixed-profile site gating (ops/qmm.set_w8a8_sites / DSM_W8A8_SITES):
+    sites outside the filter fall back to the weight-only dequant path
+    while filtered sites keep the int8 MXU dots."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dsm_tpu.ops import qmm, transformer as T
+
+    monkeypatch.setenv("DSM_W8A8", "1")
+    monkeypatch.delenv("DSM_W8A8_SITES", raising=False)
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((512, 512)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((4, 512)), jnp.float32)
+    wq = T.quantize_weights({"in_proj_w": w}, min_size=1)["in_proj_w"]
+    assert isinstance(wq, dict) and "q" in wq
+
+    y_w8a8 = qmm.mm_w8a8(x, wq["q"], wq["s"])
+    y_dequant = (x @ wq["q"].astype(x.dtype).T) * wq["s"].astype(x.dtype)
+    # The two paths are numerically different (activation quantisation) —
+    # that's what makes the site filter observable.
+    assert not np.allclose(np.asarray(y_w8a8), np.asarray(y_dequant))
+
+    # No filter: every site uses W8A8.
+    np.testing.assert_array_equal(
+        np.asarray(T.mm(x, wq, site="in_proj")), np.asarray(y_w8a8)
+    )
+    # Filter excludes in_proj -> weight-only path there, W8A8 elsewhere.
+    qmm.set_w8a8_sites({"mlp_in"})
+    try:
+        np.testing.assert_array_equal(
+            np.asarray(T.mm(x, wq, site="in_proj")), np.asarray(y_dequant)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(T.mm(x, wq, site="mlp_in")), np.asarray(y_w8a8)
+        )
+        # Unsited calls follow the global gate regardless of the filter.
+        np.testing.assert_array_equal(
+            np.asarray(T.mm(x, wq)), np.asarray(y_w8a8)
+        )
+    finally:
+        qmm.set_w8a8_sites(None)
+
+    # Env override form.
+    monkeypatch.setenv("DSM_W8A8_SITES", "out_proj")
+    np.testing.assert_array_equal(
+        np.asarray(T.mm(x, wq, site="in_proj")), np.asarray(y_dequant)
+    )

@@ -220,7 +220,9 @@ def test_batched_duplex_engine_on_mesh():
     assert len(audio) >= 1
     assert np.isfinite(audio[0].pcm).all()
 
-    with pytest.raises(ValueError):
+    # tp meshes are supported since round 4 (Megatron-split weights), but
+    # the batch must divide dp — 6 % 4 != 0 rejects.
+    with pytest.raises(ValueError, match="not divisible by dp"):
         BatchedDuplexEngine(
             single.cfg, single.params, mimi_cfg, single.mimi_params,
             single.tokenizer, batch_size=6, mesh=M.make_mesh(dp=4, tp=2),

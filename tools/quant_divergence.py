@@ -116,6 +116,129 @@ def run_asr(lm_cfg, steps: int, batch: int, seed: int = 0,
     return out
 
 
+def run_asr_w8a8_sweep(lm_cfg, steps: int, batch: int, seed: int = 0,
+                       kernels: bool = True) -> dict:
+    """Per-SITE W8A8 sensitivity sweep (VERDICT r3 #6).
+
+    Teacher-forced ASR divergence with the full serving profile, where each
+    leg drops ONE matmul site from W8A8 back to the weight-only dequant
+    path (ops/qmm.set_w8a8_sites).  The bf16 stream is computed once; every
+    leg compares against it.  The output ranks sites by how much excluding
+    them recovers token match — the mixed serving profile keeps W8A8
+    everywhere except the top offenders."""
+    import jax
+    import jax.numpy as jnp
+
+    from dsm_tpu.models import mimi as MIMI
+    from dsm_tpu.models import lm as LM
+    from dsm_tpu.ops import qmm
+    from dsm_tpu.ops import ring_kernels as rk
+    from dsm_tpu.ops import transformer as T
+    from dsm_tpu.sessions import asr as ASR
+
+    mimi_cfg = MIMI.v0_1(lm_cfg.audio_codebooks)
+    key = jax.random.PRNGKey(seed)
+    lm_bf16 = LM.init(lm_cfg, key, dtype=jnp.bfloat16)
+    mimi_params = MIMI.init(mimi_cfg, jax.random.fold_in(key, 1))
+    lm_q = T.quantize_weights(lm_bf16)
+    frame = mimi_cfg.frame_size
+    k0 = jax.random.PRNGKey(123)
+    mask = np.ones(batch, bool)
+    reset = np.zeros(batch, bool)
+
+    def stream():
+        # The same pcm for every leg.
+        r = np.random.default_rng(seed)
+        for _ in range(steps):
+            yield (r.standard_normal((batch, 1, frame)) * 0.1).astype(
+                np.float32
+            )
+
+    # -- bf16 reference stream (tokens per step) --
+    cfg_bf = ASR.AsrConfig(lm=lm_cfg, mimi=mimi_cfg, kv_quant=False)
+
+    def _step_bf(params, state, pcm, mask, reset, k):
+        with rk.kernels_forced(False):
+            return ASR.step(cfg_bf, params, state, pcm, mask, reset, k)
+
+    fn_bf = jax.jit(_step_bf, donate_argnums=(1,))
+    st = ASR.init_state(cfg_bf, batch, jnp.bfloat16)
+    ref_toks = []
+    t0 = time.time()
+    for i, pcm in enumerate(stream()):
+        out, st = fn_bf({"mimi": mimi_params, "lm": lm_bf16}, st, pcm, mask,
+                        reset, k0)
+        ref_toks.append(np.asarray(out["text_token"]))
+        if i % 100 == 0:
+            print(f"  bf16 step {i}/{steps} ({time.time()-t0:.0f}s)",
+                  file=sys.stderr, flush=True)
+    ref = np.stack(ref_toks)  # (steps, B)
+
+    cfg_q = ASR.AsrConfig(lm=lm_cfg, mimi=mimi_cfg, kv_quant=True)
+    all_sites = ["in_proj", "out_proj", "mlp_in", "mlp_out", "text_linear",
+                 "low_rank"]
+    if lm_cfg.depformer is not None:
+        all_sites += ["dep_in", "dep_out"]
+
+    def leg(excluded) -> float:
+        """Token match of the serving profile with ``excluded`` sites on
+        the weight-only path instead of W8A8."""
+        sites = None if not excluded else frozenset(
+            s for s in all_sites if s not in excluded
+        )
+        qmm.set_w8a8_sites(sites)
+        try:
+            def _step(params, state, pcm, mask, reset, k):
+                with rk.kernels_forced(kernels):
+                    return ASR.step(cfg_q, params, state, pcm, mask, reset, k)
+
+            fn = jax.jit(_step, donate_argnums=(1,))
+            st = ASR.init_state(cfg_q, batch, jnp.bfloat16)
+            matches = []
+            t0 = time.time()
+            for i, pcm in enumerate(stream()):
+                out, st = fn({"mimi": mimi_params, "lm": lm_q}, st, pcm,
+                             mask, reset, k0)
+                # Teacher-force the text feedback with the bf16 stream.
+                st = dict(st, text_token=jnp.asarray(ref[i]))
+                matches.append(np.asarray(out["text_token"]) == ref[i])
+                if i % 200 == 0:
+                    print(
+                        f"  leg -{excluded or 'none'} step {i}/{steps} "
+                        f"({time.time()-t0:.0f}s)",
+                        file=sys.stderr, flush=True,
+                    )
+            return float(np.stack(matches).mean())
+        finally:
+            qmm.set_w8a8_sites(None)
+
+    results = {"all_w8a8": round(leg([]), 5)}
+    for s in all_sites:
+        results[f"minus_{s}"] = round(leg([s]), 5)
+
+    # Mixed-profile proposal: exclude sites in descending recovery order
+    # until >= 0.99 (or all are excluded, which is plain weight-only int8).
+    base = results["all_w8a8"]
+    gains = sorted(
+        ((results[f"minus_{s}"] - base, s) for s in all_sites), reverse=True
+    )
+    excluded, mixed = [], base
+    for gain, s in gains:
+        if mixed >= 0.99 or gain <= 0:
+            break
+        excluded.append(s)
+        mixed = leg(excluded)
+    results["mixed_profile_excluded"] = excluded
+    results["mixed_profile_match"] = round(mixed, 5)
+    return {
+        "steps": steps,
+        "batch": batch,
+        "mode": "teacher-forced per-site W8A8 sweep",
+        "sites": all_sites,
+        "results": results,
+    }
+
+
 def run_tts(lm_cfg, steps: int, batch: int, seed: int = 0,
             kernels: bool = True) -> dict:
     import jax
@@ -256,7 +379,8 @@ def main(argv=None):
     enable_if_tpu()
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="stt-1b",
-                   choices=["stt-1b", "tts-1.6b", "s2s-2b", "small"])
+                   choices=["stt-1b", "stt-2.6b", "tts-1.6b", "s2s-2b",
+                            "small"])
     p.add_argument("--steps", type=int, default=750)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--no-kernels", action="store_true",
@@ -264,6 +388,10 @@ def main(argv=None):
                         "(kernels default ON only on TPU: interpret-mode "
                         "pallas on CPU is orders slower and numerically "
                         "identical — tests/test_ring_kernel.py)")
+    p.add_argument("--w8a8-sweep", action="store_true",
+                   help="per-site W8A8 sensitivity sweep (ASR models): one "
+                        "leg per matmul site dropped from W8A8, plus a "
+                        "mixed-profile proposal targeting >= 99%% match")
     args = p.parse_args(argv)
 
     import jax
@@ -272,8 +400,24 @@ def main(argv=None):
 
     from dsm_tpu.models import lm as LM
 
+    if args.w8a8_sweep:
+        os.environ["DSM_W8A8"] = "1"
+        cfg = {
+            "stt-1b": LM.stt_1b_en_fr,
+        }.get(args.model)
+        if cfg is None:
+            p.error("--w8a8-sweep supports --model stt-1b")
+        res = run_asr_w8a8_sweep(cfg(), args.steps, args.batch,
+                                 kernels=on_tpu and not args.no_kernels)
+        res["model"] = args.model
+        res["w8a8"] = True
+        print(json.dumps(res))
+        return
     if args.model == "stt-1b":
         res = run_asr(LM.stt_1b_en_fr(), args.steps, args.batch,
+                      kernels=on_tpu and not args.no_kernels)
+    elif args.model == "stt-2.6b":
+        res = run_asr(LM.stt_2_6b_en(), args.steps, args.batch,
                       kernels=on_tpu and not args.no_kernels)
     elif args.model == "tts-1.6b":
         res = run_tts(LM.tts_1_6b_en_fr(), args.steps, args.batch,
