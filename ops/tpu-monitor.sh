@@ -1,25 +1,33 @@
 #!/usr/bin/env bash
 # tpu-monitor — live terminal monitor for a dsm-tpu serving host.
 #
-# TPU-native analogue of ops/gpu-monitor.sh (reference: an nvidia-smi TUI):
-# where the GPU monitor polls the driver, a TPU host exposes its accelerator
+# TPU-native analogue of ops/gpu-monitor.sh (reference: an nvidia-smi TUI
+# with process selection/kill, per-process detail, history graphs): where
+# the GPU monitor polls the driver, a TPU host exposes its accelerator
 # state through the serving process itself, so this monitor reads the
 # server's /api/status JSON + /metrics Prometheus text (HBM gauges, step
 # latency histogram, batch utilization, open channels) plus /proc for host
 # CPU/RAM and the process table for serving workers.
 #
 # Usage: tpu-monitor.sh [interval_seconds]
+#        tpu-monitor.sh --once          single frame to stdout (no TUI;
+#                                       scripts/tests)
 #   DSM_SERVER=http://127.0.0.1:8088  target server (default)
 #   SHOW_PROCS=1                       python process table
 #   NO_COLOR=1                         disable colors
-# Keys: q quit, p toggle processes, r force refresh
+# Keys: q quit, p toggle processes, r force refresh,
+#       j/k (or arrows) select process, d detail pane, K kill selected
+#       (with confirmation), x clear alerts
 
 set -uo pipefail
 
+ONCE=0
+if [[ "${1:-}" == "--once" ]]; then ONCE=1; shift || true; fi
 INTERVAL_SECONDS="${1:-2}"
 SERVER="${DSM_SERVER:-http://127.0.0.1:8088}"
 SHOW_PROCS="${SHOW_PROCS:-1}"
 BAR_WIDTH="${BAR_WIDTH:-24}"
+SPARK_WIDTH="${SPARK_WIDTH:-40}"
 
 if ! [[ "$INTERVAL_SECONDS" =~ ^[0-9]+$ ]]; then
   echo "Interval must be an integer number of seconds." >&2
@@ -34,8 +42,10 @@ c() { # c <code> <text>
 }
 
 cleanup() {
-  printf '\033[?25h\033[?1049l'
-  stty sane 2>/dev/null || true
+  if [[ $ONCE -eq 0 ]]; then
+    printf '\033[?25h\033[?1049l'
+    stty sane 2>/dev/null || true
+  fi
   exit 0
 }
 trap cleanup INT TERM EXIT
@@ -52,12 +62,40 @@ make_bar() { # make_bar <pct> <width>
   printf '%*s] %3d%%' "$rest" '' "$pct"
 }
 
+# History rings for the sparklines (space-separated value strings, newest
+# last, trimmed to SPARK_WIDTH) — the reference keeps per-GPU utilization
+# history for its graphs; here: step p50 / capacity / host CPU.
+HIST_P50=""
+HIST_CAP=""
+HIST_CPU=""
+
+hist_push() { # hist_push <varname> <value>
+  local v="${!1} $2"
+  v=$(printf '%s' "$v" | awk -v w="$SPARK_WIDTH" '
+    { n = split($0, a, " "); s = ""; start = (n > w ? n - w + 1 : 1)
+      for (i = start; i <= n; i++) s = s (s == "" ? "" : " ") a[i]; print s }')
+  printf -v "$1" '%s' "$v"
+}
+
+sparkline() { # sparkline <values...> -> unicode blocks scaled to max
+  python3 -S - "$@" <<'PYEOF' 2>/dev/null
+import sys
+vals = [float(v) for v in sys.argv[1:] if v not in ("", "nan")]
+if not vals:
+    sys.exit()
+blocks = " ▁▂▃▄▅▆▇█"
+hi = max(vals) or 1.0
+print("".join(blocks[min(8, int(v / hi * 8 + 0.5))] for v in vals)
+      + f"  max {hi:.0f}")
+PYEOF
+}
+
 fetch() { # fetch <path> -> stdout (empty on failure)
   curl -ks --max-time 2 "$SERVER$1" 2>/dev/null || true
 }
 
 json_get() { # json_get <json> <python-expr over d>
-  python3 - "$2" <<PYEOF 2>/dev/null
+  python3 -S - "$2" <<PYEOF 2>/dev/null
 import json, sys
 try:
     d = json.loads('''$1''')
@@ -77,7 +115,7 @@ metric_sum() { # metric_sum <file> <prefix> -> sum of matching series
 }
 
 hist_pcts() { # hist_pcts <file> <histogram-name> -> "p50 p95 p99" (ms)
-  python3 - "$1" "$2" <<'PYEOF' 2>/dev/null
+  python3 -S - "$1" "$2" <<'PYEOF' 2>/dev/null
 import sys, re
 path, name = sys.argv[1], sys.argv[2]
 buckets = []
@@ -132,6 +170,89 @@ host_stats() {
   HOST_MEM_TOTAL="${mem##* }"
 }
 
+# -- process table with selection / detail / kill (gpu-monitor.sh
+#    load_process_entries / render_selected_process_detail / prompt_kill) --
+PROC_PIDS=()
+PROC_LINES=()
+SEL=0
+DETAIL=0
+ALERTS=""
+PREV_ERRS=""
+
+load_procs() {
+  PROC_PIDS=()
+  PROC_LINES=()
+  local line pid
+  while IFS= read -r line; do
+    pid="${line%% *}"
+    PROC_PIDS+=("$pid")
+    PROC_LINES+=("$line")
+  done < <(ps -eo pid,pcpu,rss,args --sort=-rss 2>/dev/null \
+    | awk '/dsm_tpu|moshi|bench/ && !/awk|tpu-monitor/ {printf "%s %s %d %.80s\n", $1, $2, $3/1024, substr($0, index($0,$4))}' \
+    | head -n 8)
+  (( SEL >= ${#PROC_PIDS[@]} )) && SEL=$(( ${#PROC_PIDS[@]} > 0 ? ${#PROC_PIDS[@]} - 1 : 0 ))
+}
+
+render_procs() {
+  printf '\n'; c "1;35" "SERVING PROCESSES"; printf ' (j/k select, d detail, K kill)\n'
+  printf '  %-8s %-6s %-9s %s\n' PID 'CPU%' RSS_MB CMD
+  local i line marker
+  for i in "${!PROC_LINES[@]}"; do
+    line="${PROC_LINES[$i]}"
+    marker='  '
+    if (( i == SEL )); then marker='> '; fi
+    if (( i == SEL )) && [[ $COLOR -eq 1 ]]; then
+      printf '\033[7m%s%s\033[0m\n' "$marker" "$line"
+    else
+      printf '%s%s\n' "$marker" "$line"
+    fi
+  done
+  [[ ${#PROC_LINES[@]} -eq 0 ]] && printf '  (no serving processes)\n'
+  if (( DETAIL == 1 )) && [[ ${#PROC_PIDS[@]} -gt 0 ]]; then
+    local pid="${PROC_PIDS[$SEL]}"
+    printf '\n'; c "1;35" "DETAIL pid $pid"; printf '\n'
+    if [[ -r "/proc/$pid/status" ]]; then
+      awk '/^(State|Threads|VmRSS|VmHWM|voluntary_ctxt)/ {printf "  %-24s %s %s\n", $1, $2, ($3 ? $3 : "")}' \
+        "/proc/$pid/status"
+      printf '  %-24s %s\n' "open_fds:" "$(ls "/proc/$pid/fd" 2>/dev/null | wc -l)"
+      printf '  %-24s %.120s\n' "cmdline:" "$(tr '\0' ' ' < "/proc/$pid/cmdline" 2>/dev/null)"
+    else
+      printf '  (gone)\n'
+    fi
+  fi
+}
+
+prompt_kill() {
+  [[ ${#PROC_PIDS[@]} -eq 0 ]] && return
+  local pid="${PROC_PIDS[$SEL]}"
+  printf '\n'
+  c "1;31" "kill pid $pid? [y/N] "
+  stty sane 2>/dev/null || true
+  local ans
+  read -r -n 1 ans || true
+  stty -echo -icanon time 0 min 0 2>/dev/null || true
+  if [[ "$ans" == "y" || "$ans" == "Y" ]]; then
+    kill "$pid" 2>/dev/null && ALERTS="${ALERTS}sent SIGTERM to $pid; "
+  fi
+}
+
+check_alerts() { # check_alerts <pcts "p50 p95 p99"> <errs> <used> <batch>
+  local pcts="$1" errs="$2" used="$3" batch="$4" p99
+  p99="${pcts##* }"
+  if [[ -n "$p99" && "$p99" != "inf" && "$p99" -gt 80 ]] 2>/dev/null; then
+    ALERTS="${ALERTS}step p99 ${p99}ms > 80ms budget; "
+  fi
+  if [[ -n "$PREV_ERRS" && -n "$errs" ]] && (( errs > PREV_ERRS )); then
+    ALERTS="${ALERTS}connection errors +$(( errs - PREV_ERRS )); "
+  fi
+  PREV_ERRS="$errs"
+  if [[ -n "$batch" && "$batch" != "0" && -n "$used" ]] && (( used >= batch )); then
+    ALERTS="${ALERTS}at capacity ($used/$batch); "
+  fi
+  # keep the alert line bounded
+  ALERTS=$(printf '%s' "$ALERTS" | tail -c 200)
+}
+
 render() {
   local mfile status rows cols line
   rows=$(tput lines 2>/dev/null || echo 40)
@@ -140,17 +261,18 @@ render() {
   fetch /metrics > "$mfile"
   status=$(fetch /api/status)
 
-  printf '\033[H\033[2J'
+  [[ $ONCE -eq 0 ]] && printf '\033[H\033[2J'
   # -- header --
   line="dsm-tpu monitor — $SERVER — $(date '+%H:%M:%S') — ${INTERVAL_SECONDS}s"
   c "1;36" "$line"; printf '\n'
   printf '%s\n' "$(printf '%*s' "$cols" '' | tr ' ' '-')"
 
   # -- server status --
+  local uptime batch used modules
+  batch=""; used=""
   if [[ -n "$status" ]]; then
-    local uptime batch used modules
     uptime=$(json_get "$status" "int(d.get('uptime_s', d.get('uptime_secs', 0)))")
-    modules=$(json_get "$status" "', '.join(m.get('path', m.get('name','?')) for m in d.get('modules', []))")
+    modules=$(json_get "$status" "', '.join(m.get('path', m.get('name', m.get('type','?'))) for m in d.get('modules', []))")
     batch=$(json_get "$status" "sum(m.get('total_slots', m.get('batch_size', 0)) for m in d.get('modules', []))")
     used=$(json_get "$status" "sum(m.get('used_slots', 0) for m in d.get('modules', []))")
     printf '%-10s up %ss   modules: %s\n' "$(c '1;32' 'SERVER ok')" "${uptime:-?}" "${modules:-none}"
@@ -158,6 +280,7 @@ render() {
       local pct=$(( ${used:-0} * 100 / batch ))
       printf '%-10s %s/%s slots ' 'capacity' "${used:-0}" "$batch"
       make_bar "$pct" "$BAR_WIDTH"; printf '\n'
+      hist_push HIST_CAP "${used:-0}"
     fi
   else
     printf '%s — is the server running at %s?\n' "$(c '1;31' 'SERVER DOWN')" "$SERVER"
@@ -178,17 +301,18 @@ render() {
   fi
   if [[ -n "$util" ]]; then
     printf '  batch utilization      '
-    make_bar "$(python3 -c "print(int(float('$util')*100))" 2>/dev/null || echo 0)" "$BAR_WIDTH"
+    make_bar "$(python3 -S -c "print(int(float('$util')*100))" 2>/dev/null || echo 0)" "$BAR_WIDTH"
     printf '\n'
   fi
 
   # -- latency histograms --
   printf '\n'; c "1;35" "LATENCY (ms: p50/p95/p99 from histogram buckets)"; printf '\n'
-  local name label pcts
+  local name label pcts asr_pcts=""
   for name in moshi_asr_model_step_duration_seconds moshi_lm_step_duration_seconds \
               moshi_mimi_encode_duration_seconds moshi_mimi_decode_duration_seconds; do
     label=${name#moshi_}; label=${label%_duration_seconds}
     pcts=$(hist_pcts "$mfile" "$name")
+    [[ "$name" == moshi_asr_model_step_duration_seconds ]] && asr_pcts="$pcts"
     [[ -n "$pcts" ]] && printf '  %-22s %s\n' "$label" "$pcts"
   done
   local conns steps errs
@@ -197,10 +321,20 @@ render() {
   errs=$(metric_sum "$mfile" moshi_connection_errors)
   printf '  open channels %s   engine steps %s   errors %s\n' \
     "${conns:-0}" "${steps:-0}" "${errs:-0}"
+  [[ -n "$asr_pcts" ]] && hist_push HIST_P50 "${asr_pcts%% *}"
+  check_alerts "$asr_pcts" "${errs:-0}" "${used:-0}" "${batch:-0}"
+
+  # -- trends (history sparklines; gpu-monitor's utilization graphs) --
+  local spark
+  printf '\n'; c "1;35" "TRENDS"; printf '\n'
+  spark=$(sparkline $HIST_P50); [[ -n "$spark" ]] && printf '  step p50 ms  %s\n' "$spark"
+  spark=$(sparkline $HIST_CAP); [[ -n "$spark" ]] && printf '  slots used   %s\n' "$spark"
+  spark=$(sparkline $HIST_CPU); [[ -n "$spark" ]] && printf '  host cpu %%   %s\n' "$spark"
 
   # -- host --
   printf '\n'; c "1;35" "HOST"; printf '\n'
   host_stats
+  hist_push HIST_CPU "${HOST_CPU_PCT:-0}"
   printf '  CPU  '; make_bar "${HOST_CPU_PCT:-0}" "$BAR_WIDTH"; printf '\n'
   if [[ -n "$HOST_MEM_TOTAL" && "$HOST_MEM_TOTAL" -gt 0 ]]; then
     printf '  RAM  '; make_bar "$(( HOST_MEM_USED * 100 / HOST_MEM_TOTAL ))" "$BAR_WIDTH"
@@ -209,16 +343,24 @@ render() {
 
   # -- processes --
   if [[ "$SHOW_PROCS" == "1" ]]; then
-    printf '\n'; c "1;35" "SERVING PROCESSES"; printf '\n'
-    printf '  %-8s %-6s %-9s %s\n' PID CPU%% RSS_MB CMD
-    ps -eo pid,pcpu,rss,args --sort=-rss 2>/dev/null \
-      | awk '/dsm_tpu|moshi|bench|pytest/ && !/awk/ {printf "  %-8s %-6s %-9d %.80s\n", $1, $2, $3/1024, substr($0, index($0,$4))}' \
-      | head -n 8
+    load_procs
+    render_procs
   fi
 
-  printf '\n%s\n' "$(c '2' 'q quit  p procs  r refresh')"
+  # -- alerts --
+  if [[ -n "$ALERTS" ]]; then
+    printf '\n'; c "1;31" "ALERTS: $ALERTS"; printf '  (x clears)\n'
+  fi
+
+  printf '\n%s\n' "$(c '2' 'q quit  p procs  j/k select  d detail  K kill  x clear alerts  r refresh')"
   rm -f "$mfile"
 }
+
+if [[ $ONCE -eq 1 ]]; then
+  COLOR=0
+  render
+  exit 0
+fi
 
 printf '\033[?1049h\033[?25l'
 stty -echo -icanon time 0 min 0 2>/dev/null || true
@@ -231,6 +373,11 @@ while true; do
     case "$key" in
       q) cleanup ;;
       p) if [[ "$SHOW_PROCS" == "1" ]]; then SHOW_PROCS=0; else SHOW_PROCS=1; fi; break ;;
+      j|B) SEL=$(( SEL + 1 )); break ;;
+      k|A) (( SEL > 0 )) && SEL=$(( SEL - 1 )); break ;;
+      d) DETAIL=$(( 1 - DETAIL )); break ;;
+      K) prompt_kill; break ;;
+      x) ALERTS=""; break ;;
       r) break ;;
     esac
     sleep 0.1
