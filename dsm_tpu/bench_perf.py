@@ -293,7 +293,11 @@ def bench_server_sustained(batch: int, seconds: float,
         )
         del _unused
         engine = BatchedAsrEngine(
-            cfg, params, batch_size=batch, pipeline_depth=1
+            cfg, params, batch_size=batch,
+            # Dispatch-ahead A/B lever (DSM_ASR_PIPELINE=2 overlaps the
+            # device step with the previous fetch+post; same contract as
+            # the server builder's pipeline_depth TOML key).
+            pipeline_depth=int(os.environ.get("DSM_ASR_PIPELINE", "1")),
         )
 
     lat, util, ev_t = [], [], []

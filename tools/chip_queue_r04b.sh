@@ -1,0 +1,61 @@
+#!/bin/bash
+# Round-4 follow-up measurements (run after chip_queue_r04.sh drains):
+# the dispatch-ahead A/B for the sustained STT tail, and anything the
+# first queue left missing.  Same harness contract.
+set -u
+cd /root/repo
+OUT=docs/chipq
+mkdir -p "$OUT"
+log() { echo "[$(date +%H:%M:%S)] $*" | tee -a "$OUT/queue_r04.log"; }
+
+wait_for_tpu() {
+  until timeout 240 python - <<'EOF' >/dev/null 2>&1
+import jax
+assert jax.devices()[0].platform == "tpu"
+import jax.numpy as jnp
+(jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+EOF
+  do
+    log "TPU unavailable; retrying in 180 s"
+    sleep 180
+  done
+  log "TPU is UP"
+}
+
+MISSING=0
+run() {  # run <artifact> <timeout_s> <cmd...>
+  local art="$1" to="$2"; shift 2
+  local tmp="$OUT/$(basename "$art").tmp"
+  if [ -s "$art" ]; then return 0; fi
+  log "RUN [$to s] -> $art : $*"
+  if timeout "$to" "$@" > "$tmp" 2> "$OUT/$(basename "$art").err"; then
+    mv "$tmp" "$art"; log "done: $art"
+  else
+    log "FAILED ($?): $art  (stderr tail:)"
+    tail -3 "$OUT/$(basename "$art").err" | tee -a "$OUT/queue_r04.log"
+    MISSING=$((MISSING + 1))
+  fi
+}
+
+pass() {
+  MISSING=0
+
+  # Dispatch-ahead depth 2 leg of the sustained-tail fix (fill gating is
+  # the depth-1 leg in docs/SUSTAINED_r04.json).
+  run "docs/SUSTAINED_r04_pipe2.json" 3600 \
+    env DSM_ASR_PIPELINE=2 \
+    python -m dsm_tpu.bench_perf --server-sustained 45 --batch 128 \
+      --events docs/SUSTAINED_r04_pipe2_events.json
+}
+
+MAX_PASSES="${MAX_PASSES:-3}"
+for i in $(seq 1 "$MAX_PASSES"); do
+  wait_for_tpu
+  log "queue-b pass $i/$MAX_PASSES"
+  pass
+  if [ "$MISSING" -eq 0 ]; then
+    log "queue-b complete"
+    exit 0
+  fi
+  sleep 60
+done
