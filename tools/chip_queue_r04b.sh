@@ -46,6 +46,21 @@ pass() {
     env DSM_ASR_PIPELINE=2 \
     python -m dsm_tpu.bench_perf --server-sustained 45 --batch 128 \
       --events docs/SUSTAINED_r04_pipe2_events.json
+
+  # TTS B=64 with dispatch-ahead: the depth-1 run's tick is fetch-bound
+  # (phase p50 gather/dispatch/fetch/post = 0.1/3.9/230.3/1.6 ms,
+  # docs/SUSTAINED_TTS_r04_b64_fuse4.json); depth 2 overlaps the fetch with
+  # the next device step.  TTFB (3.02 s p50, the text-audio delay paced by
+  # the tick) dominates the per-session rtf at 50-word sessions — pipe2
+  # speeds both.
+  run "docs/SUSTAINED_TTS_r04_b64_fuse4_pipe2.json" 3600 \
+    env DSM_TTS_CA_INT8=1 DSM_TTS_FUSE=4 DSM_TTS_PIPELINE=2 \
+    python -m dsm_tpu.bench_perf --tts-sustained 45 --batch 64
+
+  # fuse 8: halve the per-tick host+RTT amortisation again.
+  run "docs/SUSTAINED_TTS_r04_b64_fuse8_pipe2.json" 3600 \
+    env DSM_TTS_CA_INT8=1 DSM_TTS_FUSE=8 DSM_TTS_PIPELINE=2 \
+    python -m dsm_tpu.bench_perf --tts-sustained 45 --batch 64
 }
 
 MAX_PASSES="${MAX_PASSES:-3}"
