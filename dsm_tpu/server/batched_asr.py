@@ -444,15 +444,25 @@ class BatchedAsrEngine:
             now = t_pre0
             n_open = 0
             n_ready = 0
+            catchup = False
             with self.slot_lock:
                 any_reset = bool(self.pending_resets.any())
                 for ch in self.slots:
                     if ch is not None and not ch.closed:
                         n_open += 1
-                        if ch.buffered_samples() >= self.frame_size:
+                        buf = ch.buffered_samples()
+                        if buf >= self.frame_size:
                             n_ready += 1
+                            if buf >= 2 * self.frame_size:
+                                # A slot with 2+ frames queued is catching
+                                # up (file upload / reconnect backlog), not
+                                # pacing a live 80 ms cadence — gating it
+                                # to one dispatch per frame period would
+                                # throttle the catch-up to realtime.
+                                catchup = True
             if (
                 0 < n_ready < n_open
+                and not catchup
                 and not any_reset
                 and now - self._last_dispatch_t
                 < self._frame_period_s * self._fill_gate_frac

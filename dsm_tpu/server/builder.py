@@ -91,6 +91,15 @@ def build_batched_asr(mod: CFG.ModuleConfig) -> BatchedAsrEngine:
             # W8A8 dynamic-activation int8 dots complete the profile
             # (DSM_W8A8 env or TOML w8a8=false overrides).
             qmm.set_w8a8_default(mod.raw.get("w8a8", True))
+            # Mixed profile: TOML `w8a8_sites = ["in_proj", ...]` keeps
+            # W8A8 only on the listed matmul sites (the rest fall back to
+            # weight-only dequant) — the knob the per-site sensitivity
+            # sweep (tools/quant_divergence.py --w8a8-sweep) tunes.
+            sites = mod.raw.get("w8a8_sites")
+            if sites is not None:
+                if isinstance(sites, str):
+                    sites = [s.strip() for s in sites.split(",") if s.strip()]
+                qmm.set_w8a8_sites(sites)
     params = {"mimi": mimi_params, "lm": lm_params}
 
     batch = auto_batch_size(mod.batch_size, mod.lm)

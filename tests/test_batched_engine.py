@@ -254,3 +254,46 @@ def test_fill_gate_partial_batch():
         assert len(evs3) == 1
     finally:
         eng.FRAME_SIZE = saved
+
+
+def test_fill_gate_skips_catchup_backlog():
+    """A slot with 2+ frames buffered is catching up (file upload) — the
+    gate must not throttle it to one dispatch per frame period even when
+    other open slots are idle."""
+    saved = eng.FRAME_SIZE
+    try:
+        e, cfg = small_engine(batch=2)
+        eng.FRAME_SIZE = cfg.mimi.frame_size
+        e._pcm_buf = np.zeros((2, 1, cfg.mimi.frame_size), np.float32)
+        rng = np.random.default_rng(0)
+        pcm = rng.standard_normal(cfg.mimi.frame_size).astype(np.float32)
+
+        evs1, evs2 = [], []
+        ch1 = e.open_channel(evs1.append)
+        ch2 = e.open_channel(evs2.append)
+        # Clear open resets with a full tick.
+        ch1.push_pcm(pcm)
+        ch2.push_pcm(pcm)
+        assert e.tick()
+        e.flush()
+
+        e._frame_period_s = 60.0  # gate window observable on any host
+        e._fill_gate_frac = 0.9
+        e._last_dispatch_t = __import__("time").perf_counter()
+
+        # ch1 dumps a 3-frame backlog while ch2 idles: ticks with 2+
+        # frames buffered dispatch immediately (catch-up), no 60 s gate
+        # holds.
+        ch1.push_pcm(np.concatenate([pcm, pcm, pcm]))
+        for _ in range(2):
+            assert e.tick()
+            e._last_dispatch_t = __import__("time").perf_counter()
+        # Down to exactly 1 buffered frame: back to cadence mode -> gated
+        # inside the window, dispatched once the deadline passes.
+        assert not e.tick()
+        e._last_dispatch_t -= 120.0
+        assert e.tick()
+        e.flush()
+        assert len(evs1) == 4  # 1 initial + 3 backlog
+    finally:
+        eng.FRAME_SIZE = saved

@@ -61,6 +61,14 @@ pass() {
   run "docs/SUSTAINED_TTS_r04_b64_fuse8_pipe2.json" 3600 \
     env DSM_TTS_CA_INT8=1 DSM_TTS_FUSE=8 DSM_TTS_PIPELINE=2 \
     python -m dsm_tpu.bench_perf --tts-sustained 45 --batch 64
+
+  # B=192 with dispatch-ahead: the depth-1 run (docs/SUSTAINED_r04_b192.json)
+  # holds realtime (all 192 slots, markers complete) but the engine cycle
+  # is ~100 ms — device 23 ms + RTT 26 ms + host gather/fetch serialized.
+  # Depth 2 overlaps fetch+post with the next gather+dispatch.
+  run "docs/SUSTAINED_r04_b192_pipe2.json" 3600 \
+    env DSM_ASR_PIPELINE=2 \
+    python -m dsm_tpu.bench_perf --server-sustained 45 --batch 192
 }
 
 MAX_PASSES="${MAX_PASSES:-3}"
