@@ -28,11 +28,14 @@ def _setup(batch, small=False, serving=False, model="stt-1b",
 
     if serving:
         # Serving profile (= bench.py headline): int8 KV rings, bf16 codec,
-        # weight-only int8 LM.
+        # weight-only int8 LM.  DSM_KV_BITS=4 selects the packed-int4 rings
+        # (the HBM lever for the 48-layer stt-2.6b, whose int8 ring alone
+        # is ~9.7 GB at B=64 — docs/chipq/stt26b_e2e_b64.json.err).
         cfg, fn, (params, *rest) = ge._asr_setup(
             batch, jnp.bfloat16, jnp.bfloat16,
             kv_quant=True, mimi_dtype="bfloat16", model=model,
             skip_state=skip_state,
+            kv_bits=int(os.environ.get("DSM_KV_BITS", "8")),
         )
         from dsm_tpu.ops import transformer as T
 

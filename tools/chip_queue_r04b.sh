@@ -69,6 +69,18 @@ pass() {
   run "docs/SUSTAINED_r04_b192_pipe2.json" 3600 \
     env DSM_ASR_PIPELINE=2 \
     python -m dsm_tpu.bench_perf --server-sustained 45 --batch 192
+
+  # stt-2.6b capacity: int8 KV OOMs at B=64 (ring alone ~9.7 GB over 48
+  # layers; 17.26 GB program).  The honest int8 midpoint, then the int4-KV
+  # legs (VERDICT r3 #4: packed rings halve the KV) toward >=250 streams.
+  run "$OUT/stt26b_e2e_b48.json" 3600 \
+    python -m dsm_tpu.bench_perf --e2e --serving --model stt-2.6b --batch 48
+  run "$OUT/stt26b_e2e_b64_kv4.json" 3600 \
+    env DSM_KV_BITS=4 \
+    python -m dsm_tpu.bench_perf --e2e --serving --model stt-2.6b --batch 64
+  run "$OUT/stt26b_e2e_b96_kv4.json" 3600 \
+    env DSM_KV_BITS=4 \
+    python -m dsm_tpu.bench_perf --e2e --serving --model stt-2.6b --batch 96
 }
 
 MAX_PASSES="${MAX_PASSES:-3}"
