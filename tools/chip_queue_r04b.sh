@@ -81,6 +81,12 @@ pass() {
   run "$OUT/stt26b_e2e_b96_kv4.json" 3600 \
     env DSM_KV_BITS=4 \
     python -m dsm_tpu.bench_perf --e2e --serving --model stt-2.6b --batch 96
+
+  # Quality bound for the int4 capacity route.
+  run "$OUT/divergence_stt26b_kv4.json" 3600 \
+    env DSM_W8A8=1 \
+    python tools/quant_divergence.py --model stt-2.6b --steps 500 --batch 2 \
+      --kv-bits 4
 }
 
 MAX_PASSES="${MAX_PASSES:-3}"

@@ -36,7 +36,7 @@ if os.environ.get("DSM_PLATFORM"):
 
 
 def run_asr(lm_cfg, steps: int, batch: int, seed: int = 0,
-            kernels: bool = True) -> dict:
+            kernels: bool = True, kv_bits: int = 8) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -54,7 +54,8 @@ def run_asr(lm_cfg, steps: int, batch: int, seed: int = 0,
 
     def make(profile: str):
         quant = profile == "serving"
-        cfg = ASR.AsrConfig(lm=lm_cfg, mimi=mimi_cfg, kv_quant=quant)
+        cfg = ASR.AsrConfig(lm=lm_cfg, mimi=mimi_cfg, kv_quant=quant,
+                            kv_bits=kv_bits if quant else 8)
         params = {
             "mimi": mimi_params,
             "lm": T.quantize_weights(lm_bf16) if quant else lm_bf16,
@@ -388,6 +389,9 @@ def main(argv=None):
                         "(kernels default ON only on TPU: interpret-mode "
                         "pallas on CPU is orders slower and numerically "
                         "identical — tests/test_ring_kernel.py)")
+    p.add_argument("--kv-bits", type=int, default=8, choices=[8, 4],
+                   help="serving-profile KV ring width (4 = packed int4 — "
+                        "the stt-2.6b capacity route)")
     p.add_argument("--w8a8-sweep", action="store_true",
                    help="per-site W8A8 sensitivity sweep (ASR models): one "
                         "leg per matmul site dropped from W8A8, plus a "
@@ -415,10 +419,12 @@ def main(argv=None):
         return
     if args.model == "stt-1b":
         res = run_asr(LM.stt_1b_en_fr(), args.steps, args.batch,
-                      kernels=on_tpu and not args.no_kernels)
+                      kernels=on_tpu and not args.no_kernels,
+                      kv_bits=args.kv_bits)
     elif args.model == "stt-2.6b":
         res = run_asr(LM.stt_2_6b_en(), args.steps, args.batch,
-                      kernels=on_tpu and not args.no_kernels)
+                      kernels=on_tpu and not args.no_kernels,
+                      kv_bits=args.kv_bits)
     elif args.model == "tts-1.6b":
         res = run_tts(LM.tts_1_6b_en_fr(), args.steps, args.batch,
                       kernels=on_tpu and not args.no_kernels)
@@ -442,6 +448,7 @@ def main(argv=None):
     import os
 
     res["w8a8"] = os.environ.get("DSM_W8A8") not in (None, "", "0", "false")
+    res["kv_bits"] = args.kv_bits
     print(json.dumps(res))
 
 
