@@ -338,6 +338,11 @@ def build_duplex(mod: CFG.ModuleConfig):
             pipeline_depth=int(mod.raw.get(
                 "pipeline_depth", os.environ.get("DSM_DUPLEX_PIPELINE", "1")
             )),
+            # kv_bits = 4 packs the dialogue rings int4 — the HBM lever
+            # for B > 24 at s2s-2b ctx-3000 shapes.
+            kv_bits=int(mod.raw.get(
+                "kv_bits", os.environ.get("DSM_KV_BITS", "8")
+            )),
         )
     return DuplexEngine(
         cfg, {"lm": lm_params, "mimi": mimi_params}, mimi_cfg, mimi_params,

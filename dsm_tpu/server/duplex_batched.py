@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 import threading
 import time
+import os
 from collections import deque
 from typing import Callable, List, Optional
 
@@ -106,6 +107,7 @@ class BatchedDuplexEngine:
         kv_quant: Optional[bool] = None,
         mesh=None,
         pipeline_depth: int = 1,
+        kv_bits: Optional[int] = None,
     ):
         """``mesh``: optional jax Mesh (dp[, tp]) — dialogue state shards
         over dp; with tp > 1 the LM weights take the Megatron column/row
@@ -152,8 +154,17 @@ class BatchedDuplexEngine:
         self.params = params
         self.mimi_params = mimi_params
 
+        # kv_bits=4: packed-int4 dialogue rings — the HBM lever for batches
+        # the ctx-3000 int8 rings can't fit (B=32 OOMs at 12.1 GB of rings;
+        # docs/SUSTAINED_DUPLEX_r04_b32_pipe2.json).  Env DSM_KV_BITS or
+        # TOML kv_bits override; the attention path auto-detects the packed
+        # uint8 ring dtype (ops/transformer.py:482).
+        if kv_bits is None:
+            kv_bits = int(os.environ.get("DSM_KV_BITS", "8"))
+        self.kv_bits = kv_bits if self.kv_quant else 8
         self.state = lm_gen.init_state(
-            cfg, batch_size, self.cache_dtype, kv_quant=self.kv_quant
+            cfg, batch_size, self.cache_dtype, kv_quant=self.kv_quant,
+            kv_bits=self.kv_bits,
         )
         self.enc_state = MIMI.init_encode_state(mimi_cfg, batch_size)
         self.dec_state = MIMI.init_decode_state(mimi_cfg, batch_size)

@@ -51,10 +51,11 @@ class DuplexConfig:
 
 
 def init_state(cfg: DuplexConfig, batch: int = 1, cache_dtype=jnp.bfloat16,
-               kv_quant: bool = False) -> dict:
+               kv_quant: bool = False, kv_bits: int = 8) -> dict:
     cap = cfg.max_steps + cfg.acoustic_delay
     return {
-        "lm": LM.init_state(cfg.lm, batch, cache_dtype, kv_quant=kv_quant),
+        "lm": LM.init_state(cfg.lm, batch, cache_dtype, kv_quant=kv_quant,
+                            kv_bits=kv_bits),
         "audio_tokens": jnp.full((batch, cap, cfg.total_codebooks), UNGENERATED, jnp.int32),
         "text_tokens": jnp.full((batch, cap), UNGENERATED, jnp.int32),
         "prev_text": jnp.full((batch,), cfg.text_start_token, jnp.int32),

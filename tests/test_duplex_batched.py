@@ -192,3 +192,31 @@ def test_pipelined_engine_matches_unpipelined():
             np.testing.assert_array_equal(a.pcm, b.pcm)
         elif isinstance(a, DuplexTextEvent):
             assert a.text == b.text
+
+
+def test_int4_rings_engine_produces_audio():
+    """kv_bits=4 (packed-int4 dialogue rings — the HBM lever for B>24 at
+    s2s-2b shapes): the engine builds with kv_quant + int4 rings and the
+    full tick path produces finite audio.  Ring semantics are bounded by
+    tests/test_kv_int4.py; this is the engine-integration leg."""
+    single, mimi_cfg = make_duplex_engine()
+    eng = BatchedDuplexEngine(
+        single.cfg, single.params, mimi_cfg, single.mimi_params,
+        single.tokenizer, batch_size=2, kv_quant=True, kv_bits=4,
+    )
+    assert eng.kv_bits == 4
+    # Packed rings are uint8 with half the head dim.
+    ring = eng.state["lm"]["t"]["layers"][0]["k"]
+    import jax.numpy as jnp
+
+    assert ring.dtype == jnp.uint8
+    events = []
+    drv = eng.open_session(events.append)
+    rng = np.random.default_rng(1)
+    drv.push_pcm(
+        rng.standard_normal(mimi_cfg.frame_size * 6).astype(np.float32) * 0.1
+    )
+    for _ in range(9):
+        eng.tick()
+    audio = [e for e in events if isinstance(e, DuplexAudioEvent)]
+    assert audio and np.isfinite(audio[0].pcm).all()

@@ -87,6 +87,11 @@ pass() {
     env DSM_W8A8=1 \
     python tools/quant_divergence.py --model stt-2.6b --steps 500 --batch 2 \
       --kv-bits 4
+
+  # Duplex B=32 with int4 rings (int8 OOMs at 12.1 GB of rings).
+  run "docs/SUSTAINED_DUPLEX_r04_b32_pipe2_kv4.json" 3600 \
+    env DSM_DUPLEX_PIPELINE=2 DSM_KV_BITS=4 \
+    python -m dsm_tpu.bench_perf --duplex-sustained 45 --batch 32
 }
 
 MAX_PASSES="${MAX_PASSES:-3}"
