@@ -130,7 +130,7 @@ class BatchedAsrEngine:
         pipeline_depth: int = 1,
         mesh=None,
         session_logger=None,
-        fill_gate_frac: float = 0.9,
+        fill_gate_frac: float = 0.2,
     ):
         """``mesh``: optional jax.sharding.Mesh (dp[, tp]) — shards the
         continuous batch across chips over ICI and (optionally) attention
@@ -145,8 +145,9 @@ class BatchedAsrEngine:
         self.tick_sleep = tick_sleep
         self.mesh = mesh
         # Fill gating (see tick()): hold partial-batch dispatches for up to
-        # this fraction of a frame period after the previous dispatch.
-        # 0 disables.  DSM_ASR_FILL_GATE overrides (bench A/B lever).
+        # this fraction of a frame period from the moment the partial batch
+        # was first observed (the straggler grace window).  0 disables.
+        # DSM_ASR_FILL_GATE overrides (bench A/B lever).
         import os as _os
 
         self._fill_gate_frac = float(
@@ -154,6 +155,7 @@ class BatchedAsrEngine:
         )
         self._frame_period_s = cfg.mimi.frame_size / 24000.0
         self._last_dispatch_t = 0.0
+        self._gate_t0 = None
 
         self._seeded_step = step_fn is None
         self.cache_dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
@@ -187,6 +189,7 @@ class BatchedAsrEngine:
                     },
                 }
                 state = M.shard_batched_state(mesh, state, batch_size)
+        self._pcm_wire_int16 = False
         if step_fn is None:
             # Packing concatenates batch segments, which would interleave
             # per-shard blocks under dp shard_map — single-device only
@@ -196,7 +199,21 @@ class BatchedAsrEngine:
 
             from ..ops import ring_kernels as _rk
 
+            # Opt-in int16 PCM wire (DSM_PCM_INT16=1): the per-tick
+            # host->device upload is B x 1920 f32 (1.5 MB at B=192 — ~15 ms
+            # of the in-env tick over the dev tunnel); shipping int16 and
+            # dequantising on device halves it.  -96 dB quantisation noise
+            # on input audio that mostly arrived as int16/opus anyway, but
+            # it perturbs tokens at the ulp level, so it is NOT default —
+            # token-exactness tests and goldens run the f32 wire.
+            pcm_int16 = mesh is None and _os.environ.get(
+                "DSM_PCM_INT16", "0"
+            ) not in ("0", "", "false")
+            self._pcm_wire_int16 = pcm_int16
+
             def _step(params, state, pcm, mask, reset, rng, seeds):
+                if pcm_int16:
+                    pcm = pcm.astype(jnp.float32) * (1.0 / 32767.0)
                 with _rk.kernels_forced(_rk.kernels_override()):
                     out, st = ASR.step(
                         cfg, params, state, pcm, mask, reset, rng, condition,
@@ -393,6 +410,8 @@ class BatchedAsrEngine:
         """Dispatch one jitted step (per-slot seeds when supported)."""
         import jax
 
+        if self._pcm_wire_int16:
+            pcm = (np.clip(pcm, -1.0, 1.0) * 32767.0).astype(np.int16)
         self.rng, sub = jax.random.split(self.rng)
         if self._seeded_step:
             out, self.state = self.step_fn(
@@ -437,9 +456,13 @@ class BatchedAsrEngine:
         # loop falls one step of cadence debt behind (measured: the >80 ms
         # tail steps of docs/SUSTAINED_r03.json correlate with util 0.07-
         # 0.45 steps).  When some but not all open slots have a frame
-        # ready, hold the dispatch until either the batch fills or the
-        # frame-period deadline passes — a frame is never delayed by more
-        # than one frame period, and a stalled client can't block the rest.
+        # ready, hold the dispatch for a short straggler GRACE window from
+        # the moment the partial batch was first observed — the burst's
+        # intra-arrival spread is milliseconds, so the window aligns the
+        # dispatch to the CLIENTS' clock (a deadline relative to the last
+        # dispatch would drift against the 80 ms burst cadence and cut
+        # 8 ms early every frame).  A stalled client delays a tick by at
+        # most the grace window; it can never block the batch.
         if self._fill_gate_frac > 0:
             now = t_pre0
             n_open = 0
@@ -460,14 +483,15 @@ class BatchedAsrEngine:
                                 # to one dispatch per frame period would
                                 # throttle the catch-up to realtime.
                                 catchup = True
-            if (
-                0 < n_ready < n_open
-                and not catchup
-                and not any_reset
-                and now - self._last_dispatch_t
-                < self._frame_period_s * self._fill_gate_frac
-            ):
-                return False
+            if 0 < n_ready < n_open and not catchup and not any_reset:
+                if self._gate_t0 is None:
+                    self._gate_t0 = now
+                if (
+                    now - self._gate_t0
+                    < self._frame_period_s * self._fill_gate_frac
+                ):
+                    return False
+            self._gate_t0 = None
 
         with self.slot_lock:
             reset[:] = self.pending_resets

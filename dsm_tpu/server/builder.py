@@ -109,7 +109,7 @@ def build_batched_asr(mod: CFG.ModuleConfig) -> BatchedAsrEngine:
         pipeline_depth=int(mod.raw.get(
             "pipeline_depth", os.environ.get("DSM_ASR_PIPELINE", "1")
         )),
-        fill_gate_frac=float(mod.raw.get("fill_gate_frac", 0.9)),
+        fill_gate_frac=float(mod.raw.get("fill_gate_frac", 0.2)),
     )
     tok_path = (
         CFG.resolve_path(mod.text_tokenizer_file) if mod.text_tokenizer_file else None

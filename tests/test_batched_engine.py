@@ -224,14 +224,14 @@ def test_fill_gate_partial_batch():
         assert len(evs1) == 1 and len(evs2) == 1
         assert not e.pending_resets.any()
 
-        # Partial fill straight after a dispatch: gated (no step).
+        # Partial fill: gated for the straggler grace window (no step).
         ch1.push_pcm(pcm)
-        e._last_dispatch_t = __import__("time").perf_counter()
         assert not e.tick()
+        assert e._gate_t0 is not None
         assert len(evs1) == 1  # nothing new delivered
 
-        # Deadline passed: the partial batch dispatches.
-        e._last_dispatch_t -= 120.0
+        # Grace window passed: the partial batch dispatches.
+        e._gate_t0 -= 120.0
         assert e.tick()
         e.flush()
         assert len(evs1) == 2 and len(evs2) == 1
@@ -279,7 +279,6 @@ def test_fill_gate_skips_catchup_backlog():
 
         e._frame_period_s = 60.0  # gate window observable on any host
         e._fill_gate_frac = 0.9
-        e._last_dispatch_t = __import__("time").perf_counter()
 
         # ch1 dumps a 3-frame backlog while ch2 idles: ticks with 2+
         # frames buffered dispatch immediately (catch-up), no 60 s gate
@@ -287,13 +286,38 @@ def test_fill_gate_skips_catchup_backlog():
         ch1.push_pcm(np.concatenate([pcm, pcm, pcm]))
         for _ in range(2):
             assert e.tick()
-            e._last_dispatch_t = __import__("time").perf_counter()
         # Down to exactly 1 buffered frame: back to cadence mode -> gated
-        # inside the window, dispatched once the deadline passes.
+        # for the grace window, dispatched once it passes.
         assert not e.tick()
-        e._last_dispatch_t -= 120.0
+        e._gate_t0 -= 120.0
         assert e.tick()
         e.flush()
         assert len(evs1) == 4  # 1 initial + 3 backlog
+    finally:
+        eng.FRAME_SIZE = saved
+
+
+def test_int16_pcm_wire(monkeypatch):
+    """Opt-in int16 upload wire (DSM_PCM_INT16): the engine quantises the
+    frame on the host and dequantises on device; words still decode and
+    the VAD probs stay within the int16 quantisation envelope of the f32
+    wire."""
+    monkeypatch.setenv("DSM_PCM_INT16", "1")
+    saved = eng.FRAME_SIZE
+    try:
+        e, cfg = small_engine(batch=1)
+        assert e._pcm_wire_int16
+        eng.FRAME_SIZE = cfg.mimi.frame_size
+        e._pcm_buf = np.zeros((1, 1, cfg.mimi.frame_size), np.float32)
+        evs = []
+        ch = e.open_channel(evs.append)
+        pcm = np.random.default_rng(0).standard_normal(
+            cfg.mimi.frame_size * 2
+        ).astype(np.float32) * 0.1
+        ch.push_pcm(pcm)
+        while e.tick():
+            pass
+        assert len(evs) == 2
+        assert evs[0].prs is not None and np.isfinite(evs[0].prs).all()
     finally:
         eng.FRAME_SIZE = saved
