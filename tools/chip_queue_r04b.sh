@@ -92,6 +92,17 @@ pass() {
   run "docs/SUSTAINED_DUPLEX_r04_b32_pipe2_kv4.json" 3600 \
     env DSM_DUPLEX_PIPELINE=2 DSM_KV_BITS=4 \
     python -m dsm_tpu.bench_perf --duplex-sustained 45 --batch 32
+
+  # The three jobs the original r04 queue never parsed (added after launch):
+  # flagship serving golden, W8A8 site sweep, 2.6b divergence.
+  run "$OUT/serving_golden.json" 3600 \
+    python tools/make_serving_golden.py --steps 40 --batch 4
+  run "$OUT/w8a8_site_sweep.json" 7200 \
+    python tools/quant_divergence.py --model stt-1b --steps 300 --batch 4 \
+      --w8a8-sweep
+  run "$OUT/divergence_stt26b.json" 3600 \
+    env DSM_W8A8=1 \
+    python tools/quant_divergence.py --model stt-2.6b --steps 500 --batch 2
 }
 
 MAX_PASSES="${MAX_PASSES:-3}"
