@@ -40,12 +40,19 @@ run() {  # run <artifact> <timeout_s> <cmd...>
 pass() {
   MISSING=0
 
-  # Dispatch-ahead depth 2 leg of the sustained-tail fix (fill gating is
-  # the depth-1 leg in docs/SUSTAINED_r04.json).
+  # Dispatch-ahead depth 2 leg of the sustained-tail fix (grace-gated
+  # depth-1 leg: docs/SUSTAINED_r04.json — util 0.994, p95 81.6, but p99
+  # 159.7 from RTT/upload jitter on the ~10 ms budget headroom).
   run "docs/SUSTAINED_r04_pipe2.json" 3600 \
     env DSM_ASR_PIPELINE=2 \
     python -m dsm_tpu.bench_perf --server-sustained 45 --batch 128 \
       --events docs/SUSTAINED_r04_pipe2_events.json
+
+  # + int16 pcm wire: halves the ~1 MB/tick upload at B=128.
+  run "docs/SUSTAINED_r04_pipe2_i16.json" 3600 \
+    env DSM_ASR_PIPELINE=2 DSM_PCM_INT16=1 \
+    python -m dsm_tpu.bench_perf --server-sustained 45 --batch 128 \
+      --events docs/SUSTAINED_r04_pipe2_i16_events.json
 
   # TTS B=64 with dispatch-ahead: the depth-1 run's tick is fetch-bound
   # (phase p50 gather/dispatch/fetch/post = 0.1/3.9/230.3/1.6 ms,
