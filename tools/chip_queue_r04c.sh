@@ -34,6 +34,12 @@ pass() {
     env DSM_PCM_INT16=1 \
     python -m dsm_tpu.bench_perf --server-sustained 45 --batch 128 \
       --events docs/SUSTAINED_r04_i16_events.json
+
+  # B=192 with the int16 wire too (upload 2.9 MB -> 1.5 MB/tick; the
+  # depth-2 f32 leg holds realtime at dt p50 99.4).
+  run "docs/SUSTAINED_r04_b192_pipe2_i16.json" 3600 \
+    env DSM_ASR_PIPELINE=2 DSM_PCM_INT16=1 \
+    python -m dsm_tpu.bench_perf --server-sustained 45 --batch 192
 }
 for i in 1 2 3; do
   wait_for_tpu
