@@ -445,8 +445,6 @@ def main(argv=None):
         res = run_asr(cfg, args.steps, args.batch,
                       kernels=on_tpu and not args.no_kernels)
     res["model"] = args.model
-    import os
-
     res["w8a8"] = os.environ.get("DSM_W8A8") not in (None, "", "0", "false")
     res["kv_bits"] = args.kv_bits
     print(json.dumps(res))
