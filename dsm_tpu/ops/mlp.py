@@ -47,17 +47,12 @@ def init(
 
 
 def _mm(x, w, site=None):
-    # Dense or weight-only int8 ({"q", "s"}; ops/transformer.quantize_weights).
-    # ``site``: mixed-profile W8A8 filter identity (ops/qmm.set_w8a8_sites).
-    if isinstance(w, dict) and "q" in w:
-        from . import qmm as qmm_mod
+    # Delegates to ops/transformer.mm (lazy import — mlp is imported by
+    # transformer) so the dense/int8/W8A8/qmm dispatch lives in exactly
+    # one place.  ``site``: mixed-profile W8A8 filter identity.
+    from . import transformer as tr
 
-        if qmm_mod.w8a8_enabled(site):
-            return qmm_mod.mm_w8a8(x, w["q"], w["s"])  # int8 MXU dots
-        if qmm_mod.qmm_enabled() and qmm_mod.supported(x, w["q"]):
-            return qmm_mod.qmm(x, w["q"], w["s"])  # on-chip dequant
-        return (x @ w["q"].astype(x.dtype).T) * w["s"].astype(x.dtype)
-    return x @ w.astype(x.dtype).T
+    return tr.mm(x, w, site=site)
 
 
 def apply(params: dict, x: jax.Array) -> jax.Array:

@@ -154,7 +154,6 @@ class BatchedAsrEngine:
             _os.environ.get("DSM_ASR_FILL_GATE", fill_gate_frac)
         )
         self._frame_period_s = cfg.mimi.frame_size / 24000.0
-        self._last_dispatch_t = 0.0
         self._gate_t0 = None
 
         self._seeded_step = step_fn is None
@@ -468,13 +467,14 @@ class BatchedAsrEngine:
             n_open = 0
             n_ready = 0
             catchup = False
+            stale_cutoff = time.time() - 2 * self._frame_period_s
             with self.slot_lock:
                 any_reset = bool(self.pending_resets.any())
                 for ch in self.slots:
                     if ch is not None and not ch.closed:
-                        n_open += 1
                         buf = ch.buffered_samples()
                         if buf >= self.frame_size:
+                            n_open += 1
                             n_ready += 1
                             if buf >= 2 * self.frame_size:
                                 # A slot with 2+ frames queued is catching
@@ -483,6 +483,15 @@ class BatchedAsrEngine:
                                 # to one dispatch per frame period would
                                 # throttle the catch-up to realtime.
                                 catchup = True
+                        elif ch.last_data >= stale_cutoff:
+                            # No frame yet but data flowed within the last
+                            # two frame periods: a live straggler worth
+                            # waiting for.  Channels idle longer than that
+                            # (muted mic, stalled peer) do NOT hold the
+                            # gate — otherwise one silent connection would
+                            # tax EVERY dispatch with the full grace
+                            # window forever.
+                            n_open += 1
             if 0 < n_ready < n_open and not catchup and not any_reset:
                 if self._gate_t0 is None:
                     self._gate_t0 = now
@@ -490,6 +499,11 @@ class BatchedAsrEngine:
                     now - self._gate_t0
                     < self._frame_period_s * self._fill_gate_frac
                 ):
+                    # Still flush any finished in-flight step while gated
+                    # (tick()-driven mode has no drain thread; a ready
+                    # result must not sit on the device for the window).
+                    if self._pending and self._drain_thread is None:
+                        self._drain_one()
                     return False
             self._gate_t0 = None
 
@@ -530,7 +544,6 @@ class BatchedAsrEngine:
             return False
 
         t0 = time.perf_counter()
-        self._last_dispatch_t = t0
         metrics.PIPELINE_PREPROCESS_DURATION.observe(t0 - t_pre0)
         out = self._invoke_step(self._pcm_buf, mask, reset)
         self.step_count += 1

@@ -92,7 +92,27 @@ def _maybe_download(spec: str) -> Optional[str]:
 
     if not hf_download.download_enabled():
         return None
-    return hf_download.resolve_or_download(spec)
+    got = hf_download.resolve_or_download(spec)
+    if got is None:
+        return None
+    # download_snapshot returns the snapshot DIRECTORY (the reference's
+    # contract); the local-cache branch above returns the first matching
+    # FILE.  Keep the two cache states consistent: re-glob the pattern
+    # inside the fresh snapshot and hand back a file when the spec names
+    # one (builder voice maps expect file paths).
+    if spec.startswith("hf-snapshot://") and os.path.isdir(got):
+        _, pattern = hf_download.split_snapshot_spec(
+            spec[len("hf-snapshot://"):]
+        )
+        if pattern is not None:
+            matches = sorted(
+                globlib.glob(os.path.join(got, pattern), recursive=True)
+            ) or sorted(
+                globlib.glob(os.path.join(got, "**", pattern), recursive=True)
+            )
+            if matches:
+                return matches[0]
+    return got
 
 
 def _norm_kind(v: str) -> str:

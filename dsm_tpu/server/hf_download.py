@@ -91,6 +91,18 @@ def split_snapshot_spec(path: str) -> tuple:
     return f"{parts[0]}/{parts[1]}", pattern
 
 
+def _glob_match(name: str, pattern: str) -> bool:
+    """Glob-crate-compatible match: ``**/`` also matches ZERO directory
+    components (fnmatch alone requires at least one — a bare
+    ``**/*.safetensors`` would silently skip every repo-root file the
+    reference downloads; utils.rs uses glob::Pattern semantics)."""
+    if fnmatch.fnmatchcase(name, pattern):
+        return True
+    return pattern.startswith("**/") and fnmatch.fnmatchcase(
+        name, pattern[len("**/"):]
+    )
+
+
 def download_file(path: str, api: Optional[HfTransport] = None) -> str:
     """``hf://`` body -> local path of the downloaded file."""
     api = api or HubTransport()
@@ -105,7 +117,7 @@ def download_snapshot(path: str, api: Optional[HfTransport] = None) -> str:
     repo_id, pattern = split_snapshot_spec(path)
     files = api.list_files(repo_id)
     if pattern is not None:
-        files = [f for f in files if fnmatch.fnmatchcase(f, pattern)]
+        files = [f for f in files if _glob_match(f, pattern)]
         if not files:
             log.warning(
                 "no files matched the glob pattern %r in hf-snapshot %s",

@@ -195,10 +195,10 @@ def test_per_request_seed_replay_determinism():
 
 def test_fill_gate_partial_batch():
     """Cadence-aware fill gating: a partial batch (some open slots with a
-    frame ready, others without) is held until the frame-period deadline
-    since the previous dispatch, so a tick racing the clients' frame burst
-    can't burn a full-cost device step at ~5% utilization.  Full batches
-    and reset-only ticks dispatch immediately."""
+    frame ready, others without) is held for a straggler grace window from
+    first observation, so a tick racing the clients' frame burst can't
+    burn a full-cost device step at ~5% utilization.  Full batches and
+    reset-only ticks dispatch immediately."""
     saved = eng.FRAME_SIZE
     try:
         e, cfg = small_engine(batch=2)
@@ -319,5 +319,46 @@ def test_int16_pcm_wire(monkeypatch):
             pass
         assert len(evs) == 2
         assert evs[0].prs is not None and np.isfinite(evs[0].prs).all()
+    finally:
+        eng.FRAME_SIZE = saved
+
+
+def test_fill_gate_ignores_stale_idle_channels():
+    """A connection that stopped sending (muted mic, stalled peer) must not
+    hold the gate: channels with no data for > 2 frame periods are excluded
+    from the fill count, so live sessions dispatch immediately instead of
+    paying the grace window on every tick forever."""
+    import time as _t
+
+    saved = eng.FRAME_SIZE
+    try:
+        e, cfg = small_engine(batch=2)
+        eng.FRAME_SIZE = cfg.mimi.frame_size
+        e._pcm_buf = np.zeros((2, 1, cfg.mimi.frame_size), np.float32)
+        rng = np.random.default_rng(0)
+        pcm = rng.standard_normal(cfg.mimi.frame_size).astype(np.float32)
+
+        evs1, evs2 = [], []
+        ch1 = e.open_channel(evs1.append)
+        ch2 = e.open_channel(evs2.append)
+        ch1.push_pcm(pcm)
+        ch2.push_pcm(pcm)
+        assert e.tick()
+        e.flush()
+
+        e._frame_period_s = 60.0
+        e._fill_gate_frac = 0.9
+        # ch2 went quiet long ago -> excluded from the fill count; ch1's
+        # frame dispatches immediately (n_ready == n_open == 1).
+        ch2.last_data = _t.time() - 1000.0
+        ch1.push_pcm(pcm)
+        assert e.tick()
+        e.flush()
+        assert len(evs1) == 2
+
+        # ch2 active again (fresh last_data, no frame yet): gate holds.
+        ch2.last_data = _t.time()
+        ch1.push_pcm(pcm)
+        assert not e.tick()
     finally:
         eng.FRAME_SIZE = saved

@@ -92,8 +92,10 @@ def test_download_snapshot_glob_filters_and_returns_dir(tmp_path):
     )
     d = HF.download_snapshot("org/repo/**/*.safetensors", api=api)
     got = sorted(f for _, f in api.downloads)
-    # fnmatch '**/*.safetensors' matches nested paths; 'a.safetensors'
-    # matches via the '*' spanning-with-slash semantics of fnmatch.
+    # glob-crate semantics: '**/' matches ZERO OR MORE directory
+    # components, so repo-ROOT files match too (fnmatch alone would skip
+    # them — hf_download._glob_match adds the zero-component case).
+    assert "a.safetensors" in got
     assert "sub/b.safetensors" in got
     assert "README.md" not in got and "c.bin" not in got
     # Snapshot dir derived by walking up the last file's components.

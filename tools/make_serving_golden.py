@@ -44,6 +44,10 @@ def run_stream(steps: int, batch: int):
     from dsm_tpu.ops import transformer as T
     from dsm_tpu.sessions import asr as ASR
 
+    # Pin the W8A8 profile for THIS trace only — leaking the env var into
+    # the rest of a pytest process would flip later traces' quant paths
+    # (w8a8_enabled reads it at trace time).
+    saved_w8a8 = os.environ.get("DSM_W8A8")
     os.environ["DSM_W8A8"] = "1"
     cfg, _, (params, state, _pcm, mask, reset, _rng) = ge._asr_setup(
         batch, jnp.bfloat16, jnp.bfloat16, kv_quant=True,
@@ -56,18 +60,24 @@ def run_stream(steps: int, batch: int):
         with rk.kernels_forced(True):
             return ASR.step(cfg, params, state, pcm, mask, reset, k)
 
-    fn = jax.jit(_step, donate_argnums=(1,))
-    rng = np.random.default_rng(7)
-    k0 = jax.random.PRNGKey(123)
-    toks, prs = [], []
-    for _ in range(steps):
-        pcm = (rng.standard_normal((batch, 1, cfg.mimi.frame_size)) * 0.1
-               ).astype(np.float32)
-        out, state = fn(params, state, pcm, mask, reset, k0)
-        toks.append(np.asarray(out["text_token"]))
-        if out["prs"].shape[-1]:
-            prs.append(np.asarray(out["prs"], np.float32))
-    return np.stack(toks), (np.stack(prs) if prs else np.zeros((0,)))
+    try:
+        fn = jax.jit(_step, donate_argnums=(1,))
+        rng = np.random.default_rng(7)
+        k0 = jax.random.PRNGKey(123)
+        toks, prs = [], []
+        for _ in range(steps):
+            pcm = (rng.standard_normal((batch, 1, cfg.mimi.frame_size)) * 0.1
+                   ).astype(np.float32)
+            out, state = fn(params, state, pcm, mask, reset, k0)
+            toks.append(np.asarray(out["text_token"]))
+            if out["prs"].shape[-1]:
+                prs.append(np.asarray(out["prs"], np.float32))
+        return np.stack(toks), (np.stack(prs) if prs else np.zeros((0,)))
+    finally:
+        if saved_w8a8 is None:
+            os.environ.pop("DSM_W8A8", None)
+        else:
+            os.environ["DSM_W8A8"] = saved_w8a8
 
 
 def main(argv=None):

@@ -176,10 +176,12 @@ def run_asr_w8a8_sweep(lm_cfg, steps: int, batch: int, seed: int = 0,
     ref = np.stack(ref_toks)  # (steps, B)
 
     cfg_q = ASR.AsrConfig(lm=lm_cfg, mimi=mimi_cfg, kv_quant=True)
-    all_sites = ["in_proj", "out_proj", "mlp_in", "mlp_out", "text_linear",
-                 "low_rank"]
+    all_sites = ["in_proj", "out_proj", "mlp_in", "mlp_out", "text_linear"]
     if lm_cfg.depformer is not None:
-        all_sites += ["dep_in", "dep_out"]
+        # low_rank embeddings + the depformer linears only exist (and
+        # only trace) with a depformer — sweeping them on stt models
+        # would burn a full chip leg re-measuring the all-W8A8 config.
+        all_sites += ["low_rank", "dep_in", "dep_out"]
 
     def leg(excluded) -> float:
         """Token match of the serving profile with ``excluded`` sites on
