@@ -104,6 +104,12 @@ def build_batched_asr(mod: CFG.ModuleConfig) -> BatchedAsrEngine:
 
     batch = auto_batch_size(mod.batch_size, mod.lm)
     mesh = build_mesh_from_config(mod)
+    # TOML `pcm_wire = "int16"` enables the measured low-latency upload
+    # profile (docs/SUSTAINED_r04_pipe2_i16.json: p50/p95 60.3/76.2 ms at
+    # B=128 with pipeline_depth=2) — engine reads DSM_PCM_INT16 at
+    # construction, so translate the config key to the env knob here.
+    if str(mod.raw.get("pcm_wire", "")).lower() == "int16":
+        os.environ.setdefault("DSM_PCM_INT16", "1")
     engine = BatchedAsrEngine(
         asr_cfg, params, batch_size=batch, mesh=mesh,
         pipeline_depth=int(mod.raw.get(
