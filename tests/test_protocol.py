@@ -303,3 +303,4 @@ def test_metric_recorders_smoke():
     assert 'ws_close_total{code="4000",reason="server_at_capacity"}' in text
     assert 'connection_error_total{error_type="timeout",module="asr"}' in text
     assert "asr_ws_in_bytes_total" in text
+
