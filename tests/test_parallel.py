@@ -472,3 +472,119 @@ def test_dp_tp_shard_map_quantized_weights_token_exact(monkeypatch):
     assert np.array_equal(
         np.asarray(out["text_token"]), np.asarray(out_ref["text_token"])
     )
+
+
+def test_tts_and_duplex_engines_under_tp2():
+    """Continuous TTS + duplex SERVER engines on a dp x tp=2 mesh
+    (round-4: Megatron-split LM weights incl. the depformer's
+    (S, L, out, in) stacks; KV + voice-CA heads over tp) — the pytest
+    mirror of dryrun stage 8, so CI covers the tp path without running
+    __graft_entry__."""
+    import numpy as np
+
+    from dsm_tpu.models import lm as LM
+    from dsm_tpu.models import mimi as MIMI
+    from dsm_tpu.ops import transformer as T
+    from dsm_tpu.server import tts_batched as btts
+    from dsm_tpu.sessions import tts as TTS
+    from dsm_tpu.utils.tokenizer import FallbackTokenizer
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = M.make_mesh(dp=4, tp=2)
+
+    tcfg = T.TransformerConfig(
+        d_model=32, num_heads=4, num_layers=2, dim_feedforward=64,
+        context=32, cross_attention=True, ca_norm="layer_norm",
+    )
+    dep = LM.DepFormerConfig(
+        transformer=T.TransformerConfig(
+            # ff=48 -> GLU hidden 32: tp=2-divisible per-shard blocks.
+            d_model=16, num_heads=2, num_layers=2, dim_feedforward=48,
+            context=2, positional_embedding="none",
+        ),
+        num_slices=2,
+    )
+    lm_cfg = LM.LmConfig(
+        transformer=tcfg, depformer=dep,
+        text_in_vocab_size=33, text_out_vocab_size=32,
+        audio_vocab_size=17, audio_codebooks=2,
+    )
+    tts_cfg = TTS.TtsConfig(
+        lm=lm_cfg, text_audio_delay_in_tokens=2, max_steps=64,
+        text_temperature=0.0, temperature=0.0,
+    )
+    seanet = MIMI.SeaNetConfig(
+        dimension=32, channels=1, n_filters=4, n_residual_layers=1,
+        ratios=(4, 3, 2), kernel_size=7, residual_kernel_size=3,
+        last_kernel_size=3,
+    )
+    mtf = T.TransformerConfig(
+        d_model=32, num_heads=4, num_layers=2, dim_feedforward=64,
+        context=16, gating=False, norm="layer_norm",
+        positional_embedding="rope", layer_scale=0.01,
+    )
+    mimi_cfg = MIMI.MimiConfig(
+        seanet=seanet, transformer=mtf, n_q=2, bins=16, q_dim=16,
+        sample_rate=600.0, frame_rate=12.5,
+    )
+    key = jax.random.PRNGKey(13)
+    teng = btts.BatchedTtsEngine(
+        tts_cfg, {"lm": LM.init(lm_cfg, key)}, mimi_cfg,
+        MIMI.init(mimi_cfg, jax.random.fold_in(key, 1)), FallbackTokenizer(),
+        batch_size=8, ca_len=8, cfg_enabled=True, mesh=mesh,
+        fuse_ticks=2, script_cap=32,
+    )
+    # Weights took the tp split (column-parallel in_proj sharded over tp).
+    in_proj = teng.params["lm"]["transformer"]["in_proj_w"]
+    assert "tp" in str(in_proj.sharding)
+    tevents = []
+    drv = teng.open_session(tevents.append, cfg_alpha=2.0, seed=1)
+    drv.feed_words([[5], [6]])
+    drv.end_input()
+    for _ in range(tts_cfg.text_audio_delay_in_tokens + 10):
+        teng.tick()
+    assert any(
+        isinstance(ev, btts.AudioEvent) for ev in tevents
+    ) or drv.steps > 0
+
+    # -- duplex under tp=2 --
+    from dsm_tpu.server.duplex_batched import (
+        BatchedDuplexEngine, DuplexAudioEvent,
+    )
+    from dsm_tpu.sessions import lm_gen
+
+    dlm = LM.LmConfig(
+        transformer=T.TransformerConfig(
+            d_model=32, num_heads=4, num_layers=2, dim_feedforward=64,
+            context=32,
+        ),
+        depformer=dep,
+        text_in_vocab_size=33, text_out_vocab_size=32,
+        audio_vocab_size=17, audio_codebooks=4,
+    )
+    dcfg = lm_gen.DuplexConfig(
+        lm=dlm, generated_audio_codebooks=2, input_audio_codebooks=2,
+        acoustic_delay=1, text_start_token=dlm.text_start_token,
+    )
+    dkey = jax.random.PRNGKey(17)
+    dparams = {
+        "lm": LM.init(dlm, dkey),
+        "mimi": MIMI.init(mimi_cfg, jax.random.fold_in(dkey, 1)),
+    }
+    deng = BatchedDuplexEngine(
+        dcfg, dparams, mimi_cfg, dparams["mimi"], FallbackTokenizer(),
+        batch_size=8, mesh=mesh,
+    )
+    devents = []
+    ddrv = deng.open_session(devents.append)
+    ddrv.push_pcm(
+        np.random.default_rng(4).standard_normal(
+            mimi_cfg.frame_size * 4
+        ).astype(np.float32) * 0.1
+    )
+    for _ in range(6):
+        deng.tick()
+    assert any(
+        isinstance(ev, DuplexAudioEvent) for ev in devents
+    ) or ddrv.steps > 0
