@@ -336,6 +336,19 @@ class BatchedTtsEngine:
         n = batch_size
         delay = cfg.text_audio_delay_in_tokens + cfg.acoustic_delay
 
+        # Opt-in int16 audio DOWNLOAD wire (DSM_TTS_PCM_I16=1): the tick's
+        # fetch is its dominant phase and mostly audio payload (B x K x
+        # 1920 f32 ≈ 2 MB at B=64/fuse4 over a ~40 MB/s dev tunnel);
+        # quantising to int16 pairs on device halves it.  -96 dB on OUTPUT
+        # audio (inaudible; client DACs are 16-bit anyway), but not the
+        # default: the fused/unfused bit-identity tests pin the f32 wire.
+        import os as _os
+
+        pcm_wire_i16 = _os.environ.get("DSM_TTS_PCM_I16", "0") not in (
+            "0", "", "false"
+        )
+        self._pcm_wire_i16 = pcm_wire_i16
+
         def _pack_frame(out, active_n, mimi_params, mimi_state):
             """Shared tail of a tick: delay-gated masked Mimi decode + the
             single packed int32 host-bound array (text, steps, dec_mask,
@@ -350,13 +363,23 @@ class BatchedTtsEngine:
             pcm, mimi_state = MIMI.decode_step(
                 mimi_cfg, mimi_params, mimi_state, codes, dec_mask
             )
+            row = pcm[:, 0, :].astype(jnp.float32)
+            if pcm_wire_i16:
+                p16 = jnp.clip(
+                    row * 32767.0, -32767.0, 32767.0
+                ).astype(jnp.int16)
+                pcm_words = jax.lax.bitcast_convert_type(
+                    p16.reshape(n, mimi_cfg.frame_size // 2, 2), jnp.int32
+                ).reshape(-1)
+            else:
+                pcm_words = jax.lax.bitcast_convert_type(
+                    row, jnp.int32
+                ).reshape(-1)
             packed = jnp.concatenate([
                 out["text_token"][:n].astype(jnp.int32),
                 steps.astype(jnp.int32),
                 dec_mask.astype(jnp.int32),
-                jax.lax.bitcast_convert_type(
-                    pcm[:, 0, :].astype(jnp.float32), jnp.int32
-                ).reshape(-1),
+                pcm_words,
             ])
             return packed, mimi_state
 
@@ -606,6 +629,15 @@ class BatchedTtsEngine:
             while self._inflight_f:
                 self._post_fused(self._inflight_f.popleft())
 
+    def _unpack_pcm(self, words, n, frame):
+        """Decode the packed audio words from a tick fetch: f32 bitcast by
+        default, int16 pairs under the DSM_TTS_PCM_I16 wire."""
+        if self._pcm_wire_i16:
+            return (
+                words.view(np.int16).astype(np.float32) / 32767.0
+            ).reshape(n, frame)
+        return words.view(np.float32).reshape(n, frame)
+
     def _ca(self):
         # Both modes keep the SERVED form in _ca_raw — bf16 (k, v) tuple,
         # or the int8 dict written in place per slot (ca_quant).
@@ -816,7 +848,7 @@ class BatchedTtsEngine:
             steps = row[n : 2 * n]
             dec_mask = row[2 * n : 3 * n].astype(bool)
             pcm = (
-                row[3 * n :].view(np.float32).reshape(n, frame)
+                self._unpack_pcm(row[3 * n :], n, frame)
                 if dec_mask.any()
                 else None
             )
@@ -905,7 +937,7 @@ class BatchedTtsEngine:
         dec_mask = packed[2 * n : 3 * n].astype(bool)
         frame = self.mimi_cfg.frame_size
         pcm = (
-            packed[3 * n :].view(np.float32).reshape(n, frame)
+            self._unpack_pcm(packed[3 * n :], n, frame)
             if dec_mask.any()
             else None
         )

@@ -526,3 +526,38 @@ def test_fused_pipeline_depth_bit_identical():
                 assert xa[1:] == xb[1:]
             elif xa[0] == "audio":
                 np.testing.assert_array_equal(xa[1], xb[1])
+
+
+def test_int16_audio_wire_matches_f32(monkeypatch):
+    """DSM_TTS_PCM_I16: the packed audio payload rides as int16 pairs
+    (halving the tick's dominant fetch); decoded audio matches the f32
+    wire within the int16 quantisation step, and text timing events are
+    identical."""
+    import numpy as np
+
+    from dsm_tpu.server import tts_batched as btts
+    from dsm_tpu.server.tts_module import AudioEvent, WordEvent
+
+    def run(i16):
+        monkeypatch.setenv("DSM_TTS_PCM_I16", "1" if i16 else "0")
+        eng, cfg = make_engine(batch=2, fuse=2, script_cap=32)
+        events = []
+        drv = eng.open_session(events.append, seed=3)
+        drv.feed_words([[5], [6]])
+        drv.end_input()
+        for _ in range(cfg.text_audio_delay_in_tokens + 14):
+            eng.tick()
+        audio = np.concatenate(
+            [e.pcm for e in events if isinstance(e, AudioEvent)]
+        ) if any(isinstance(e, AudioEvent) for e in events) else np.zeros(0)
+        words = [
+            (e.text, e.start_s, e.stop_s)
+            for e in events if isinstance(e, WordEvent)
+        ]
+        return audio, words
+
+    a32, w32 = run(False)
+    a16, w16 = run(True)
+    assert w16 == w32  # token stream identical (wire only touches audio)
+    assert a16.shape == a32.shape and a32.size > 0
+    np.testing.assert_allclose(a16, a32, atol=1.5 / 32767.0)
