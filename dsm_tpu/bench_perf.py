@@ -303,11 +303,16 @@ def bench_server_sustained(batch: int, seconds: float,
             pipeline_depth=int(os.environ.get("DSM_ASR_PIPELINE", "1")),
         )
 
-    lat, util, ev_t = [], [], []
+    lat, util, ev_t, phases = [], [], [], []
     engine.step_observer = lambda dt, u: (
         lat.append(dt), util.append(u),
         ev_t.append(time.perf_counter()),
     )
+    # Host-phase split per step (queue/fetch/post) — the tail-attribution
+    # artifact: device compute is shape-constant, so late-step excess in
+    # fetch_ms is transfer/tunnel and excess in queue_ms/post_ms is host
+    # contention (VERDICT r4 #6).
+    engine.phase_observer = phases.append
 
     # Null-dispatch RTT: the tunnel tax on any host->device->host turnaround.
     x = jnp.zeros((8,), jnp.float32)
@@ -387,12 +392,24 @@ def bench_server_sustained(batch: int, seconds: float,
     if events_out:
         # Engine-step timeline (benchmark.rs:57-138 pattern): completion
         # time relative to engine start + duration + batch utilization.
+        by_t0 = {p["t0"]: p for p in phases}
+        rows = []
+        for t, dt, u in zip(ev_t, lat, util):
+            row = {"t": round(t - t_start, 4),
+                   "step_ms": round(dt * 1e3, 2), "util": round(u, 3)}
+            p = by_t0.get(t - dt)
+            if p is None and phases:
+                # step_observer fires inside the same drained item as
+                # phase_observer; match by dispatch time within 1 ms.
+                cand = min(phases, key=lambda q: abs(q["t0"] - (t - dt)))
+                if abs(cand["t0"] - (t - dt)) < 1e-3:
+                    p = cand
+            if p is not None:
+                row.update({k: round(p[k], 2)
+                            for k in ("queue_ms", "fetch_ms", "post_ms")})
+            rows.append(row)
         with open(events_out, "w") as f:
-            json.dump(
-                [{"t": round(t - t_start, 4), "step_ms": round(dt * 1e3, 2),
-                  "util": round(u, 3)}
-                 for t, dt, u in zip(ev_t, lat, util)], f
-            )
+            json.dump(rows, f)
     return {
         "batch": batch,
         "seconds": round(wall, 1),
@@ -406,7 +423,23 @@ def bench_server_sustained(batch: int, seconds: float,
         "slot_steps_min": int(np.min(steps_per_slot)),
         "slot_steps_mean": round(float(np.mean(steps_per_slot)), 1),
         "expected_steps_realtime": round(expected, 1),
-        "realtime_ok": bool(np.min(steps_per_slot) >= 0.95 * expected),
+        # Throughput alone (every slot kept pace on average) is NOT a
+        # serving claim: a run can deliver all frames yet deliver 20% of
+        # them late (docs/SUSTAINED_r04_b192_pipe2_i16.json).  The
+        # reference frames capacity as *served* streams under its 80 ms
+        # step budget (README.md:62-63, metrics.rs:21-26 top bucket), so
+        # realtime_ok now gates on the latency SLO too; the components
+        # are reported separately so device throughput stays visible.
+        "throughput_ok": bool(np.min(steps_per_slot) >= 0.95 * expected),
+        "slo_ok": bool(
+            float((lat_ms > 80.0).mean()) < 0.01
+            and float(np.percentile(lat_ms, 99)) <= 80.0
+        ),
+        "realtime_ok": bool(
+            np.min(steps_per_slot) >= 0.95 * expected
+            and float((lat_ms > 80.0).mean()) < 0.01
+            and float(np.percentile(lat_ms, 99)) <= 80.0
+        ),
         "markers_completed": int(sum(markers_seen)),
         "late_frac": round(float((lat_ms > 80.0).mean()), 4),
     }

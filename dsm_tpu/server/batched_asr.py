@@ -318,6 +318,15 @@ class BatchedAsrEngine:
         # Optional (dt_seconds, batch_utilization) callback per drained step
         # (the bench harness records percentiles; metrics.rs:21-26 analogue).
         self.step_observer = None
+        # Optional dict callback with the host-side phase split of each
+        # drained step: queue_ms (dispatch -> drain-thread dequeue),
+        # fetch_ms (device->host transfer incl. remaining device compute),
+        # post_ms (word decode + delivery).  Device compute is
+        # shape-constant per batch, so a late step whose excess lives in
+        # fetch_ms beyond the device floor is a transfer/tunnel stall and
+        # one whose excess lives in queue_ms/post_ms is host contention —
+        # the attribution artifact for sustained-tail analysis.
+        self.phase_observer = None
         # Optional utils.session_log.SessionLogger: per-slot text+audio
         # token dumps for offline replay (batched_asr.rs Logger :133-214).
         self.session_logger = session_logger
@@ -609,6 +618,7 @@ class BatchedAsrEngine:
 
     def _process_item(self, item) -> None:
         out, mask, chans, t0 = item
+        t_deq = time.perf_counter()
         if "packed" in out:
             packed = np.asarray(out["packed"])  # one transfer
             b = self.batch_size
@@ -667,6 +677,14 @@ class BatchedAsrEngine:
             if not ch.closed and self.slots[slot] is ch:
                 ch.deliver(ev)
         t_post = time.perf_counter() - t_post0
+        if self.phase_observer is not None:
+            self.phase_observer({
+                "t0": t0,
+                "queue_ms": (t_deq - t0) * 1e3,
+                "fetch_ms": (t_post0 - t_deq) * 1e3,
+                "post_ms": t_post * 1e3,
+                "util": float(mask.mean()),
+            })
         metrics.PIPELINE_POSTPROCESS_DURATION.observe(t_post)
         # Overlap efficiency: fraction of the step window not spent in
         # serial host post-processing — 1.0 when the drain thread fully

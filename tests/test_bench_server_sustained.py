@@ -21,8 +21,17 @@ def test_server_sustained_events_timeline(tmp_path):
     events = json.loads(out.read_text())
     # One timeline entry per observed engine step, rebased on engine start.
     assert len(events) == res["engine_steps"]
-    assert all(set(e) == {"t", "step_ms", "util"} for e in events)
+    # Each step carries the host-phase split (queue/fetch/post) used for
+    # sustained-tail attribution (VERDICT r4 #6).
+    assert all(
+        set(e) == {"t", "step_ms", "util", "queue_ms", "fetch_ms", "post_ms"}
+        for e in events
+    )
     ts = [e["t"] for e in events]
     assert ts == sorted(ts)
     assert 0 <= ts[0] < 5.0  # rebased: starts near 0, not at warmup offset
     assert all(e["step_ms"] > 0 for e in events)
+    assert all(e["fetch_ms"] >= 0 for e in events)
+    # SLO gating components are reported separately from throughput.
+    assert {"throughput_ok", "slo_ok", "realtime_ok"} <= set(res)
+    assert res["realtime_ok"] == (res["throughput_ok"] and res["slo_ok"])
