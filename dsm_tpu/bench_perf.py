@@ -445,8 +445,38 @@ def bench_server_sustained(batch: int, seconds: float,
     }
 
 
+def _late_tick_attribution(rows, phase_keys, budget_ms):
+    """Attribute late ticks to phases: for ticks over ``budget_ms``, the
+    mean EXCESS of each phase above its own all-ticks p50 — the phase(s)
+    carrying the tail.  ``rows``: list of dicts with ``phase_keys`` in ms."""
+    if not rows:
+        return None
+    p50 = {k: float(np.percentile([r[k] for r in rows], 50))
+           for k in phase_keys}
+    late = [r for r in rows if sum(r[k] for k in phase_keys) > budget_ms]
+    if not late:
+        return {"n_late": 0, "phase_p50_ms": {k: round(v, 2)
+                                              for k, v in p50.items()}}
+    return {
+        "n_late": len(late),
+        "late_frac": round(len(late) / len(rows), 4),
+        "phase_p50_ms": {k: round(v, 2) for k, v in p50.items()},
+        # Mean ms of tail excess carried by each phase, over late ticks.
+        "late_excess_ms": {
+            k: round(float(np.mean([max(0.0, r[k] - p50[k]) for r in late])), 2)
+            for k in phase_keys
+        },
+        "worst": sorted(
+            ({"t": round(r.get("t", 0.0), 3),
+              **{k: round(r[k], 1) for k in phase_keys}} for r in late),
+            key=lambda r: -sum(r[k] for k in phase_keys),
+        )[:10],
+    }
+
+
 def bench_tts_sustained(batch: int, seconds: float, engine=None,
-                        n_words: int = 50, drain_s: float = 120.0) -> dict:
+                        n_words: int = 50, drain_s: float = 120.0,
+                        events_out: str | None = None) -> dict:
     """Drive the continuous-batching TTS engine with ``batch`` live
     sessions for ``seconds`` — the beyond-reference claim surface (the
     reference serves ONE TTS session behind a mutex; tts.rs:31,374).
@@ -510,7 +540,10 @@ def bench_tts_sustained(batch: int, seconds: float, engine=None,
     rtt = (time.perf_counter() - t0) / 5
 
     phases: list = []
-    engine.tick_observer = lambda *p: phases.append(p)
+    t_origin = time.perf_counter()
+    engine.tick_observer = lambda *p: phases.append(
+        (time.perf_counter() - t_origin,) + p
+    )
     engine.warmup()  # compile outside the timed window
     engine.start()
 
@@ -558,6 +591,18 @@ def bench_tts_sustained(batch: int, seconds: float, engine=None,
         time.sleep(0.2)
     engine.stop()
 
+    # (t, gather, dispatch, fetch, post) rows in ms for attribution/events.
+    PH = ("gather_ms", "dispatch_ms", "fetch_ms", "post_ms")
+    rows = [
+        {"t": p[0], **{k: p[1 + i] * 1e3 for i, k in enumerate(PH)}}
+        for p in phases
+    ]
+    if events_out:
+        with open(events_out, "w") as f:
+            json.dump(
+                [{"t": round(r["t"], 4),
+                  **{k: round(r[k], 2) for k in PH}} for r in rows], f
+            )
     if not finished:
         return {"batch": batch, "sessions_completed": 0, "error": "none finished"}
     audio = np.asarray([f[0] for f in finished])
@@ -577,12 +622,12 @@ def bench_tts_sustained(batch: int, seconds: float, engine=None,
         "aggregate_realtime_streams": round(float(audio.sum() / seconds), 1),
         "null_dispatch_rtt_ms": round(rtt * 1e3, 1),
         "tick_phase_ms_p50": (
-            [round(float(np.percentile([p[i] for p in phases], 50)) * 1e3, 1)
+            [round(float(np.percentile([p[1 + i] for p in phases], 50)) * 1e3, 1)
              for i in range(4)]
             if phases else None  # [gather, dispatch, step+fetch, post]
         ),
         "tick_ms_p50": (
-            round(float(np.percentile([sum(p) for p in phases], 50)) * 1e3, 1)
+            round(float(np.percentile([sum(p[1:]) for p in phases], 50)) * 1e3, 1)
             if phases else None
         ),
         # Tail stats: per-session wall = ttfb + n_ticks * MEAN tick (a few
@@ -590,15 +635,15 @@ def bench_tts_sustained(batch: int, seconds: float, engine=None,
         # session equally), so the mean/p95 explain rtf_per_session when
         # they diverge from the p50.
         "tick_ms_mean": (
-            round(float(np.mean([sum(p) for p in phases])) * 1e3, 1)
+            round(float(np.mean([sum(p[1:]) for p in phases])) * 1e3, 1)
             if phases else None
         ),
         "tick_ms_p95": (
-            round(float(np.percentile([sum(p) for p in phases], 95)) * 1e3, 1)
+            round(float(np.percentile([sum(p[1:]) for p in phases], 95)) * 1e3, 1)
             if phases else None
         ),
         "tick_ms_p99": (
-            round(float(np.percentile([sum(p) for p in phases], 99)) * 1e3, 1)
+            round(float(np.percentile([sum(p[1:]) for p in phases], 99)) * 1e3, 1)
             if phases else None
         ),
         # Steady-state capacity: every tick produces one 80 ms frame per
@@ -607,16 +652,22 @@ def bench_tts_sustained(batch: int, seconds: float, engine=None,
         # short-session launch pattern above).
         "capacity_realtime_streams_p50": (
             round(batch * 0.080
-                  / float(np.percentile([sum(p) for p in phases], 50)), 1)
+                  / float(np.percentile([sum(p[1:]) for p in phases], 50)), 1)
             if phases else None
         ),
         # With fuse_ticks > 1 each observed tick covers `fuse` frames; the
         # per-frame cadence cost is tick_ms_p50 / fuse_ticks.
         "fuse_ticks": engine.fuse,
         "per_frame_ms_p50": (
-            round(float(np.percentile([sum(p) for p in phases], 50))
+            round(float(np.percentile([sum(p[1:]) for p in phases], 50))
                   * 1e3 / engine.fuse, 1)
             if phases else None
+        ),
+        # Which phase carries the tail: a tick is late when it exceeds its
+        # realtime budget (fuse frames x 80 ms); late_excess_ms names the
+        # stalling phase (VERDICT r4 #4: the B=64 tick-p99 stall).
+        "late_tick_attribution": _late_tick_attribution(
+            rows, PH, budget_ms=engine.fuse * 80.0
         ),
     }
 
@@ -689,11 +740,20 @@ def bench_duplex_sustained(batch: int, seconds: float,
 
     step_times: list = []
     tick_phases: list = []
+    phase_rows: list = []  # timestamped, for late-tick attribution
 
     def tick_obs(dt, n_active, phases=None):
         step_times.append(dt)
         if phases is not None:
             tick_phases.append(phases)
+            phase_rows.append({
+                "t": time.perf_counter() - t_origin,
+                "step_ms": dt * 1e3,
+                "gather_ms": phases[0] * 1e3,
+                "dispatch_ms": phases[1] * 1e3,
+                "fetch_ms": phases[2] * 1e3,
+                "post_ms": phases[3] * 1e3,
+            })
         log_event("Step")
         log_event("StepPostSampling")
 
@@ -745,8 +805,10 @@ def bench_duplex_sustained(batch: int, seconds: float,
 
         with open(events_path, "w") as f:
             _json.dump(
-                [{"event": n, "t_s": round(t, 4), "slot": s}
-                 for n, t, s in events], f
+                {"events": [{"event": n, "t_s": round(t, 4), "slot": s}
+                            for n, t, s in events],
+                 "ticks": [{k: round(v, 3) for k, v in r.items()}
+                           for r in phase_rows]}, f
             )
 
     st = np.asarray(step_times) if step_times else np.asarray([0.0])
@@ -771,6 +833,17 @@ def bench_duplex_sustained(batch: int, seconds: float,
             [round(float(np.percentile([p[i] for p in tick_phases], 50)) * 1e3, 1)
              for i in range(4)]
             if tick_phases else None
+        ),
+        "tick_phase_ms_p95": (
+            [round(float(np.percentile([p[i] for p in tick_phases], 95)) * 1e3, 1)
+             for i in range(4)]
+            if tick_phases else None
+        ),
+        # Which phase carries the >80 ms tail (VERDICT r4 #5): mean excess
+        # of each phase above its own p50, over the late ticks only.
+        "late_tick_attribution": _late_tick_attribution(
+            phase_rows, ("gather_ms", "dispatch_ms", "fetch_ms", "post_ms"),
+            budget_ms=80.0,
         ),
         "n_events": len(events),
         "pipeline_depth": engine.pipeline_depth,
@@ -870,7 +943,7 @@ def _run_all(args, results):
         )
     if args.tts_sustained:
         results["tts_sustained"] = bench_tts_sustained(
-            args.batch, args.tts_sustained
+            args.batch, args.tts_sustained, events_out=args.events
         )
     if args.duplex_sustained:
         results["duplex_sustained"] = bench_duplex_sustained(

@@ -209,10 +209,17 @@ class BatchedAsrEngine:
                 "DSM_PCM_INT16", "0"
             ) not in ("0", "", "false")
             self._pcm_wire_int16 = pcm_int16
+            if pcm_int16:
+                # Device-side dequant prologue in its OWN tiny jit: the
+                # flagship step always traces f32 pcm, so the wire toggle
+                # shares the step's persistent compile-cache entry instead
+                # of forcing a fresh flagship compile (the r4 TTS i16 leg's
+                # >2400 s compile was this defect on the TTS side).
+                self._wire_in = jax.jit(
+                    lambda p: p.astype(jnp.float32) * (1.0 / 32767.0)
+                )
 
             def _step(params, state, pcm, mask, reset, rng, seeds):
-                if pcm_int16:
-                    pcm = pcm.astype(jnp.float32) * (1.0 / 32767.0)
                 with _rk.kernels_forced(_rk.kernels_override()):
                     out, st = ASR.step(
                         cfg, params, state, pcm, mask, reset, rng, condition,
@@ -419,7 +426,11 @@ class BatchedAsrEngine:
         import jax
 
         if self._pcm_wire_int16:
-            pcm = (np.clip(pcm, -1.0, 1.0) * 32767.0).astype(np.int16)
+            # Upload int16 (half the bytes), dequantise on device in the
+            # tiny prologue jit; the flagship step sees f32 either way.
+            pcm = self._wire_in(
+                (np.clip(pcm, -1.0, 1.0) * 32767.0).astype(np.int16)
+            )
         self.rng, sub = jax.random.split(self.rng)
         if self._seeded_step:
             out, self.state = self.step_fn(

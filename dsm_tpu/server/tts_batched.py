@@ -342,6 +342,11 @@ class BatchedTtsEngine:
         # quantising to int16 pairs on device halves it.  -96 dB on OUTPUT
         # audio (inaudible; client DACs are 16-bit anyway), but not the
         # default: the fused/unfused bit-identity tests pin the f32 wire.
+        # The conversion lives in a SEPARATE tiny jit applied to the step's
+        # packed output — NOT inside the step program — so flipping the
+        # wire never invalidates the flagship compile (the r4 i16 TTS leg
+        # paid a fresh >2400 s compile because the toggle was traced into
+        # the fused scan; docs/chipq/tts_i16_leg_attempt.json).
         import os as _os
 
         pcm_wire_i16 = _os.environ.get("DSM_TTS_PCM_I16", "0") not in (
@@ -364,17 +369,9 @@ class BatchedTtsEngine:
                 mimi_cfg, mimi_params, mimi_state, codes, dec_mask
             )
             row = pcm[:, 0, :].astype(jnp.float32)
-            if pcm_wire_i16:
-                p16 = jnp.clip(
-                    row * 32767.0, -32767.0, 32767.0
-                ).astype(jnp.int16)
-                pcm_words = jax.lax.bitcast_convert_type(
-                    p16.reshape(n, mimi_cfg.frame_size // 2, 2), jnp.int32
-                ).reshape(-1)
-            else:
-                pcm_words = jax.lax.bitcast_convert_type(
-                    row, jnp.int32
-                ).reshape(-1)
+            pcm_words = jax.lax.bitcast_convert_type(
+                row, jnp.int32
+            ).reshape(-1)
             packed = jnp.concatenate([
                 out["text_token"][:n].astype(jnp.int32),
                 steps.astype(jnp.int32),
@@ -413,6 +410,25 @@ class BatchedTtsEngine:
             return packed, state, mimi_state
 
         self._step = jax.jit(_step, donate_argnums=(1, 3))
+
+        fs = mimi_cfg.frame_size
+
+        def _wire_i16(packed):
+            """Device-side wire epilogue: rewrite the packed tail (f32-bit
+            pcm words) as int16 pairs, halving the fetch.  A few-μs
+            elementwise program compiled separately from the step, so the
+            wire toggle shares the step's compile cache."""
+            head = packed[..., : 3 * n]
+            pcm = jax.lax.bitcast_convert_type(
+                packed[..., 3 * n :], jnp.float32
+            )
+            p16 = jnp.clip(pcm * 32767.0, -32767.0, 32767.0).astype(jnp.int16)
+            words = jax.lax.bitcast_convert_type(
+                p16.reshape(packed.shape[:-1] + (n * fs // 2, 2)), jnp.int32
+            )
+            return jnp.concatenate([head, words], axis=-1)
+
+        self._wire_fn = jax.jit(_wire_i16) if pcm_wire_i16 else None
 
         # -- fused multi-tick path: the device script machine
         # (sessions/tts_script.py) computes the AllowedTokens constraint
@@ -817,6 +833,8 @@ class BatchedTtsEngine:
                 self._cfg_alpha.copy(),
             )
         )
+        if self._wire_fn is not None:
+            packed_dev = self._wire_fn(packed_dev)
         t_fetch0 = time.perf_counter()
         self._inflight_f.append(
             (packed_dev, drivers, t_gather0, t_disp0, t0, t_fetch0)
@@ -928,6 +946,8 @@ class BatchedTtsEngine:
             modes_m, toks_m, sub, self._ca(), mask_m, reset_m, temps,
             seeds_m, self._cfg_alpha.copy(),
         )
+        if self._wire_fn is not None:
+            packed_dev = self._wire_fn(packed_dev)
         t_fetch0 = time.perf_counter()
         n = self.batch_size
         packed = np.asarray(packed_dev)  # the tick's ONE device->host fetch
