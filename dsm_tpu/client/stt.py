@@ -178,15 +178,19 @@ class SttClient:
                                 delay = target - time.monotonic()
                                 if delay > 0:
                                     await asyncio.sleep(delay)
-                    # Graceful flush: marker, then trailing silence pushes it
-                    # (+ the delayed words) through the decode delay
-                    # (stt/ws.rs:17-20 completion flow).
+                    # Graceful flush: marker, then trailing silence until the
+                    # marker comes back (stt/ws.rs:419-442 sends silence in a
+                    # loop, not a fixed count — a fixed 16 frames can never
+                    # drain stt-2.6b's 32-token delay).  The receive loop
+                    # cancels this task on marker receipt; the cap bounds a
+                    # lost-marker pathology.
                     await ws.send_bytes(
                         msgpack.packb({"type": "Marker", "id": SHUTDOWN_MARKER})
                     )
                     silence = np.zeros(FRAME, np.float32)
-                    for _ in range(16):
+                    for _ in range(150):
                         await ws.send_bytes(_audio_msg(silence))
+                        await asyncio.sleep(0.04)
 
                 send_task = asyncio.create_task(sender())
                 try:

@@ -27,9 +27,11 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
     n = len(devices)
     if dp is None:
         dp = n // tp
-    if dp * tp != n:
-        raise ValueError(f"dp*tp = {dp}*{tp} != {n} devices")
-    arr = np.asarray(devices).reshape(dp, tp)
+    if dp * tp > n:
+        raise ValueError(f"dp*tp = {dp}*{tp} > {n} devices")
+    # A mesh smaller than the machine is valid (e.g. two modules from one
+    # TOML each meshing a subset); take the leading devices.
+    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
     return Mesh(arr, ("dp", "tp"))
 
 

@@ -69,6 +69,12 @@ class Channel:
         self.frame_size = frame_size or FRAME_SIZE
         self.pcm = deque()  # float chunks (fallback path)
         self.pcm_samples = 0
+        # Cumulative samples ever pushed (WS-thread only): the marker-due
+        # arithmetic uses this instead of steps+buffered, which undercounts
+        # by the in-flight dispatch-ahead frames (gathered from the buffer
+        # but not yet drained into ch.steps) — a race that fired markers
+        # 1-2 frames early and nondeterministically dropped trailing words.
+        self.samples_pushed = 0
         self.markers: List[tuple] = []  # (due_step, marker_id) heap
         self.deliver = deliver
         self.lock = threading.Lock()
@@ -79,6 +85,7 @@ class Channel:
 
     def push_pcm(self, pcm: np.ndarray) -> None:
         self.last_data = time.time()
+        self.samples_pushed += len(pcm)
         if self.packer is not None:
             self.packer.push(self.slot, pcm)
             return
@@ -394,10 +401,18 @@ class BatchedAsrEngine:
         metrics.ASR_STEPS_PER_CONNECTION.observe(max(ch.steps, 0))
 
     def add_marker(self, ch: Channel, marker_id: int) -> None:
-        """Marker is due once all audio buffered *before* it has been decoded
-        plus the ASR delay (batched_asr.rs marker heap :405-430)."""
-        frames_ahead = ch.buffered_samples() // self.frame_size
-        due = ch.steps + frames_ahead + self.cfg.asr_delay_in_tokens
+        """Marker is due once all audio sent *before* it has been decoded
+        plus the ASR delay (batched_asr.rs marker heap :405-430).
+
+        Computed from the channel's cumulative pushed samples — NOT
+        steps + buffered: with dispatch-ahead, frames already gathered
+        from the buffer but not yet drained into ch.steps are counted by
+        neither term, which fired markers 1-2 frames early and
+        nondeterministically dropped trailing words (the reference
+        computes steps + data in its single preprocess thread where the
+        two are consistent; here the marker lands on the WS thread)."""
+        frames_sent = ch.samples_pushed // self.frame_size
+        due = frames_sent + self.cfg.asr_delay_in_tokens
         heapq.heappush(ch.markers, (due, marker_id))
 
     # -- device loop --

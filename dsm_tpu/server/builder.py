@@ -345,7 +345,11 @@ def build_duplex(mod: CFG.ModuleConfig):
                 "pipeline_depth", os.environ.get("DSM_DUPLEX_PIPELINE", "1")
             )),
             # kv_bits = 4 packs the dialogue rings int4 — the HBM lever
-            # for B > 24 at s2s-2b ctx-3000 shapes.
+            # for B > 24 at s2s-2b ctx-3000 shapes.  TOML kv_quant
+            # overrides the backend default (quantised rings on
+            # accelerators, bf16/f32 on CPU) — without it kv_bits would
+            # silently no-op on CPU meshes.
+            kv_quant=mod.raw.get("kv_quant"),
             kv_bits=int(mod.raw.get(
                 "kv_bits", os.environ.get("DSM_KV_BITS", "8")
             )),

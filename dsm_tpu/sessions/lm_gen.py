@@ -246,7 +246,11 @@ def step(
     if mask is not None:
         frame_valid = jnp.logical_and(frame_valid, mask)
 
-    out = {"text_token": text_token, "frame": frame, "frame_valid": frame_valid}
+    out = {"text_token": text_token, "frame": frame, "frame_valid": frame_valid,
+           # Raw step-i depformer samples (pre-delay-buffer): the duplex
+           # quant study teacher-forces feedback with these so each step's
+           # match is independent (tools/quant_divergence.py).
+           "audio_tokens": audio_tokens}
     new_state = {
         "lm": lm_state,
         "audio_tokens": buf,

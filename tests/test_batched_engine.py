@@ -362,3 +362,41 @@ def test_fill_gate_ignores_stale_idle_channels():
         assert not e.tick()
     finally:
         eng.FRAME_SIZE = saved
+
+
+def test_marker_due_independent_of_inflight_frames():
+    """The marker due step counts every frame PUSHED before the marker —
+    not steps + buffered, which undercounts frames already gathered from
+    the buffer but not yet drained into ch.steps (dispatch-ahead), firing
+    the marker early and nondeterministically dropping trailing words."""
+    saved = eng.FRAME_SIZE
+    try:
+        e, cfg = small_engine(batch=1)
+        eng.FRAME_SIZE = fs = cfg.mimi.frame_size
+        e._pcm_buf = np.zeros((1, 1, fs), np.float32)
+        events = []
+        ch = e.open_channel(events.append)
+        # Force the python deque path so take_frame() below works with the
+        # small frame size (the native packer is sized for FRAME_SIZE).
+        ch.packer = None
+        ch.frame_size = fs
+        for _ in range(5):
+            ch.push_pcm(np.zeros(fs, np.float32))
+
+        # Marker added with NOTHING consumed yet.
+        e.add_marker(ch, marker_id=1)
+        due_idle = ch.markers[0][0]
+
+        # Consume 3 frames but do NOT drain results (simulates in-flight
+        # dispatch-ahead: buffer drained, ch.steps still stale).
+        for _ in range(3):
+            assert ch.take_frame() is not None
+        assert ch.steps == 0  # stale, as during a real in-flight window
+        e.add_marker(ch, marker_id=2)
+
+        assert due_idle == 5 + cfg.asr_delay_in_tokens
+        # Invariant under the consumption race: every queued marker has the
+        # same due step regardless of in-flight frames.
+        assert [d for d, _ in ch.markers] == [due_idle, due_idle]
+    finally:
+        eng.FRAME_SIZE = saved

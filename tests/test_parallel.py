@@ -87,8 +87,12 @@ def test_sharded_lm_step_runs(mesh):
 def test_mesh_validation():
     if jax.device_count() < 8:
         pytest.skip("needs 8 virtual devices")
+    # Oversubscription is an error; a SUBSET mesh is valid (two modules
+    # from one TOML may each mesh part of the machine).
     with pytest.raises(ValueError):
-        M.make_mesh(dp=3, tp=2)
+        M.make_mesh(dp=9, tp=1)
+    m = M.make_mesh(dp=3, tp=2)
+    assert m.shape == {"dp": 3, "tp": 2}
 
 
 def test_batched_asr_engine_on_mesh(mesh):

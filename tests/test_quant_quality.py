@@ -134,3 +134,98 @@ def test_w8a8_profile_divergence_bounded():
         os.environ.pop("DSM_W8A8", None)
     assert max(rels) < 0.08, f"W8A8 relative logit error {max(rels)}"
     assert float(np.mean(agree)) >= 0.85, f"W8A8 argmax agreement {np.mean(agree)}"
+
+
+def test_duplex_sweep_teacher_forcing_decouples_steps():
+    """run_duplex_w8a8_sweep's teacher-forcing rewrites the step-i feedback
+    (prev_text, text_tokens[:, i], the delayed audio_tokens writes) with the
+    reference outputs, so per-step match is independent.  Validated
+    behaviorally with a perturbed-weights leg: free-run mismatch compounds
+    (context drifts after the first flip) while the forced leg's per-step
+    match stays near its step-0 level."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import quant_divergence as QD
+    from dsm_tpu.sessions import lm_gen
+
+    dep = LM.DepFormerConfig(
+        transformer=T.TransformerConfig(
+            d_model=16, num_heads=2, num_layers=2, dim_feedforward=32,
+            context=2, positional_embedding="none",
+        ),
+        num_slices=2,
+    )
+    lm_cfg = LM.LmConfig(
+        transformer=T.TransformerConfig(
+            d_model=32, num_heads=4, num_layers=2, dim_feedforward=64,
+            context=64,
+        ),
+        depformer=dep, text_in_vocab_size=33, text_out_vocab_size=32,
+        audio_vocab_size=17, audio_codebooks=4,
+    )
+    steps, batch, in_cb, delay = 40, 2, 2, 2
+    key = jax.random.PRNGKey(0)
+    lm_bf16 = LM.init(lm_cfg, key, dtype=jnp.float32)
+    # Perturbed leg: enough noise to flip some argmaxes, not all.
+    noise = jax.tree_util.tree_map(
+        lambda a: a + 0.02 * jax.random.normal(
+            jax.random.PRNGKey(99), a.shape, a.dtype
+        ) if a.dtype in (jnp.float32, jnp.bfloat16) else a,
+        lm_bf16,
+    )
+    rng = np.random.default_rng(0)
+    user = rng.integers(0, 16, (steps, batch, in_cb)).astype(np.int32)
+    cfg = lm_gen.DuplexConfig(
+        lm=lm_cfg, generated_audio_codebooks=in_cb,
+        input_audio_codebooks=in_cb, acoustic_delay=delay,
+        max_steps=steps + 8, audio_temperature=0.0, text_temperature=0.0,
+    )
+    k0 = jax.random.PRNGKey(11)
+    fn = jax.jit(lambda p, st, u, k: lm_gen.step(cfg, p, st, u, k))
+
+    # Reference stream.
+    st = lm_gen.init_state(cfg, batch, jnp.float32)
+    ref_t, ref_a = [], []
+    for i in range(steps):
+        out, st = fn({"lm": lm_bf16}, st, user[i], k0)
+        ref_t.append(np.asarray(out["text_token"]))
+        ref_a.append(np.asarray(out["audio_tokens"]))
+
+    gen = in_cb
+
+    def force(st, i):
+        b_col = jnp.arange(batch)[:, None]
+        g = jnp.arange(gen)
+        wdel = jnp.where(g == 0, 0, delay)
+        wp = jnp.broadcast_to(
+            jnp.maximum(i - wdel[None, :], 0), (batch, gen)
+        )
+        buf = st["audio_tokens"].at[b_col, wp, g[None, :]].set(
+            jnp.asarray(ref_a[i])
+        )
+        tb = st["text_tokens"].at[:, i].set(jnp.asarray(ref_t[i]))
+        return dict(st, audio_tokens=buf, text_tokens=tb,
+                    prev_text=jnp.asarray(ref_t[i]))
+
+    def run(forced):
+        st = lm_gen.init_state(cfg, batch, jnp.float32)
+        match = []
+        for i in range(steps):
+            out, st = fn({"lm": noise}, st, user[i], k0)
+            match.append(
+                float((np.asarray(out["audio_tokens"]) == ref_a[i]).mean())
+            )
+            if forced:
+                st = force(st, jnp.int32(i))
+        return np.asarray(match)
+
+    free = run(False)
+    forced = run(True)
+    # The perturbation must flip something, else the test is vacuous.
+    assert free.mean() < 1.0
+    # Identical first step (no feedback yet to diverge through).
+    assert free[0] == forced[0]
+    # Forced per-step match does not decay; free-run compounds below it.
+    h = steps // 2
+    assert forced[h:].mean() >= free[h:].mean()
+    assert forced[h:].mean() >= forced[:h].mean() - 0.15

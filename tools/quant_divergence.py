@@ -242,6 +242,151 @@ def run_asr_w8a8_sweep(lm_cfg, steps: int, batch: int, seed: int = 0,
     }
 
 
+def run_duplex_w8a8_sweep(lm_cfg, steps: int, batch: int, seed: int = 0,
+                          kernels: bool = True) -> dict:
+    """Per-site W8A8 sensitivity sweep for the DUPLEX profile (VERDICT r4
+    #3): the s2s audio stream IS the product output, so the sweep ranks
+    sites by AUDIO-token match, not text.
+
+    Teacher-forced: after each serving-leg step, the state's text/audio
+    feedback writes are overwritten with the bf16 leg's step-i outputs
+    (prev_text + text_tokens[:, i] + the delayed audio_tokens writes), so
+    every step's match is independent instead of compounding after the
+    first flip (the free-run metric run_duplex reports).  The raw step-i
+    depformer samples ride in out["audio_tokens"] (sessions/lm_gen.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dsm_tpu.models import lm as LM
+    from dsm_tpu.ops import qmm
+    from dsm_tpu.ops import ring_kernels as rk
+    from dsm_tpu.ops import transformer as T
+    from dsm_tpu.sessions import lm_gen
+
+    key = jax.random.PRNGKey(seed)
+    lm_bf16 = LM.init(lm_cfg, key, dtype=jnp.bfloat16)
+    lm_q = T.quantize_weights(lm_bf16)
+    rng = np.random.default_rng(seed)
+    in_cb = lm_cfg.audio_codebooks // 2
+    gen = in_cb
+    delay = 2
+    k0 = jax.random.PRNGKey(11)
+
+    user_stream = rng.integers(
+        0, lm_cfg.audio_vocab_size - 1, (steps, batch, in_cb)
+    ).astype(np.int32)
+
+    def make(quant: bool):
+        cfg = lm_gen.DuplexConfig(
+            lm=lm_cfg, generated_audio_codebooks=gen,
+            input_audio_codebooks=in_cb, acoustic_delay=delay,
+            max_steps=steps + 64,
+            audio_temperature=0.0, text_temperature=0.0,
+        )
+        params = {"lm": lm_q if quant else lm_bf16}
+        state = lm_gen.init_state(cfg, batch, jnp.bfloat16, kv_quant=quant)
+
+        def _step(params, state, user_tokens, k):
+            with rk.kernels_forced(quant and kernels):
+                return lm_gen.step(cfg, params, state, user_tokens, k)
+
+        return cfg, params, state, jax.jit(_step, donate_argnums=(1,))
+
+    # Jitted teacher-force: rewrite step-i feedback with the bf16 outputs
+    # (same index arithmetic as lm_gen.step's buffer writes).
+    def _force(state, i, ref_text, ref_audio):
+        b = ref_text.shape[0]
+        b_col = jnp.arange(b)[:, None]
+        g = jnp.arange(gen)
+        wdel = jnp.where(g == 0, 0, delay)
+        wp = jnp.maximum(i - wdel[None, :], 0)  # (1, gen) -> bcast (b, gen)
+        wp = jnp.broadcast_to(wp, (b, gen))
+        buf = state["audio_tokens"].at[
+            b_col, wp, g[None, :]
+        ].set(ref_audio)
+        tb = state["text_tokens"].at[:, i].set(ref_text)
+        return dict(
+            state, audio_tokens=buf, text_tokens=tb, prev_text=ref_text
+        )
+
+    force = jax.jit(_force, donate_argnums=(0,))
+
+    # -- bf16 reference leg (records raw per-step samples) --
+    _, params_bf, st, fn_bf = make(False)
+    ref_text, ref_audio = [], []
+    t0 = time.time()
+    for i in range(steps):
+        out, st = fn_bf(params_bf, st, user_stream[i], k0)
+        ref_text.append(np.asarray(out["text_token"]))
+        ref_audio.append(np.asarray(out["audio_tokens"]))
+        if i % 100 == 0:
+            print(f"  bf16 step {i}/{steps} ({time.time()-t0:.0f}s)",
+                  file=sys.stderr, flush=True)
+    ref_text = np.stack(ref_text)    # (steps, B)
+    ref_audio = np.stack(ref_audio)  # (steps, B, gen)
+
+    all_sites = ["in_proj", "out_proj", "mlp_in", "mlp_out", "text_linear",
+                 "low_rank", "dep_in", "dep_out"]
+
+    def leg(excluded) -> dict:
+        sites = (
+            None if excluded is None
+            else frozenset(s for s in all_sites if s not in excluded)
+        )
+        qmm.set_w8a8_sites(sites)
+        try:
+            _, params_q, st, fn = make(True)
+            tmatch, amatch = [], []
+            t0 = time.time()
+            for i in range(steps):
+                out, st = fn(params_q, st, user_stream[i], k0)
+                tmatch.append(np.asarray(out["text_token"]) == ref_text[i])
+                amatch.append(np.asarray(out["audio_tokens"]) == ref_audio[i])
+                st = force(st, jnp.int32(i), jnp.asarray(ref_text[i]),
+                           jnp.asarray(ref_audio[i]))
+                if i % 200 == 0:
+                    print(
+                        f"  leg -{excluded or 'none'} step {i}/{steps} "
+                        f"({time.time()-t0:.0f}s)",
+                        file=sys.stderr, flush=True,
+                    )
+            return {
+                "text": round(float(np.stack(tmatch).mean()), 5),
+                "audio": round(float(np.stack(amatch).mean()), 5),
+            }
+        finally:
+            qmm.set_w8a8_sites(None)
+
+    results = {"all_w8a8": leg([])}
+    # Pure weight-only profile (w8a8 = false): the one-knob quality lever.
+    results["w8a8_off"] = leg(list(all_sites))
+    for s in all_sites:
+        results[f"minus_{s}"] = leg([s])
+
+    # Mixed-profile proposal ranked by AUDIO-match recovery, target >= 0.95
+    # (the duplex product bound; text is already high).
+    base = results["all_w8a8"]["audio"]
+    gains = sorted(
+        ((results[f"minus_{s}"]["audio"] - base, s) for s in all_sites),
+        reverse=True,
+    )
+    excluded, mixed = [], results["all_w8a8"]
+    for gain, s in gains:
+        if mixed["audio"] >= 0.95 or gain <= 0:
+            break
+        excluded.append(s)
+        mixed = leg(excluded)
+    results["mixed_profile_excluded"] = excluded
+    results["mixed_profile_match"] = mixed
+    return {
+        "steps": steps,
+        "batch": batch,
+        "mode": "teacher-forced per-site W8A8 sweep (duplex, audio-ranked)",
+        "sites": all_sites,
+        "results": results,
+    }
+
+
 def run_tts(lm_cfg, steps: int, batch: int, seed: int = 0,
             kernels: bool = True) -> dict:
     import jax
@@ -408,13 +553,19 @@ def main(argv=None):
 
     if args.w8a8_sweep:
         os.environ["DSM_W8A8"] = "1"
-        cfg = {
-            "stt-1b": LM.stt_1b_en_fr,
-        }.get(args.model)
-        if cfg is None:
-            p.error("--w8a8-sweep supports --model stt-1b")
-        res = run_asr_w8a8_sweep(cfg(), args.steps, args.batch,
-                                 kernels=on_tpu and not args.no_kernels)
+        if args.model == "s2s-2b":
+            res = run_duplex_w8a8_sweep(
+                LM.s2s_2b_16rvq_202501(), args.steps, args.batch,
+                kernels=on_tpu and not args.no_kernels,
+            )
+        else:
+            cfg = {
+                "stt-1b": LM.stt_1b_en_fr,
+            }.get(args.model)
+            if cfg is None:
+                p.error("--w8a8-sweep supports --model stt-1b or s2s-2b")
+            res = run_asr_w8a8_sweep(cfg(), args.steps, args.batch,
+                                     kernels=on_tpu and not args.no_kernels)
         res["model"] = args.model
         res["w8a8"] = True
         print(json.dumps(res))
