@@ -323,6 +323,30 @@ def bench_server_sustained(batch: int, seconds: float,
         np.asarray(f(x))
     rtt = (time.perf_counter() - t0) / 5
 
+    # Concurrent RTT probe (VERDICT r4 #6): an independent low-rate null
+    # dispatch sampled THROUGHOUT the run.  Late engine steps that coincide
+    # with probe-RTT spikes are tunnel/environment stalls, not engine
+    # defects; tools/tail_correlation.py computes the overlap vs a control
+    # (spike overlap over ALL steps).  Opt-in per leg — the probe shares
+    # the tunnel it measures.
+    probe_hz = float(os.environ.get("DSM_RTT_PROBE_HZ", "0") or 0)
+    probe_samples: list = []
+    probe_stop = threading.Event()
+
+    def prober():
+        g = jax.jit(lambda a: a * 2)
+        np.asarray(g(x))  # compile outside the sampled window
+        period = 1.0 / probe_hz
+        nxt = time.perf_counter()
+        while not probe_stop.is_set():
+            s0 = time.perf_counter()
+            np.asarray(g(x))
+            probe_samples.append((s0, (time.perf_counter() - s0) * 1e3))
+            nxt += period
+            dt = nxt - time.perf_counter()
+            if dt > 0:
+                probe_stop.wait(dt)
+
     per_slot_events = [[] for _ in range(batch)]
     markers_seen = [False] * batch
 
@@ -369,6 +393,10 @@ def bench_server_sustained(batch: int, seconds: float,
     feed_thread = threading.Thread(target=feeder, daemon=True)
     t_start = time.perf_counter()
     feed_thread.start()
+    probe_thread = None
+    if probe_hz > 0:
+        probe_thread = threading.Thread(target=prober, daemon=True)
+        probe_thread.start()
     time.sleep(seconds)
     stop.set()
     feed_thread.join(timeout=2)
@@ -385,6 +413,9 @@ def bench_server_sustained(batch: int, seconds: float,
         time.sleep(0.05)
     wall = time.perf_counter() - t_start
     engine.stop()
+    if probe_thread is not None:
+        probe_stop.set()
+        probe_thread.join(timeout=2)
 
     steps_per_slot = [len(ev) for ev in per_slot_events]
     expected = seconds / 0.080
@@ -410,7 +441,7 @@ def bench_server_sustained(batch: int, seconds: float,
             rows.append(row)
         with open(events_out, "w") as f:
             json.dump(rows, f)
-    return {
+    result = {
         "batch": batch,
         "seconds": round(wall, 1),
         "sessions": batch,
@@ -442,18 +473,47 @@ def bench_server_sustained(batch: int, seconds: float,
         ),
         "markers_completed": int(sum(markers_seen)),
         "late_frac": round(float((lat_ms > 80.0).mean()), 4),
+        # Which host phase carries the >80 ms steps (VERDICT r4 #6): mean
+        # excess of each phase above its own p50, late steps only.  Device
+        # compute is shape-constant, so excess in fetch_ms is transfer/
+        # tunnel and excess in queue_ms/post_ms is host contention.
+        "late_step_attribution": _late_tick_attribution(
+            [{"t": p["t0"] - t_start, "step_ms": p["queue_ms"] + p["fetch_ms"],
+              "queue_ms": p["queue_ms"], "fetch_ms": p["fetch_ms"],
+              "post_ms": p["post_ms"]}
+             for p in phases],
+            ("queue_ms", "fetch_ms", "post_ms"), budget_ms=80.0,
+            late_key="step_ms",
+        ),
     }
+    if probe_samples:
+        pr = np.asarray([m for _, m in probe_samples])
+        result["rtt_probe"] = {
+            "hz": probe_hz,
+            "n": len(probe_samples),
+            "p50_ms": round(float(np.percentile(pr, 50)), 1),
+            "p95_ms": round(float(np.percentile(pr, 95)), 1),
+            "max_ms": round(float(pr.max()), 1),
+            "samples": [[round(s0 - t_start, 3), round(ms, 1)]
+                        for s0, ms in probe_samples],
+        }
+    return result
 
 
-def _late_tick_attribution(rows, phase_keys, budget_ms):
+def _late_tick_attribution(rows, phase_keys, budget_ms, late_key=None):
     """Attribute late ticks to phases: for ticks over ``budget_ms``, the
     mean EXCESS of each phase above its own all-ticks p50 — the phase(s)
-    carrying the tail.  ``rows``: list of dicts with ``phase_keys`` in ms."""
+    carrying the tail.  ``rows``: list of dicts with ``phase_keys`` in ms.
+    Lateness is judged on ``late_key`` when given (e.g. the engine's own
+    step duration), else on the phase sum."""
     if not rows:
         return None
     p50 = {k: float(np.percentile([r[k] for r in rows], 50))
            for k in phase_keys}
-    late = [r for r in rows if sum(r[k] for k in phase_keys) > budget_ms]
+    if late_key is not None:
+        late = [r for r in rows if r[late_key] > budget_ms]
+    else:
+        late = [r for r in rows if sum(r[k] for k in phase_keys) > budget_ms]
     if not late:
         return {"n_late": 0, "phase_p50_ms": {k: round(v, 2)
                                               for k, v in p50.items()}}

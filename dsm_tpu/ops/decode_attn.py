@@ -539,6 +539,179 @@ def _decode_attend_q4_4d(
     )(pos, q, k_cache, v_cache, k_scale, v_scale, k_new, v_new, valid)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("window", "interpret")
+)
+def _decode_attend_commit_q_4d(
+    q, k_cache, v_cache, k_scale, v_scale, kq_new, vq_new, k_new, v_new,
+    valid, pw, *, window: int, interpret: bool = False
+):
+    """4-D attend body + in-kernel ring commit (VERDICT r4 #2).
+
+    The separate per-layer ring_commit launch re-reads and re-writes the
+    row-block the attend pass already holds in VMEM; folding the commit in
+    here removes that launch and its DMA entirely.  The kernel attends
+    over the PRE-commit ring — bitwise-identical to attending the
+    committed ring because row ``w`` is masked out of the ring read and
+    the fresh K/V attend separately in exact bf16 (same invariant as
+    decode_attend) — and writes the quantized fresh row into the ring's
+    ``w`` row-block via aliased outputs whose index map targets that block
+    (the ring_commit write pattern, grid (B,) instead of (B//bb,)).
+
+    The K/V rings MUST have this kernel as their only consumer (aliased
+    in/out); the scale rings commit beforehand (ring_kernels.scale_commit)
+    and are read here committed — row ``w``'s scale is masked anyway.
+
+    ``pw``: int32 (2,) = [pos, w] scalar-prefetch pair (the out-spec index
+    maps need ``w``; the validity mask needs ``pos``).
+    """
+    b, h, dh = q.shape
+    c = k_cache.shape[2]
+    r = min(32, c)  # int8 ring row-block (ring_kernels._row_block)
+    scale = 1.0 / (dh ** 0.5)
+
+    def kernel(pw_ref, q_ref, kc, vc, ks, vs, kqn, vqn, kn, vn, va,
+               out, ko, vo):
+        p = pw_ref[0]
+        w = pw_ref[1]
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+        k_pos = p - ((w - j) % c)
+        ok = (k_pos >= 0) & (p - k_pos < window) & (j != w)  # (1, C)
+        ok = ok & (va[...][:, 0, :] != 0)
+
+        qv = q_ref[...]  # (1, H, Dh) bf16
+        bb = qv.shape[0]
+        g = bb * h
+        qf = qv.reshape(g, 1, dh)
+        kcf = kc[...].reshape(g, c, dh)
+        scores = jax.lax.dot_general(
+            qf, kcf.astype(qv.dtype),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(bb, h, c)
+        scores = scores * (ks[...] * scale)
+        scores = jnp.where(ok[:, None, :], scores, NEG_INF)
+
+        s_new = jnp.sum(
+            qv.astype(jnp.float32) * kn[...].astype(jnp.float32), axis=-1
+        ) * scale  # (1, H)
+
+        m = jnp.maximum(jnp.max(scores, axis=-1), s_new)
+        e_c = jnp.exp(scores - m[..., None])
+        e_n = jnp.exp(s_new - m)
+        denom = jnp.sum(e_c, axis=-1) + e_n
+
+        p_c = (e_c * vs[...]).astype(jnp.bfloat16)
+        vcf = vc[...].reshape(g, c, dh)
+        out_c = jax.lax.dot_general(
+            p_c.reshape(g, 1, c), vcf.astype(jnp.bfloat16),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(bb, h, dh)
+        res = (out_c + e_n[..., None] * vn[...].astype(jnp.float32)) / denom[
+            ..., None
+        ]
+        out[...] = res.astype(out.dtype)
+
+        # Commit: replace ring row w inside its r-row block.  The old rows
+        # come from the full-ring block already in VMEM (dynamic sublane
+        # slice, r-aligned start).
+        base = (w // r) * r
+        old_k = kc[:, :, pl.ds(base, r), :]  # (1, H, r, Dh) int8
+        old_v = vc[:, :, pl.ds(base, r), :]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, r, 1), 2)
+        sel = rows == (w % r)
+        ko[...] = jnp.where(sel, kqn[...][:, :, None, :], old_k)
+        vo[...] = jnp.where(sel, vqn[...][:, :, None, :], old_v)
+
+    bb = 1
+    kv_spec = pl.BlockSpec((bb, h, c, dh), lambda i, pw_ref: (i, 0, 0, 0))
+    s_spec = pl.BlockSpec((bb, h, c), lambda i, pw_ref: (i, 0, 0))
+    row_spec = pl.BlockSpec((bb, h, dh), lambda i, pw_ref: (i, 0, 0))
+    va_spec = pl.BlockSpec((bb, 1, c), lambda i, pw_ref: (i, 0, 0))
+    blk_spec = pl.BlockSpec(
+        (bb, h, r, dh), lambda i, pw_ref: (i, 0, pw_ref[1] // r, 0)
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // bb,),
+        in_specs=[row_spec, kv_spec, kv_spec, s_spec, s_spec,
+                  row_spec, row_spec, row_spec, row_spec, va_spec],
+        out_specs=(row_spec, blk_spec, blk_spec),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, dh), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ),
+        # inputs: [pw, q, kc, vc, ks, vs, kq_new, vq_new, k_new, v_new, va]
+        input_output_aliases={2: 1, 3: 2},
+        interpret=interpret,
+    )(pw, q, k_cache, v_cache, k_scale, v_scale, kq_new, vq_new,
+      k_new, v_new, valid)
+
+
+def fused_commit_supported(q, k_cache, plan) -> bool:
+    """Fused commit+attend path: the proven 4-D mono shapes (h<=16,
+    Dh=128, ring fits VMEM), int8 rings, T=1 non-wrapping appends."""
+    if q.ndim != 4 or q.shape[2] != 1:
+        return False
+    b, h, _, dh = q.shape
+    c = k_cache.shape[2]
+    if k_cache.dtype != jnp.int8:
+        return False
+    if c < 256 or c % 128 or c % 32:
+        return False
+    if plan["w"].shape[0] != 1:
+        return False
+    return _legacy_4d(h, dh) and _mono_ok(h, c, dh, False)
+
+
+def fused_commit_enabled() -> bool:
+    """Opt-in switch for the fused commit+attend kernel
+    (``DSM_FUSED_ATTN=1``); requires the ring + decode kernels enabled.
+    Off by default until the on-chip A/B lands (tools/chip_queue_r05b)."""
+    from . import ring_kernels as _rk
+
+    if _rk.kernels_override() is not None and not _rk.kernels_override():
+        return False
+    env = os.environ.get("DSM_FUSED_ATTN")
+    return env is not None and env not in ("0", "false", "")
+
+
+def decode_attend_commit(
+    q, k_cache, v_cache, ks_committed, vs_committed, kq_new, vq_new,
+    k_new, v_new, plan, valid_old, *, window: int, interpret=None
+):
+    """Fused replacement for ``ring_commit(k, v) + decode_attend`` at the
+    4-D shapes: attends over the ring AND commits the quantized fresh row
+    in one launch.  The scale rings must already be committed
+    (ring_kernels.scale_commit).  Returns ``(y, k_ring, v_ring)``."""
+    if interpret is None:
+        try:
+            interpret = jax.devices()[0].platform != "tpu"
+        except Exception:
+            interpret = True
+    b, h, t, dh = q.shape
+    pw = jnp.stack([
+        jnp.asarray(plan["q_pos"][0], jnp.int32),
+        jnp.asarray(plan["w"][0], jnp.int32),
+    ])
+    y, k_ring, v_ring = _decode_attend_commit_q_4d(
+        q[:, :, 0, :], k_cache, v_cache,
+        ks_committed.astype(jnp.float32), vs_committed.astype(jnp.float32),
+        kq_new[:, :, 0, :], vq_new[:, :, 0, :],
+        k_new[:, :, 0, :], v_new[:, :, 0, :],
+        valid_old.astype(jnp.int8)[:, None, :], pw,
+        window=window, interpret=bool(interpret),
+    )
+    return y[:, :, None, :], k_ring, v_ring
+
+
 def decode_attend(
     q, k_cache, v_cache, k_scale, v_scale, k_new, v_new, plan, valid_old,
     *, window: int, interpret=None

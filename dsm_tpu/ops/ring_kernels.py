@@ -156,6 +156,73 @@ def _ring_commit(k_cache, v_cache, k_new, v_new, w, *, interpret=False):
     )(w, k_new, v_new, k_cache, v_cache)
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _scale_commit(ks_cache, vs_cache, ks_new, vs_new, w, *, interpret=False):
+    b, h, t = ks_new.shape
+    cap = ks_cache.shape[2]
+    rs = min(128, cap)
+    bb = min(b, 16 if h <= 16 else 8)
+
+    def kernel(w_ref, ksn, vsn, kscb, vscb, kso, vso):
+        kso[...] = _select_rows(w_ref, rs, t, ksn, kscb, axis=2)
+        vso[...] = _select_rows(w_ref, rs, t, vsn, vscb, axis=2)
+
+    s_spec_new = pl.BlockSpec((bb, h, t), lambda i, w_ref: (i, 0, 0))
+    s_spec_blk = pl.BlockSpec(
+        (bb, h, rs), lambda i, w_ref: (i, 0, w_ref[0] // rs)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // bb,),
+        in_specs=[s_spec_new, s_spec_new, s_spec_blk, s_spec_blk],
+        out_specs=(s_spec_blk, s_spec_blk),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(ks_cache.shape, ks_cache.dtype),
+            jax.ShapeDtypeStruct(vs_cache.shape, vs_cache.dtype),
+        ),
+        # inputs: [w, ks_new, vs_new, ksc, vsc]
+        input_output_aliases={3: 0, 4: 1},
+        interpret=interpret,
+    )(w, ks_new, vs_new, ks_cache, vs_cache)
+
+
+def scale_commit_supported(ks_cache, ks_new) -> bool:
+    b, h, t = ks_new.shape
+    cap = ks_cache.shape[2]
+    rs = min(128, cap)
+    bb = min(b, 16 if h <= 16 else 8)
+    return cap % rs == 0 and rs % t == 0 and b % bb == 0
+
+
+def scale_commit(ks_cache, vs_cache, ks_new, vs_new, w, *,
+                 interpret: Optional[bool] = None):
+    """Append the fresh KV scale rows at scalar ring index ``w``, in place —
+    the scale half of :func:`ring_commit`, standalone.  Used by the fused
+    commit+attend path (ops/decode_attn.decode_attend_commit): the scale
+    rings commit FIRST (this kernel is their only consumer, so the aliased
+    update stays in place) and the fused kernel then reads the committed
+    scales while attending and committing the int8 K/V rows itself."""
+    if not scale_commit_supported(ks_cache, ks_new):
+        raise ValueError(
+            f"scale_commit unsupported shapes: cache {ks_cache.shape}, "
+            f"new {ks_new.shape}"
+        )
+    if interpret is None:
+        try:
+            interpret = jax.devices()[0].platform != "tpu"
+        except Exception:
+            interpret = True
+    w_arr = jnp.asarray(w, jnp.int32).reshape((1,))
+    return _scale_commit(
+        ks_cache, vs_cache, ks_new.astype(ks_cache.dtype),
+        vs_new.astype(vs_cache.dtype), w_arr, interpret=interpret,
+    )
+
+
 def supported(k_cache, k_new, quantized: bool) -> bool:
     b, h, t, dh = k_new.shape
     cap = k_cache.shape[2]

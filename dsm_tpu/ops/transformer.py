@@ -486,7 +486,28 @@ def step(
                 kq, vq, ks_new, vs_new = attn.quantize_kv_rows(
                     k, v, dtype=k_l.dtype
                 )
-            if rkern.ring_kernel_enabled() and rkern.supported(k_l, kq, True):
+            if (
+                not packed4
+                and dattn.fused_commit_enabled()
+                and rkern.ring_kernel_enabled()
+                and dattn.decode_attn_enabled()
+                and dattn.fused_commit_supported(q, k_l, plan)
+                and rkern.scale_commit_supported(layer_st["ks"], ks_new)
+            ):
+                # Fused commit+attend (VERDICT r4 #2): scales commit first
+                # (their only consumer -> in-place), then one kernel both
+                # attends and writes the int8 fresh row into the ring
+                # (rings aliased, single consumer -> in-place, no separate
+                # commit launch).  Bitwise-identical to the split path.
+                ks, vs = rkern.scale_commit(
+                    layer_st["ks"], layer_st["vs"], ks_new, vs_new,
+                    plan["w"][0],
+                )
+                y, k_l, v_l = dattn.decode_attend_commit(
+                    q, k_l, v_l, ks, vs, kq, vq, k, v, plan, valid_old,
+                    window=cfg.context,
+                )
+            elif rkern.ring_kernel_enabled() and rkern.supported(k_l, kq, True):
                 k_l, v_l, ks, vs = rkern.ring_commit(
                     k_l, v_l, kq, vq, plan["w"][0],
                     layer_st["ks"], layer_st["vs"], ks_new, vs_new,

@@ -4,6 +4,7 @@ moshi-backend/src/benchmark.rs:57-138) — covered here at tiny shapes via
 the injectable-engine hook so no flagship compile is needed."""
 
 import json
+import sys
 
 from dsm_tpu import bench_perf
 from tests.test_batched_engine import small_engine
@@ -35,3 +36,35 @@ def test_server_sustained_events_timeline(tmp_path):
     # SLO gating components are reported separately from throughput.
     assert {"throughput_ok", "slo_ok", "realtime_ok"} <= set(res)
     assert res["realtime_ok"] == (res["throughput_ok"] and res["slo_ok"])
+
+
+def test_server_sustained_rtt_probe_and_correlation(tmp_path, monkeypatch):
+    """DSM_RTT_PROBE_HZ samples an independent null-dispatch RTT during
+    the run; tools/tail_correlation.py consumes it with the events file
+    (the VERDICT r4 #6 falsifiability artifact)."""
+    monkeypatch.setenv("DSM_RTT_PROBE_HZ", "20")
+    eng, cfg = small_engine(batch=2)
+    out = tmp_path / "events.json"
+    res = bench_perf.bench_server_sustained(
+        2, 1.5, events_out=str(out), engine=eng, cfg=cfg
+    )
+    probe = res["rtt_probe"]
+    assert probe["hz"] == 20.0
+    assert probe["n"] == len(probe["samples"]) > 5
+    # Samples are (t_rel, rtt_ms), rebased on engine start like events.
+    assert all(ms > 0 for _, ms in probe["samples"])
+    assert [t for t, _ in probe["samples"]] == sorted(
+        t for t, _ in probe["samples"]
+    )
+
+    sys.path.insert(0, "tools")
+    try:
+        from tail_correlation import correlate
+    finally:
+        sys.path.pop(0)
+    events = json.loads(out.read_text())
+    corr = correlate({"server_sustained": res}, events,
+                     budget_ms=80.0, spike_ms=40.0)
+    assert corr["n_steps"] == len(events)
+    assert corr["n_late_explained"] <= corr["n_late"]
+    assert 0.0 <= corr["chance_frac"] <= 1.0
