@@ -50,6 +50,18 @@ pass() {
   run "$OUT/lm_profile_b128.json" 5400 \
     python tools/lm_profile.py --batch 128 --steps 20
 
+  # -- VERDICT #2: fused commit+attend kernel — chip equivalence gate
+  #    (small batch, fast compile), then the B=128 timing A/B --
+  run "$OUT/fused_probe_b8.json" 3600 \
+    python tools/fused_probe.py --batch 8 --steps 12
+  if [ -s "$OUT/fused_probe_b8.json" ]; then
+    run "$OUT/lm_fused_b128.json" 3600 \
+      env DSM_FUSED_ATTN=1 \
+      python -m dsm_tpu.bench_perf --lm --batch 128
+    run "$OUT/lm_split_b128.json" 3600 \
+      python -m dsm_tpu.bench_perf --lm --batch 128
+  fi
+
   # -- VERDICT #1/#6: served SLO sweep, pipe2+i16 profile, with the
   #    per-step host-phase split in the events files --
   run "docs/SUSTAINED_r05_b160_pipe2_i16.json" 3600 \
