@@ -59,6 +59,29 @@ def correlate(summary: dict, events: list, budget_ms: float,
     n_all_expl = sum(overlaps(w0, w1) for w0, w1, _ in rows)
     spike_time = sum(s1 - s0 for s0, s1 in spikes)
     wall = max((t for t, _ in samples), default=0.0) or 1.0
+    # Environment-subtracted SLO view: the steps whose execution window
+    # never overlaps a probe-observed stall — what the engine delivers
+    # when the tunnel behaves (a production local-PJRT host).  Reported
+    # alongside, never instead of, the raw numbers.
+    clean = [ms for w0, w1, ms in rows if not overlaps(w0, w1)]
+    clean_stats = None
+    if clean:
+        clean_arr = sorted(clean)
+
+        def pct(p):
+            return clean_arr[
+                min(len(clean_arr) - 1, int(p / 100 * len(clean_arr)))
+            ]
+
+        clean_stats = {
+            "n_steps": len(clean),
+            "late_frac": round(
+                sum(ms > budget_ms for ms in clean) / len(clean), 4
+            ),
+            "step_ms_p50": round(pct(50), 1),
+            "step_ms_p95": round(pct(95), 1),
+            "step_ms_p99": round(pct(99), 1),
+        }
     return {
         "budget_ms": budget_ms,
         "probe_hz": probe.get("hz"),
@@ -75,6 +98,7 @@ def correlate(summary: dict, events: list, budget_ms: float,
         # Control: overlap frequency over ALL steps.  explained_frac well
         # above this = the tail is tunnel-correlated.
         "chance_frac": round(n_all_expl / max(1, len(rows)), 4),
+        "excluding_spikes": clean_stats,
         "verdict": (
             None if not late else
             "environmental" if n_expl / len(late) >= 0.8
