@@ -655,9 +655,105 @@ def _decode_attend_commit_q_4d(
       k_new, v_new, valid)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("h", "window", "interpret")
+)
+def _decode_attend_commit_q(
+    q, k_cache, v_cache, k_scale, v_scale, kq_new, vq_new, k_new, v_new,
+    valid, pw, *, h: int, window: int, interpret: bool = False
+):
+    """Head-major fused commit+attend: the reshape-free mono body
+    (_decode_attend_q) plus the in-kernel ring-row commit — the fused
+    path for hd=64 / h=32 presets (stt-2.6b, tts_202501) where the 4-D
+    bodies cannot lower.  Same contract as _decode_attend_commit_q_4d."""
+    g, _, dh = q.shape
+    b = g // h
+    c = k_cache.shape[1]
+    r = min(32, c)
+    scale = 1.0 / (dh ** 0.5)
+
+    def kernel(pw_ref, q_ref, kc, vc, ks, vs, kqn, vqn, kn, vn, va,
+               out, ko, vo):
+        p = pw_ref[0]
+        w = pw_ref[1]
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c), 2)
+        k_pos = p - ((w - j) % c)
+        ok = (k_pos >= 0) & (p - k_pos < window) & (j != w)  # (1, 1, C)
+        ok = ok & (va[...] != 0)
+
+        qf = q_ref[...]  # (h, 1, Dh) bf16
+        scores = jax.lax.dot_general(
+            qf, kc[...].astype(qf.dtype),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (h, 1, C)
+        scores = scores * (ks[...] * scale)
+        scores = jnp.where(ok, scores, NEG_INF)
+
+        s_new = jnp.sum(
+            qf.astype(jnp.float32) * kn[...].astype(jnp.float32), axis=-1
+        ) * scale  # (h, 1)
+
+        m = jnp.maximum(jnp.max(scores, axis=-1), s_new)
+        e_c = jnp.exp(scores - m[..., None])
+        e_n = jnp.exp(s_new - m)
+        denom = jnp.sum(e_c, axis=-1) + e_n
+
+        p_c = (e_c * vs[...]).astype(jnp.bfloat16)
+        out_c = jax.lax.dot_general(
+            p_c, vc[...].astype(jnp.bfloat16),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (h, 1, Dh)
+        res = (out_c + e_n[..., None] * vn[...].astype(jnp.float32)) / denom[
+            ..., None
+        ]
+        out[...] = res.astype(out.dtype)
+
+        # Commit the quantized fresh row into the ring's r-row block.
+        base = (w // r) * r
+        old_k = kc[:, pl.ds(base, r), :]  # (h, r, Dh) int8
+        old_v = vc[:, pl.ds(base, r), :]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (1, r, 1), 1)
+        sel = rows == (w % r)
+        ko[...] = jnp.where(sel, kqn[...], old_k)  # kqn (h, 1, Dh)
+        vo[...] = jnp.where(sel, vqn[...], old_v)
+
+    kv_spec = pl.BlockSpec((h, c, dh), lambda i, pw_ref: (i, 0, 0))
+    s_spec = pl.BlockSpec((h, 1, c), lambda i, pw_ref: (i, 0, 0))
+    row_spec = pl.BlockSpec((h, 1, dh), lambda i, pw_ref: (i, 0, 0))
+    va_spec = pl.BlockSpec((1, 1, c), lambda i, pw_ref: (i, 0, 0))
+    blk_spec = pl.BlockSpec(
+        (h, r, dh), lambda i, pw_ref: (i, pw_ref[1] // r, 0)
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[row_spec, kv_spec, kv_spec, s_spec, s_spec,
+                  row_spec, row_spec, row_spec, row_spec, va_spec],
+        out_specs=(row_spec, blk_spec, blk_spec),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((g, 1, dh), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ),
+        # inputs: [pw, q, kc, vc, ks, vs, kq_new, vq_new, k_new, v_new, va]
+        input_output_aliases={2: 1, 3: 2},
+        interpret=interpret,
+    )(pw, q, k_cache, v_cache, k_scale, v_scale, kq_new, vq_new,
+      k_new, v_new, valid)
+
+
 def fused_commit_supported(q, k_cache, plan) -> bool:
-    """Fused commit+attend path: the proven 4-D mono shapes (h<=16,
-    Dh=128, ring fits VMEM), int8 rings, T=1 non-wrapping appends."""
+    """Fused commit+attend path: int8 rings that fit a mono VMEM block
+    (4-D body at h<=16/Dh=128, head-major body otherwise), T=1
+    non-wrapping appends.  Flash (c-blocked) and packed-int4 shapes take
+    the split pipeline."""
     if q.ndim != 4 or q.shape[2] != 1:
         return False
     b, h, _, dh = q.shape
@@ -668,7 +764,7 @@ def fused_commit_supported(q, k_cache, plan) -> bool:
         return False
     if plan["w"].shape[0] != 1:
         return False
-    return _legacy_4d(h, dh) and _mono_ok(h, c, dh, False)
+    return _mono_ok(h, c, dh, False)
 
 
 def fused_commit_enabled() -> bool:
@@ -697,19 +793,37 @@ def decode_attend_commit(
         except Exception:
             interpret = True
     b, h, t, dh = q.shape
+    c = k_cache.shape[2]
     pw = jnp.stack([
         jnp.asarray(plan["q_pos"][0], jnp.int32),
         jnp.asarray(plan["w"][0], jnp.int32),
     ])
-    y, k_ring, v_ring = _decode_attend_commit_q_4d(
-        q[:, :, 0, :], k_cache, v_cache,
-        ks_committed.astype(jnp.float32), vs_committed.astype(jnp.float32),
-        kq_new[:, :, 0, :], vq_new[:, :, 0, :],
-        k_new[:, :, 0, :], v_new[:, :, 0, :],
+    if _legacy_4d(h, dh):
+        y, k_ring, v_ring = _decode_attend_commit_q_4d(
+            q[:, :, 0, :], k_cache, v_cache,
+            ks_committed.astype(jnp.float32),
+            vs_committed.astype(jnp.float32),
+            kq_new[:, :, 0, :], vq_new[:, :, 0, :],
+            k_new[:, :, 0, :], v_new[:, :, 0, :],
+            valid_old.astype(jnp.int8)[:, None, :], pw,
+            window=window, interpret=bool(interpret),
+        )
+        return y[:, :, None, :], k_ring, v_ring
+    g = b * h
+    y, k_ring, v_ring = _decode_attend_commit_q(
+        q[:, :, 0, :].reshape(g, 1, dh),
+        k_cache.reshape(g, c, dh), v_cache.reshape(g, c, dh),
+        ks_committed.astype(jnp.float32).reshape(g, 1, c),
+        vs_committed.astype(jnp.float32).reshape(g, 1, c),
+        kq_new[:, :, 0, :].reshape(g, 1, dh),
+        vq_new[:, :, 0, :].reshape(g, 1, dh),
+        k_new[:, :, 0, :].reshape(g, 1, dh),
+        v_new[:, :, 0, :].reshape(g, 1, dh),
         valid_old.astype(jnp.int8)[:, None, :], pw,
-        window=window, interpret=bool(interpret),
+        h=h, window=window, interpret=bool(interpret),
     )
-    return y[:, :, None, :], k_ring, v_ring
+    return (y.reshape(b, h, dh)[:, :, None, :],
+            k_ring.reshape(b, h, c, dh), v_ring.reshape(b, h, c, dh))
 
 
 def decode_attend(

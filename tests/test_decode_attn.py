@@ -83,6 +83,9 @@ def test_decode_attend_matches_xla(B, H, C, Dh, pos, window, valid_frac):
         (2, 8, 256, 128, 255, 250, 1.0),    # last pre-wrap write
         (2, 8, 256, 128, 1000, 250, 0.6),   # wrap + validity holes
         (1, 16, 768, 128, 3000, 750, 0.9),  # stt-1b serving shape
+        # head-major (reshape-free) fused body: Dh=64 / h=32 presets
+        (2, 32, 384, 64, 1000, 375, 0.9),   # stt-2.6b shape
+        (2, 32, 512, 64, 700, 500, 1.0),    # tts_202501 shape
     ],
 )
 def test_decode_attend_commit_matches_split(B, H, C, Dh, pos, window,

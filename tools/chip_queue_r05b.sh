@@ -61,6 +61,10 @@ pass() {
     run "$OUT/lm_split_b128.json" 3600 \
       python -m dsm_tpu.bench_perf --lm --batch 128
   fi
+  # Head-major fused body (stt-2.6b h=32/Dh=64): equivalence + whether the
+  # ring reshape around the aliased custom call stays a bitcast (timing).
+  run "$OUT/fused_probe_26b_b8.json" 3600 \
+    python tools/fused_probe.py --model stt-2.6b --batch 8 --steps 12
 
   # -- VERDICT #1/#6: served SLO sweep, pipe2+i16 profile, with the
   #    per-step host-phase split in the events files --

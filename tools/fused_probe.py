@@ -34,6 +34,10 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--time-steps", type=int, default=20)
+    ap.add_argument("--model", default="stt-1b",
+                    choices=["stt-1b", "stt-2.6b"],
+                    help="stt-2.6b exercises the head-major fused body "
+                         "(h=32 / Dh=64)")
     ap.add_argument("--small", action="store_true",
                     help="tiny fused-shape config (CPU smoke of the "
                          "probe harness; kernels run in interpret mode)")
@@ -58,6 +62,8 @@ def main() -> None:
             text_in_vocab_size=33, text_out_vocab_size=32,
             audio_vocab_size=17, audio_codebooks=2,
         )
+    elif args.model == "stt-2.6b":
+        cfg = LM.stt_2_6b_en()
     else:
         cfg = LM.stt_1b_en_fr()
     params = TT.quantize_weights(
@@ -71,7 +77,8 @@ def main() -> None:
         0, cfg.audio_vocab_size - 1, (args.steps, B, cfg.audio_codebooks)
     )
 
-    out = {"batch": B, "platform": jax.devices()[0].platform}
+    out = {"batch": B, "model": args.model,
+           "platform": jax.devices()[0].platform}
 
     def run(fused: bool):
         os.environ["DSM_FUSED_ATTN"] = "1" if fused else "0"
