@@ -34,8 +34,14 @@ def test_server_sustained_events_timeline(tmp_path):
     assert all(e["step_ms"] > 0 for e in events)
     assert all(e["fetch_ms"] >= 0 for e in events)
     # SLO gating components are reported separately from throughput.
-    assert {"throughput_ok", "slo_ok", "realtime_ok"} <= set(res)
-    assert res["realtime_ok"] == (res["throughput_ok"] and res["slo_ok"])
+    assert {"throughput_ok", "slo_ok", "realtime_ok", "delivery"} <= set(res)
+    # realtime_ok gates on the client-clock delivery SLO (catch-up bursts
+    # are on-time there even when step durations exceed the budget).
+    assert res["realtime_ok"] == (
+        res["throughput_ok"] and res["delivery"]["slo_ok"]
+    )
+    assert res["delivery"]["frames"] > 0
+    assert res["delivery"]["lag_ms_p99"] >= res["delivery"]["lag_ms_p50"]
 
 
 def test_server_sustained_rtt_probe_and_correlation(tmp_path, monkeypatch):
@@ -52,7 +58,8 @@ def test_server_sustained_rtt_probe_and_correlation(tmp_path, monkeypatch):
     assert probe["hz"] == 20.0
     assert probe["n"] == len(probe["samples"]) > 5
     # Samples are (t_rel, rtt_ms), rebased on engine start like events.
-    assert all(ms > 0 for _, ms in probe["samples"])
+    # (ms rounds to 0.0 for sub-50 us CPU dispatches.)
+    assert all(ms >= 0 for _, ms in probe["samples"])
     assert [t for t, _ in probe["samples"]] == sorted(
         t for t, _ in probe["samples"]
     )
