@@ -1,0 +1,67 @@
+#!/bin/bash
+# Round-5 measurement queue, part c — runs after chip_queue_r05b.sh.
+# Completes the served-SLO sweep with the client-clock delivery metric +
+# RTT probe at every batch (B=160 probe leg was missing from r05b), and
+# re-captures B=128/160 with the delivery metric for apples-to-apples.
+# Safe to edit UNTIL launched (the chain runner execs it fresh).
+set -u
+cd /root/repo
+OUT=docs/chipq
+LOG="$OUT/queue_r05.log"
+log() { echo "[$(date +%H:%M:%S)] $*" | tee -a "$LOG"; }
+wait_for_tpu() {
+  until timeout 240 python - <<'PYEOF' >/dev/null 2>&1
+import jax
+assert jax.devices()[0].platform == "tpu"
+import jax.numpy as jnp
+(jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+PYEOF
+  do log "TPU unavailable; retrying in 180 s"; sleep 180; done
+  log "TPU is UP"
+}
+MISSING=0
+run() {
+  local art="$1" to="$2"; shift 2
+  local tmp="$OUT/$(basename "$art").tmp"
+  if [ -s "$art" ]; then return 0; fi
+  log "RUN [$to s] -> $art : $*"
+  if timeout "$to" "$@" > "$tmp" 2> "$OUT/$(basename "$art").err"; then
+    mv "$tmp" "$art"; log "done: $art"
+  else
+    log "FAILED ($?): $art"; MISSING=$((MISSING + 1))
+  fi
+}
+post() {
+  local art="$1"; shift
+  if [ -s "$art" ]; then return 0; fi
+  log "POST -> $art : $*"
+  if "$@" > "$art.tmp" 2> "$OUT/$(basename "$art").err"; then
+    mv "$art.tmp" "$art"; log "done: $art"
+  else
+    log "POST FAILED ($?): $art"; rm -f "$art.tmp"; MISSING=$((MISSING + 1))
+  fi
+}
+pass() {
+  MISSING=0
+  # Missing probe point + delivery-metric re-captures.
+  for B in 160; do
+    run "docs/SUSTAINED_r05_b${B}_probe.json" 3600 \
+      env DSM_ASR_PIPELINE=2 DSM_PCM_INT16=1 DSM_RTT_PROBE_HZ=5 \
+      python -m dsm_tpu.bench_perf --server-sustained 45 --batch "$B" \
+        --events "docs/SUSTAINED_r05_b${B}_probe_events.json"
+    if [ -s "docs/SUSTAINED_r05_b${B}_probe.json" ]; then
+      post "$OUT/tail_correlation_b${B}.json" \
+        python3 -S tools/tail_correlation.py \
+          "docs/SUSTAINED_r05_b${B}_probe.json" \
+          "docs/SUSTAINED_r05_b${B}_probe_events.json"
+    fi
+  done
+}
+for i in 1 2 3; do
+  wait_for_tpu
+  log "queue-r05c pass $i/3"
+  pass
+  [ "$MISSING" -eq 0 ] && { log "queue-r05c complete"; exit 0; }
+  sleep 60
+done
+log "queue-r05c finished with $MISSING missing"
