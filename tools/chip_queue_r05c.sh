@@ -43,6 +43,12 @@ post() {
 }
 pass() {
   MISSING=0
+  # VERDICT #2: the phase profile died twice on transient remote_compile
+  # broken pipes (after attn_read 8.87 ms / attn 9.93 ms landed on stderr);
+  # lm_profile now retries transport errors per phase and emits partial
+  # JSON, so this rerun can survive a mid-compile tunnel drop.
+  run "$OUT/lm_profile_b128.json" 7200 \
+    python tools/lm_profile.py --batch 128 --steps 20
   # Missing probe point + delivery-metric re-captures.
   for B in 160; do
     run "docs/SUSTAINED_r05_b${B}_probe.json" 3600 \

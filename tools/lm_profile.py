@@ -293,26 +293,45 @@ def main(argv=None):
         params = T.quantize_weights(
             LM.init(cfg_lm, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
         )
+    failed = 0
     for ph in phases:
         t0 = time.perf_counter()
-        if ph == "attn_read":
-            out[ph] = phase_attn_read(tcfg, args.batch, args.steps)
-        elif ph == "attn":
-            out[ph] = phase_attn(tcfg, args.batch, args.steps)
-        elif ph == "proj":
-            out[ph] = phase_proj(
-                tcfg, args.batch, args.steps, params["transformer"],
-                params["out_norm"], params["text_linear"],
-            )
-        elif ph == "lm":
-            out[ph] = phase_lm(cfg_lm, args.batch, args.steps, params)
-        elif ph == "e2e":
-            out[ph] = phase_e2e(args.batch, args.steps, args.model)
-        else:
-            raise SystemExit(f"unknown phase {ph}")
+        # The tunneled backend's remote_compile endpoint drops connections
+        # transiently (broken pipe mid-compile killed two full runs); retry
+        # the phase rather than losing the 30+ min of phases already timed.
+        for attempt in range(3):
+            try:
+                if ph == "attn_read":
+                    out[ph] = phase_attn_read(tcfg, args.batch, args.steps)
+                elif ph == "attn":
+                    out[ph] = phase_attn(tcfg, args.batch, args.steps)
+                elif ph == "proj":
+                    out[ph] = phase_proj(
+                        tcfg, args.batch, args.steps, params["transformer"],
+                        params["out_norm"], params["text_linear"],
+                    )
+                elif ph == "lm":
+                    out[ph] = phase_lm(cfg_lm, args.batch, args.steps, params)
+                elif ph == "e2e":
+                    out[ph] = phase_e2e(args.batch, args.steps, args.model)
+                else:
+                    raise SystemExit(f"unknown phase {ph}")
+                break
+            except jax.errors.JaxRuntimeError as e:
+                msg = str(e)
+                if "UNAVAILABLE" not in msg and "Network Error" not in msg:
+                    raise
+                print(f"# {ph}: transport error (attempt {attempt + 1}/3): "
+                      f"{msg.splitlines()[0]}", file=sys.stderr, flush=True)
+                if attempt == 2:
+                    out[ph] = {"error": msg.splitlines()[0]}
+                    failed += 1
+                else:
+                    time.sleep(60)
         out[ph]["wall_s"] = round(time.perf_counter() - t0, 1)
         print(f"# {ph}: {out[ph]}", flush=True)
     print(json.dumps(out))
+    raise SystemExit(1 if failed else 0)
 
 
 if __name__ == "__main__":
