@@ -84,6 +84,51 @@ def bench_asr(batch: int, fused_steps: int = 25, reps: int = 4):
     return np.asarray(times)
 
 
+def _served_slo_summary():
+    """Largest engine-sustained batch whose per-frame client-clock delivery
+    passes the 80 ms-cadence SLO (bench_perf --server-sustained artifacts,
+    docs/SUSTAINED_r05_*).  The headline above is device throughput; this is
+    the honest *served* capacity — concurrent SLO-passing sessions per chip,
+    bounded by the 16 GiB HBM state ceiling rather than compute."""
+    import glob
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    best, legs = None, []
+    for path in sorted(glob.glob(os.path.join(root, "docs", "SUSTAINED_r05_b*.json"))):
+        if path.endswith("_events.json"):
+            continue
+        try:
+            with open(path) as f:
+                d = json.load(f)["server_sustained"]
+            dv = d["delivery"]
+        except Exception:
+            continue
+        # v1 artifacts computed due as (idx+1)*80 with a post-increment idx —
+        # exactly 80 ms optimistic per frame.  Only v2 legs may back a
+        # served-capacity claim.
+        if dv.get("lag_def") != "v2":
+            continue
+        leg = {
+            "batch": d["batch"],
+            "delivery_slo_ok": bool(dv["slo_ok"]),
+            "delivery_late_frac": dv["late_frac"],
+            "delivery_lag_ms_p99": dv["lag_ms_p99"],
+        }
+        legs.append(leg)
+        if dv["slo_ok"] and (best is None or leg["batch"] > best["batch"]):
+            best = leg
+    if not legs:
+        return None
+    return {
+        "served_streams": best["batch"] if best else 0,
+        "best_leg": best,
+        "legs": legs,
+        "note": "45 s engine-sustained runs at the 80 ms client cadence; "
+                "delivery = per-frame lateness vs the client clock "
+                "(negative lag = delivered ahead of deadline)",
+    }
+
+
 def main():
     from dsm_tpu.utils.compile_cache import enable_if_tpu
 
@@ -119,6 +164,12 @@ def main():
             "baseline": "400 realtime streams on H100 (reference README.md:62)",
         },
     }
+    try:
+        served = _served_slo_summary()
+        if served is not None:
+            result["detail"]["served_slo"] = served
+    except Exception:
+        pass
     print(json.dumps(result))
 
 

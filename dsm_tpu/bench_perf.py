@@ -430,9 +430,15 @@ def bench_server_sustained(batch: int, seconds: float,
     deliver_lag = []
     for ev in per_slot_events:
         for idx, t_del in ev:
-            if idx >= expected:  # flush-phase frames have no cadence due
+            # idx is the POST-increment per-slot counter (sessions/asr.py:83):
+            # after frame j it reads j+1, so frame j's client due — one frame
+            # budget after the client sent it at j*80 ms — is idx*80 ms.
+            # (The first formulation here used (idx+1)*80, silently granting
+            # every frame an extra 80 ms; v1 artifacts' lag percentiles are
+            # exactly 80 ms optimistic.)
+            if idx > expected:  # flush-phase frames have no cadence due
                 continue
-            deliver_lag.append(t_del - t_start - (idx + 1) * 0.080)
+            deliver_lag.append(t_del - t_start - idx * 0.080)
     deliver_lag_ms = np.asarray(deliver_lag or [0.0]) * 1e3
     if events_out:
         # Engine-step timeline (benchmark.rs:57-138 pattern): completion
@@ -495,6 +501,12 @@ def bench_server_sustained(batch: int, seconds: float,
         # more than one 80 ms budget after their due point, and the lag
         # tail.  The serving-capacity claim gates on this.
         "delivery": {
+            # v2: due = idx*80 (post-increment counter = client frame due).
+            # The feeder seeds ONE lead frame (80 ms client prebuffer, the
+            # standard streaming-client jitter buffer) — disclosed here
+            # because it gives the engine up to one frame of early start.
+            "lag_def": "v2",
+            "client_prebuffer_frames": 1,
             "frames": int(deliver_lag_ms.size),
             "late_frac": round(float((deliver_lag_ms > 80.0).mean()), 4),
             "lag_ms_p50": round(float(np.percentile(deliver_lag_ms, 50)), 1),

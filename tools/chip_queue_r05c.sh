@@ -49,6 +49,25 @@ pass() {
   # JSON, so this rerun can survive a mid-compile tunnel drop.
   run "$OUT/lm_profile_b128.json" 7200 \
     python tools/lm_profile.py --batch 128 --steps 20
+  # VERDICT #2 follow-through: fused commit+attend at the headline batch.
+  # B=128 A/B measured 12.62 vs 13.16 ms (-4.1%, bit-exact); if the gain
+  # holds at B=224 the serving default flips for stt-1b next session.
+  run "$OUT/headline_b224_fused.json" 5400 \
+    env DSM_FUSED_ATTN=1 BENCH_BATCH=224 python bench.py
+  # Probe re-captures: the B=128/192 probe legs ran before the
+  # delivery-lag off-by-one fix (v1 = 80 ms optimistic); these are v2.
+  for B in 128 192; do
+    run "docs/SUSTAINED_r05_b${B}_probe2.json" 3600 \
+      env DSM_ASR_PIPELINE=2 DSM_PCM_INT16=1 DSM_RTT_PROBE_HZ=5 \
+      python -m dsm_tpu.bench_perf --server-sustained 45 --batch "$B" \
+        --events "docs/SUSTAINED_r05_b${B}_probe2_events.json"
+    if [ -s "docs/SUSTAINED_r05_b${B}_probe2.json" ]; then
+      post "$OUT/tail_correlation_b${B}_v2.json" \
+        python3 -S tools/tail_correlation.py \
+          "docs/SUSTAINED_r05_b${B}_probe2.json" \
+          "docs/SUSTAINED_r05_b${B}_probe2_events.json"
+    fi
+  done
   # Missing probe point + delivery-metric re-captures.
   for B in 160; do
     run "docs/SUSTAINED_r05_b${B}_probe.json" 3600 \
