@@ -49,6 +49,12 @@ pass() {
   # JSON, so this rerun can survive a mid-compile tunnel drop.
   run "$OUT/lm_profile_b128.json" 7200 \
     python tools/lm_profile.py --batch 128 --steps 20
+  # stt-2.6b sits at ~3x its arithmetic floor (25.6 ms at B=48 vs ~9 ms:
+  # 3.5 GB rings + 2.6 GB weights at the measured 749 GB/s) — attribute
+  # before optimising (is it the Dh=64 lane waste, the matmul stack, or
+  # host overhead in the e2e step?).
+  run "$OUT/lm_profile_26b_b48.json" 7200 \
+    python tools/lm_profile.py --model stt-2.6b --batch 48 --steps 20
   # VERDICT #2 follow-through: fused commit+attend at the headline batch.
   # B=128 A/B measured 12.62 vs 13.16 ms (-4.1%, bit-exact); if the gain
   # holds at B=224 the serving default flips for stt-1b next session.
