@@ -443,11 +443,33 @@ def bench_server_sustained(batch: int, seconds: float,
     if events_out:
         # Engine-step timeline (benchmark.rs:57-138 pattern): completion
         # time relative to engine start + duration + batch utilization.
+        # Each row also carries the worst client-clock delivery lag among
+        # the frames that step delivered (deliveries happen in the post
+        # phase right after the step's completion timestamp), so
+        # tools/tail_correlation.py can correlate DELIVERY-late steps —
+        # the serving truth — with probe-observed stall windows.
+        ev_t_arr = np.asarray(ev_t)
+        lag_max = np.full(len(ev_t), -1e9)
+        late_cnt = np.zeros(len(ev_t), np.int32)
+        for ev in per_slot_events:
+            for idx, t_del in ev:
+                if idx > expected or not len(ev_t):
+                    continue
+                j = int(np.searchsorted(ev_t_arr, t_del, side="right")) - 1
+                j = max(0, j)
+                lag = (t_del - t_start - idx * 0.080) * 1e3
+                if lag > lag_max[j]:
+                    lag_max[j] = lag
+                if lag > 80.0:
+                    late_cnt[j] += 1
         by_t0 = {p["t0"]: p for p in phases}
         rows = []
-        for t, dt, u in zip(ev_t, lat, util):
+        for i, (t, dt, u) in enumerate(zip(ev_t, lat, util)):
             row = {"t": round(t - t_start, 4),
                    "step_ms": round(dt * 1e3, 2), "util": round(u, 3)}
+            if lag_max[i] > -1e9:
+                row["dlv_lag_max_ms"] = round(float(lag_max[i]), 1)
+                row["dlv_late"] = int(late_cnt[i])
             p = by_t0.get(t - dt)
             if p is None and phases:
                 # step_observer fires inside the same drained item as

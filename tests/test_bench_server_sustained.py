@@ -25,9 +25,14 @@ def test_server_sustained_events_timeline(tmp_path):
     # Each step carries the host-phase split (queue/fetch/post) used for
     # sustained-tail attribution (VERDICT r4 #6).
     assert all(
-        set(e) == {"t", "step_ms", "util", "queue_ms", "fetch_ms", "post_ms"}
+        {"t", "step_ms", "util", "queue_ms", "fetch_ms", "post_ms"} <= set(e)
         for e in events
     )
+    # ... and the per-step worst client-clock delivery lag (v2 events) so
+    # tail_correlation can correlate delivery-late steps with stalls.
+    dlv_rows = [e for e in events if "dlv_lag_max_ms" in e]
+    assert dlv_rows, "no step carried a delivery lag"
+    assert all(e["dlv_late"] >= 0 for e in dlv_rows)
     ts = [e["t"] for e in events]
     assert ts == sorted(ts)
     assert 0 <= ts[0] < 5.0  # rebased: starts near 0, not at warmup offset

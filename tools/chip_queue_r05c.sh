@@ -62,7 +62,7 @@ pass() {
     env DSM_FUSED_ATTN=1 BENCH_BATCH=224 python bench.py
   # Probe re-captures: the B=128/192 probe legs ran before the
   # delivery-lag off-by-one fix (v1 = 80 ms optimistic); these are v2.
-  for B in 128 192; do
+  for B in 128 192 224; do
     run "docs/SUSTAINED_r05_b${B}_probe2.json" 3600 \
       env DSM_ASR_PIPELINE=2 DSM_PCM_INT16=1 DSM_RTT_PROBE_HZ=5 \
       python -m dsm_tpu.bench_perf --server-sustained 45 --batch "$B" \
