@@ -103,22 +103,42 @@ def _served_slo_summary():
             dv = d["delivery"]
         except Exception:
             continue
-        # v1 artifacts computed due as (idx+1)*80 with a post-increment idx —
-        # exactly 80 ms optimistic per frame.  Only v2 legs may back a
-        # served-capacity claim.
-        if dv.get("lag_def") != "v2":
-            continue
-        leg = {
-            "batch": d["batch"],
-            "delivery_slo_ok": bool(dv["slo_ok"]),
-            "delivery_late_frac": dv["late_frac"],
-            "delivery_lag_ms_p99": dv["lag_ms_p99"],
-        }
+        if dv.get("lag_def") == "v2":
+            leg = {
+                "batch": d["batch"],
+                "lag_def": "v2",
+                "delivery_slo_ok": bool(dv["slo_ok"]),
+                "delivery_late_frac": dv["late_frac"],
+                "delivery_lag_ms_p99": dv["lag_ms_p99"],
+            }
+        else:
+            # v1 artifacts computed due as (idx+1)*80 with a post-increment
+            # idx — exactly 80 ms optimistic per frame.  The constant shift
+            # makes them exactly adjudicable: v2-pass <=> v1 p99 <= 0
+            # (then <=1% of frames exceed the corrected budget and the
+            # corrected p99 is <= 80 ms).
+            leg = {
+                "batch": d["batch"],
+                "lag_def": "v1+80ms-corrected",
+                "delivery_slo_ok": bool(dv["lag_ms_p99"] <= 0.0),
+                "delivery_lag_ms_p99": round(dv["lag_ms_p99"] + 80.0, 1),
+            }
         legs.append(leg)
-        if dv["slo_ok"] and (best is None or leg["batch"] > best["batch"]):
-            best = leg
     if not legs:
         return None
+    # Majority rule per batch: the tunnel has multi-second stall windows,
+    # so single runs swing either way — a batch counts as served when most
+    # of its runs pass.
+    by_batch = {}
+    for leg in legs:
+        by_batch.setdefault(leg["batch"], []).append(leg)
+    best = None
+    for b in sorted(by_batch, reverse=True):
+        runs = by_batch[b]
+        n_pass = sum(l["delivery_slo_ok"] for l in runs)
+        if n_pass * 2 > len(runs):
+            best = {"batch": b, "runs_pass": n_pass, "runs_total": len(runs)}
+            break
     return {
         "served_streams": best["batch"] if best else 0,
         "best_leg": best,
