@@ -1,8 +1,12 @@
 #!/bin/bash
 # Round-5 measurement queue, part c — runs after chip_queue_r05b.sh.
-# Completes the served-SLO sweep with the client-clock delivery metric +
-# RTT probe at every batch (B=160 probe leg was missing from r05b), and
-# re-captures B=128/160 with the delivery metric for apples-to-apples.
+# Ordered by priority (the round may end mid-queue):
+#   1. v2 probe re-captures at every batch — they carry the corrected
+#      client-clock delivery metric and arbitrate the B=224 served claim
+#      (majority rule in bench.py served_slo); all compile-cached, ~5 min
+#      each.
+#   2. Fused-attn headline A/B at B=224 (flip-the-default evidence).
+#   3. LM phase profiles (longest; transport-retry hardened).
 # Safe to edit UNTIL launched (the chain runner execs it fresh).
 set -u
 cd /root/repo
@@ -43,26 +47,10 @@ post() {
 }
 pass() {
   MISSING=0
-  # VERDICT #2: the phase profile died twice on transient remote_compile
-  # broken pipes (after attn_read 8.87 ms / attn 9.93 ms landed on stderr);
-  # lm_profile now retries transport errors per phase and emits partial
-  # JSON, so this rerun can survive a mid-compile tunnel drop.
-  run "$OUT/lm_profile_b128.json" 7200 \
-    python tools/lm_profile.py --batch 128 --steps 20
-  # stt-2.6b sits at ~3x its arithmetic floor (25.6 ms at B=48 vs ~9 ms:
-  # 3.5 GB rings + 2.6 GB weights at the measured 749 GB/s) — attribute
-  # before optimising (is it the Dh=64 lane waste, the matmul stack, or
-  # host overhead in the e2e step?).
-  run "$OUT/lm_profile_26b_b48.json" 7200 \
-    python tools/lm_profile.py --model stt-2.6b --batch 48 --steps 20
-  # VERDICT #2 follow-through: fused commit+attend at the headline batch.
-  # B=128 A/B measured 12.62 vs 13.16 ms (-4.1%, bit-exact); if the gain
-  # holds at B=224 the serving default flips for stt-1b next session.
-  run "$OUT/headline_b224_fused.json" 5400 \
-    env DSM_FUSED_ATTN=1 BENCH_BATCH=224 python bench.py
-  # Probe re-captures: the B=128/192 probe legs ran before the
-  # delivery-lag off-by-one fix (v1 = 80 ms optimistic); these are v2.
-  for B in 128 192 224; do
+  # -- Priority 1: v2 delivery-metric probe legs (arbitrate served SLO;
+  #    the B=128/192 probe legs and the plain sustained legs predate the
+  #    delivery-lag off-by-one fix; B=224 splits 1/2 across runs). --
+  for B in 224 192 128 160; do
     run "docs/SUSTAINED_r05_b${B}_probe2.json" 3600 \
       env DSM_ASR_PIPELINE=2 DSM_PCM_INT16=1 DSM_RTT_PROBE_HZ=5 \
       python -m dsm_tpu.bench_perf --server-sustained 45 --batch "$B" \
@@ -74,19 +62,24 @@ pass() {
           "docs/SUSTAINED_r05_b${B}_probe2_events.json"
     fi
   done
-  # Missing probe point + delivery-metric re-captures.
-  for B in 160; do
-    run "docs/SUSTAINED_r05_b${B}_probe.json" 3600 \
-      env DSM_ASR_PIPELINE=2 DSM_PCM_INT16=1 DSM_RTT_PROBE_HZ=5 \
-      python -m dsm_tpu.bench_perf --server-sustained 45 --batch "$B" \
-        --events "docs/SUSTAINED_r05_b${B}_probe_events.json"
-    if [ -s "docs/SUSTAINED_r05_b${B}_probe.json" ]; then
-      post "$OUT/tail_correlation_b${B}.json" \
-        python3 -S tools/tail_correlation.py \
-          "docs/SUSTAINED_r05_b${B}_probe.json" \
-          "docs/SUSTAINED_r05_b${B}_probe_events.json"
-    fi
-  done
+
+  # -- Priority 2: fused commit+attend at the headline batch.  B=128 A/B
+  #    measured 12.62 vs 13.16 ms (-4.1%, bit-exact); if the gain holds
+  #    at B=224 the serving default flips for stt-1b. --
+  run "$OUT/headline_b224_fused.json" 5400 \
+    env DSM_FUSED_ATTN=1 BENCH_BATCH=224 python bench.py
+
+  # -- Priority 3: LM phase profiles (VERDICT #2).  The b128 profile died
+  #    twice on transient remote_compile broken pipes (after attn_read
+  #    8.87 ms / attn 9.93 ms landed on stderr); lm_profile now retries
+  #    transport errors per phase and emits partial JSON. --
+  run "$OUT/lm_profile_b128.json" 7200 \
+    python tools/lm_profile.py --batch 128 --steps 20
+  # stt-2.6b sits at ~3x its arithmetic floor (25.6 ms at B=48 vs ~9 ms:
+  # 3.5 GB rings + 2.6 GB weights at the measured 749 GB/s) — attribute
+  # before optimising (Dh=64 lane waste, matmul stack, or host overhead?).
+  run "$OUT/lm_profile_26b_b48.json" 7200 \
+    python tools/lm_profile.py --model stt-2.6b --batch 48 --steps 20
 }
 for i in 1 2 3; do
   wait_for_tpu
