@@ -319,6 +319,12 @@ class BatchedDuplexEngine:
         except Exception:
             metrics.WARMUP_FAILURE.inc()
             raise
+        # Freeze the post-warmup heap: a gen2 GC sweep over the jax-trace
+        # object graph measured as a 1.4 s gather stall mid-serving
+        # (utils/gc_tune.py has the full story).
+        from ..utils.gc_tune import freeze_after_warmup
+
+        freeze_after_warmup()
 
     def tick(self) -> bool:
         import jax

@@ -704,11 +704,23 @@ class BatchedTtsEngine:
                         z(b, np.int32), z(b, np.int32),
                     )
                 jax.block_until_ready(self._mstate)
+            if self._wire_fn is not None:
+                # The wire-format conversion is its own tiny jit (keeps
+                # the big program cache-stable); compile it here too — it
+                # otherwise compiles inside the first session's first
+                # tick (measured +1.3 s TTFB on the i16 sustained leg).
+                packed = self._wire_fn(packed)
             jax.block_until_ready(packed)
             metrics.WARMUP_SUCCESS.inc()
         except Exception:
             metrics.WARMUP_FAILURE.inc()
             raise
+        # Freeze the post-warmup heap: a gen2 GC sweep over the jax-trace
+        # object graph measured as a 1.4 s gather stall mid-serving
+        # (utils/gc_tune.py has the full story).
+        from ..utils.gc_tune import freeze_after_warmup
+
+        freeze_after_warmup()
 
     def tick(self) -> bool:
         if self.fuse > 1:
