@@ -63,6 +63,14 @@ pass() {
     fi
   done
 
+  # -- Priority 1.5: TTS B=64 with the GC freeze (the 1.4 s tick-p99
+  #    stall attributed to a gen2 sweep in the gather phase; pass bar is
+  #    tick p99 <= 2x p50). Compile-cached from the r05b legs. --
+  run "docs/SUSTAINED_TTS_r05_b64_gcfix.json" 3600 \
+    env DSM_TTS_FUSE=4 DSM_TTS_PIPELINE=2 DSM_TTS_CA_INT8=1 \
+    python -m dsm_tpu.bench_perf --tts-sustained 45 --batch 64 \
+      --events docs/SUSTAINED_TTS_r05_b64_gcfix_events.json
+
   # -- Priority 2: fused commit+attend at the headline batch.  B=128 A/B
   #    measured 12.62 vs 13.16 ms (-4.1%, bit-exact); if the gain holds
   #    at B=224 the serving default flips for stt-1b. --
