@@ -436,6 +436,44 @@ def test_builder_mesh_from_toml(tmp_path, monkeypatch):
         builder.build_mesh_from_config(mod2)
 
 
+def test_builder_serving_profile_from_toml(tmp_path):
+    """The TPU serving preset keys (pipeline_depth, pcm_wire) flow from
+    the TOML through the builder into the engine — serving profile as
+    configuration, not env knobs (configs/config-stt-tpu-serving.toml)."""
+    import os
+
+    from dsm_tpu.server import builder
+    from dsm_tpu.server.config import Config
+
+    # The shipped production preset must parse and carry the profile.
+    prod = Config.load("configs/config-stt-tpu-serving.toml")
+    pmod = prod.modules["asr"]
+    assert pmod.raw["pipeline_depth"] == 2
+    assert pmod.raw["pcm_wire"] == "int16"
+    assert pmod.batch_size == 192
+
+    # Smoke-sized build: both knobs land on the constructed engine.
+    base = open("configs/config-smoke.toml").read()
+    cfg_path = tmp_path / "serving.toml"
+    # Keys must land in the [modules.asr] table, not after the last
+    # subtable header — splice them next to batch_size.
+    cfg_path.write_text(base.replace(
+        "batch_size = 2",
+        'batch_size = 2\npipeline_depth = 2\npcm_wire = "int16"',
+    ))
+    mod = Config.load(str(cfg_path)).modules["asr"]
+    had_env = os.environ.get("DSM_PCM_INT16")
+    try:
+        engine = builder.build_batched_asr(mod)
+        assert engine.pipeline_depth == 2
+        assert engine._pcm_wire_int16
+    finally:
+        if had_env is None:
+            os.environ.pop("DSM_PCM_INT16", None)
+        else:
+            os.environ["DSM_PCM_INT16"] = had_env
+
+
 def test_event_pump_fifo_and_coalescing():
     """_EventPump preserves per-queue FIFO order across threads and
     coalesces a burst of posts into few loop wakeups."""
