@@ -252,6 +252,12 @@ def build_tts(mod: CFG.ModuleConfig) -> TtsEngine:
         # Continuous TTS batching (beyond the reference's batch=1 mutex).
         from .tts_batched import BatchedTtsEngine
 
+        # TOML `pcm_wire = "int16"` enables the int16 audio download wire
+        # (halves the per-tick device->host fetch) — same translation as
+        # the ASR builder; engine reads DSM_TTS_PCM_I16 at construction.
+        if str(mod.raw.get("pcm_wire", "")).lower() == "int16":
+            os.environ.setdefault("DSM_TTS_PCM_I16", "1")
+
         engine = BatchedTtsEngine(
             tts_cfg, {"lm": lm_params}, mimi_cfg, mimi_params, tokenizer,
             batch_size=tts_batch,

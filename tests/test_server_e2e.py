@@ -452,6 +452,15 @@ def test_builder_serving_profile_from_toml(tmp_path):
     assert pmod.raw["pcm_wire"] == "int16"
     assert pmod.batch_size == 192
 
+    # TTS preset: same keys plus the batching/fusion profile.
+    tts = Config.load("configs/config-tts-tpu-serving.toml")
+    tmod = tts.modules["tts"]
+    assert tmod.raw["batch_size"] == 64
+    assert tmod.raw["fuse_ticks"] == 4
+    assert tmod.raw["pipeline_depth"] == 2
+    assert tmod.raw["ca_int8"] is True
+    assert tmod.raw["pcm_wire"] == "int16"
+
     # Smoke-sized build: both knobs land on the constructed engine.
     base = open("configs/config-smoke.toml").read()
     cfg_path = tmp_path / "serving.toml"
@@ -472,6 +481,80 @@ def test_builder_serving_profile_from_toml(tmp_path):
             os.environ.pop("DSM_PCM_INT16", None)
         else:
             os.environ["DSM_PCM_INT16"] = had_env
+
+
+def test_builder_tts_serving_profile(tmp_path):
+    """The TTS preset keys (fuse_ticks, pipeline_depth, ca_int8,
+    pcm_wire) flow through build_tts into the batched engine."""
+    import os
+
+    cfg_text = """
+instance_name = "tts-serving-test"
+authorized_ids = []
+
+[modules.tts]
+type = "Tts"
+path = "/api/tts"
+batch_size = 2
+fuse_ticks = 2
+pipeline_depth = 2
+ca_int8 = true
+pcm_wire = "int16"
+
+[modules.tts.model]
+text_in_vocab_size = 33
+text_out_vocab_size = 32
+audio_vocab_size = 9
+audio_codebooks = 4
+
+[modules.tts.model.transformer]
+d_model = 32
+num_heads = 4
+num_layers = 2
+dim_feedforward = 64
+causal = true
+context = 64
+gating = "silu"
+norm = "RmsNorm"
+positional_embedding = "Rope"
+
+[modules.tts.model.depformer]
+num_slices = 4
+
+[modules.tts.model.depformer.transformer]
+d_model = 16
+num_heads = 2
+num_layers = 2
+dim_feedforward = 32
+causal = true
+context = 4
+gating = "silu"
+norm = "RmsNorm"
+positional_embedding = "None"
+
+[modules.tts.generation]
+speaker_cond_dim = 32
+speaker_cond_n_speakers = 2
+speaker_cond_duration_s = 0.96
+"""
+    p = tmp_path / "tts-serving.toml"
+    p.write_text(cfg_text)
+
+    from dsm_tpu.server import builder
+    from dsm_tpu.server.config import Config
+
+    had_env = os.environ.get("DSM_TTS_PCM_I16")
+    try:
+        engine = builder.build_tts(Config.load(str(p)).modules["tts"])
+        assert engine.fuse == 2
+        assert engine.pipeline_depth == 2
+        assert engine.ca_quant
+        assert engine._pcm_wire_i16
+    finally:
+        if had_env is None:
+            os.environ.pop("DSM_TTS_PCM_I16", None)
+        else:
+            os.environ["DSM_TTS_PCM_I16"] = had_env
 
 
 def test_event_pump_fifo_and_coalescing():
