@@ -483,6 +483,73 @@ def test_builder_serving_profile_from_toml(tmp_path):
             os.environ["DSM_PCM_INT16"] = had_env
 
 
+def test_builder_duplex_serving_profile(tmp_path):
+    """The duplex preset parses (s2s-2b shapes, B=24, pipe2, int8 rings)
+    and a smoke-sized Lm module build honors pipeline_depth/kv_bits."""
+    from dsm_tpu.server import builder
+    from dsm_tpu.server.config import Config
+
+    prod = Config.load("configs/config-duplex-tpu-serving.toml")
+    dmod = prod.modules["duplex"]
+    assert dmod.raw["batch_size"] == 24
+    assert dmod.raw["pipeline_depth"] == 2
+    assert dmod.raw["kv_bits"] == 8
+    assert dmod.lm.transformer.d_model == 2560
+    assert dmod.lm.depformer.num_slices == 16
+    gen = dmod.raw["generation"]
+    assert gen["generated_audio_codebooks"] == 16
+    assert gen["input_audio_codebooks"] == 16
+
+    cfg_text = """
+instance_name = "duplex-serving-test"
+authorized_ids = []
+
+[modules.duplex]
+path = "/api/chat"
+type = "Lm"
+batch_size = 2
+pipeline_depth = 2
+kv_quant = true
+kv_bits = 8
+
+[modules.duplex.generation]
+generated_audio_codebooks = 2
+input_audio_codebooks = 2
+acoustic_delay = 1
+
+[modules.duplex.model]
+audio_vocab_size = 17
+text_in_vocab_size = 33
+text_out_vocab_size = 32
+audio_codebooks = 4
+
+[modules.duplex.model.transformer]
+d_model = 32
+num_heads = 4
+num_layers = 2
+dim_feedforward = 64
+context = 32
+positional_embedding = "Rope"
+
+[modules.duplex.model.depformer]
+num_slices = 2
+
+[modules.duplex.model.depformer.transformer]
+d_model = 16
+num_heads = 2
+num_layers = 2
+dim_feedforward = 48
+context = 2
+positional_embedding = "None"
+"""
+    p = tmp_path / "duplex-serving.toml"
+    p.write_text(cfg_text)
+    engine = builder.build_duplex(Config.load(str(p)).modules["duplex"])
+    assert engine.pipeline_depth == 2
+    assert engine.kv_bits == 8
+    assert engine.kv_quant
+
+
 def test_builder_tts_serving_profile(tmp_path):
     """The TTS preset keys (fuse_ticks, pipeline_depth, ca_int8,
     pcm_wire) flow through build_tts into the batched engine."""
