@@ -665,6 +665,31 @@ def bench_tts_sustained(batch: int, seconds: float, engine=None,
         np.asarray(f(x))
     rtt = (time.perf_counter() - t0) / 5
 
+    # Concurrent RTT probe (same contract as the server-sustained leg):
+    # a low-rate null dispatch sampled throughout the run so late ticks
+    # that coincide with probe-RTT spikes can be attributed to the
+    # tunnel/environment rather than the engine (the B=64 tick-p99
+    # gather stall reproduced UNCHANGED under gc.freeze — the gather
+    # phase uploads script state through the tunnel, so a stall window
+    # there is indistinguishable from host work without this probe).
+    probe_hz = float(os.environ.get("DSM_RTT_PROBE_HZ", "0") or 0)
+    probe_samples: list = []
+    probe_stop = threading.Event()
+
+    def prober():
+        g = jax.jit(lambda a: a * 2)
+        np.asarray(g(x))  # compile outside the sampled window
+        period = 1.0 / probe_hz
+        nxt = time.perf_counter()
+        while not probe_stop.is_set():
+            s0 = time.perf_counter()
+            np.asarray(g(x))
+            probe_samples.append((s0, (time.perf_counter() - s0) * 1e3))
+            nxt += period
+            dt = nxt - time.perf_counter()
+            if dt > 0:
+                probe_stop.wait(dt)
+
     phases: list = []
     t_origin = time.perf_counter()
     engine.tick_observer = lambda *p: phases.append(
@@ -672,6 +697,10 @@ def bench_tts_sustained(batch: int, seconds: float, engine=None,
     )
     engine.warmup()  # compile outside the timed window
     engine.start()
+    probe_thread = None
+    if probe_hz > 0:
+        probe_thread = threading.Thread(target=prober, daemon=True)
+        probe_thread.start()
 
     lock = threading.Lock()
     finished = []  # (audio_s, wall_s, ttfb_s)
@@ -716,6 +745,9 @@ def bench_tts_sustained(batch: int, seconds: float, engine=None,
     while live and time.time() < t_end:
         time.sleep(0.2)
     engine.stop()
+    if probe_thread is not None:
+        probe_stop.set()
+        probe_thread.join(timeout=2)
 
     # (t, gather, dispatch, fetch, post) rows in ms for attribution/events.
     PH = ("gather_ms", "dispatch_ms", "fetch_ms", "post_ms")
@@ -735,7 +767,21 @@ def bench_tts_sustained(batch: int, seconds: float, engine=None,
     wall = np.asarray([f[1] for f in finished])
     ttfb = np.asarray([f[2] for f in finished if f[2] is not None])
     rtf = audio / wall
+    rtt_probe = None
+    if probe_samples:
+        pr = np.asarray([m for _, m in probe_samples])
+        rtt_probe = {
+            "hz": probe_hz,
+            "n": len(probe_samples),
+            "p50_ms": round(float(np.percentile(pr, 50)), 1),
+            "p95_ms": round(float(np.percentile(pr, 95)), 1),
+            "max_ms": round(float(pr.max()), 1),
+            # offsets share t_origin with the tick phase rows above.
+            "samples": [[round(s0 - t_origin, 3), round(ms, 1)]
+                        for s0, ms in probe_samples],
+        }
     return {
+        **({"rtt_probe": rtt_probe} if rtt_probe else {}),
         "batch": batch,
         "seconds": seconds,
         "sessions_completed": len(finished),

@@ -50,3 +50,19 @@ def test_tts_sustained_injectable_engine(tmp_path):
                               "post_ms"}
     ts = [e["t"] for e in events]
     assert ts == sorted(ts)
+
+
+def test_tts_sustained_rtt_probe(monkeypatch):
+    """DSM_RTT_PROBE_HZ samples null-dispatch RTT throughout the TTS run
+    (tick-stall attribution needs tunnel evidence: the B=64 gather-phase
+    p99 stall reproduced unchanged under gc.freeze)."""
+    monkeypatch.setenv("DSM_RTT_PROBE_HZ", "20")
+    eng, cfg = make_engine(batch=2)
+    res = bench_perf.bench_tts_sustained(
+        2, 1.5, engine=eng, n_words=3, drain_s=30.0
+    )
+    pr = res.get("rtt_probe")
+    assert pr is not None and pr["n"] > 0
+    assert pr["hz"] == 20.0
+    # Sample offsets share the tick-phase origin (correlatable).
+    assert all(isinstance(s, list) and len(s) == 2 for s in pr["samples"])
