@@ -46,7 +46,11 @@ import sys
 
 def correlate(summary: dict, events: list, budget_ms: float,
               spike_ms: float, pad_s: float = 0.05) -> dict:
-    sus = summary.get("server_sustained", summary)
+    sus = summary
+    for key in ("server_sustained", "tts_sustained", "duplex_sustained"):
+        if key in summary:
+            sus = summary[key]
+            break
     probe = sus.get("rtt_probe")
     if not probe or not probe.get("samples"):
         raise SystemExit("summary has no rtt_probe.samples — run the leg "
@@ -190,6 +194,15 @@ def main() -> None:
         summary = json.load(f)
     with open(args.events) as f:
         events = json.load(f)
+    # TTS/duplex event rows carry per-phase columns instead of step_ms;
+    # synthesize the tick wall time so the same correlation applies
+    # (budget for a fused TTS tick is fuse_ticks * 80 — pass --budget-ms).
+    if events and "step_ms" not in events[0]:
+        phase_keys = [k for k in ("gather_ms", "dispatch_ms", "fetch_ms",
+                                  "post_ms") if k in events[0]]
+        if phase_keys:
+            for r in events:
+                r["step_ms"] = sum(r.get(k, 0.0) for k in phase_keys)
     out = correlate(summary, events, args.budget_ms, args.spike_ms)
     json.dump(out, sys.stdout)
     print()
