@@ -750,16 +750,31 @@ def bench_tts_sustained(batch: int, seconds: float, engine=None,
         probe_thread.join(timeout=2)
 
     # (t, gather, dispatch, fetch, post) rows in ms for attribution/events.
+    # The fused engine appends gather sub-phase detail (lock wait/hold,
+    # voice-write and script-op dispatch time, queue depths) — carried
+    # through when present so a gather stall is attributable to a
+    # sub-phase, not just the phase.
     PH = ("gather_ms", "dispatch_ms", "fetch_ms", "post_ms")
-    rows = [
-        {"t": p[0], **{k: p[1 + i] * 1e3 for i, k in enumerate(PH)}}
-        for p in phases
-    ]
+    EX_MS = ("gw_wait_ms", "gw_hold_ms", "gw_voice_ms", "gw_script_ms")
+    EX_N = ("n_voice", "n_actions")
+
+    def _row(p):
+        r = {"t": p[0], **{k: p[1 + i] * 1e3 for i, k in enumerate(PH)}}
+        if len(p) >= 1 + len(PH) + len(EX_MS) + len(EX_N):
+            off = 1 + len(PH)
+            for i, k in enumerate(EX_MS):
+                r[k] = p[off + i] * 1e3
+            for i, k in enumerate(EX_N):
+                r[k] = int(p[off + len(EX_MS) + i])
+        return r
+
+    rows = [_row(p) for p in phases]
     if events_out:
         with open(events_out, "w") as f:
             json.dump(
                 [{"t": round(r["t"], 4),
-                  **{k: round(r[k], 2) for k in PH}} for r in rows], f
+                  **{k: round(v, 2) if isinstance(v, float) else v
+                     for k, v in r.items() if k != "t"}} for r in rows], f
             )
     if not finished:
         return {"batch": batch, "sessions_completed": 0, "error": "none finished"}
@@ -799,7 +814,7 @@ def bench_tts_sustained(batch: int, seconds: float, engine=None,
             if phases else None  # [gather, dispatch, step+fetch, post]
         ),
         "tick_ms_p50": (
-            round(float(np.percentile([sum(p[1:]) for p in phases], 50)) * 1e3, 1)
+            round(float(np.percentile([sum(p[1:5]) for p in phases], 50)) * 1e3, 1)
             if phases else None
         ),
         # Tail stats: per-session wall = ttfb + n_ticks * MEAN tick (a few
@@ -807,15 +822,15 @@ def bench_tts_sustained(batch: int, seconds: float, engine=None,
         # session equally), so the mean/p95 explain rtf_per_session when
         # they diverge from the p50.
         "tick_ms_mean": (
-            round(float(np.mean([sum(p[1:]) for p in phases])) * 1e3, 1)
+            round(float(np.mean([sum(p[1:5]) for p in phases])) * 1e3, 1)
             if phases else None
         ),
         "tick_ms_p95": (
-            round(float(np.percentile([sum(p[1:]) for p in phases], 95)) * 1e3, 1)
+            round(float(np.percentile([sum(p[1:5]) for p in phases], 95)) * 1e3, 1)
             if phases else None
         ),
         "tick_ms_p99": (
-            round(float(np.percentile([sum(p[1:]) for p in phases], 99)) * 1e3, 1)
+            round(float(np.percentile([sum(p[1:5]) for p in phases], 99)) * 1e3, 1)
             if phases else None
         ),
         # Steady-state capacity: every tick produces one 80 ms frame per
@@ -824,14 +839,14 @@ def bench_tts_sustained(batch: int, seconds: float, engine=None,
         # short-session launch pattern above).
         "capacity_realtime_streams_p50": (
             round(batch * 0.080
-                  / float(np.percentile([sum(p[1:]) for p in phases], 50)), 1)
+                  / float(np.percentile([sum(p[1:5]) for p in phases], 50)), 1)
             if phases else None
         ),
         # With fuse_ticks > 1 each observed tick covers `fuse` frames; the
         # per-frame cadence cost is tick_ms_p50 / fuse_ticks.
         "fuse_ticks": engine.fuse,
         "per_frame_ms_p50": (
-            round(float(np.percentile([sum(p[1:]) for p in phases], 50))
+            round(float(np.percentile([sum(p[1:5]) for p in phases], 50))
                   * 1e3 / engine.fuse, 1)
             if phases else None
         ),

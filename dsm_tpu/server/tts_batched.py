@@ -765,7 +765,12 @@ class BatchedTtsEngine:
         n = self.batch_size
         reset = np.zeros(n, bool)
         drivers: List[Optional[TtsSlot]] = [None] * n
-        with self.slot_lock:
+        # Gather sub-phase attribution (the B=64 tick-p99 stall lives in
+        # this phase and survived both the GC fix and a healthy tunnel
+        # probe — instrument lock wait/hold, upload calls, queue depths).
+        self.slot_lock.acquire()
+        t_lock = time.perf_counter()
+        try:
             pending_voice, self._pending_voice = self._pending_voice, []
             actions, self._pending_script = self._pending_script, []
             reset[:] = self.pending_resets
@@ -817,8 +822,21 @@ class BatchedTtsEngine:
                     if drv.pending_eos and not drv.pending_words and not drv.eos:
                         drv.eos = True
                         actions.append(("eos", slot, None))
+        finally:
+            self.slot_lock.release()
+        t_hold = time.perf_counter()
         self._apply_voice_writes(pending_voice)
+        t_voice = time.perf_counter()
         self._apply_script_actions(actions)
+        t_script = time.perf_counter()
+        gather_detail = (
+            t_lock - t_gather0,      # lock wait
+            t_hold - t_lock,         # lock hold (word promotion)
+            t_voice - t_hold,        # voice-write dispatches
+            t_script - t_voice,      # script-op dispatches
+            len(pending_voice),
+            len(actions),
+        )
         if not any(d is not None for d in drivers) and not reset.any():
             if self._inflight_f:  # drain the pipeline when input pauses
                 self._post_fused(self._inflight_f.popleft())
@@ -849,7 +867,8 @@ class BatchedTtsEngine:
             packed_dev = self._wire_fn(packed_dev)
         t_fetch0 = time.perf_counter()
         self._inflight_f.append(
-            (packed_dev, drivers, t_gather0, t_disp0, t0, t_fetch0)
+            (packed_dev, drivers, t_gather0, t_disp0, t0, t_fetch0,
+             gather_detail)
         )
         # depth 1: fetch immediately; depth D: keep D-1 dispatches in
         # flight so the device step overlaps the previous fetch + post.
@@ -858,7 +877,8 @@ class BatchedTtsEngine:
         return True
 
     def _post_fused(self, item) -> None:
-        packed_dev, drivers, t_gather0, t_disp0, t0, t_fetch0 = item
+        (packed_dev, drivers, t_gather0, t_disp0, t0, t_fetch0,
+         gather_detail) = item
         n = self.batch_size
         packed = np.asarray(packed_dev)  # ONE fetch for all K frames
         t_fetch1 = time.perf_counter()
@@ -905,6 +925,7 @@ class BatchedTtsEngine:
                 t_fetch0 - t_disp0,
                 t_fetch1 - t_fetch0,
                 t_end - t_fetch1,
+                *gather_detail,
             )
 
     def _tick_single(self) -> bool:
