@@ -47,6 +47,82 @@ def _setup(batch, small=False, serving=False, model="stt-1b",
     )
 
 
+class _RttProber:
+    """Concurrent null-dispatch RTT sampler shared by the sustained
+    benches (ONE implementation so the catch-up clamp, the shutdown
+    snapshot and the sample format stay in lockstep across STT/TTS/
+    duplex).  Opt-in via ``DSM_RTT_PROBE_HZ``; late engine steps that
+    coincide with probe-RTT spikes are tunnel/environment stalls, not
+    engine defects (tools/tail_correlation.py computes the overlap).
+    The probe shares the tunnel it measures."""
+
+    def __init__(self, hz: float | None = None):
+        import threading
+
+        self.hz = (
+            float(os.environ.get("DSM_RTT_PROBE_HZ", "0") or 0)
+            if hz is None else hz
+        )
+        self.samples: list = []
+        self._stop = threading.Event()
+        self._thread = None
+
+    def start(self) -> "_RttProber":
+        if self.hz <= 0:
+            return self
+        import threading
+
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.zeros((8,), jnp.float32)
+        g = jax.jit(lambda a: a * 2)
+        np.asarray(g(x))  # compile outside the sampled window
+
+        def run():
+            period = 1.0 / self.hz
+            nxt = time.perf_counter()
+            while not self._stop.is_set():
+                s0 = time.perf_counter()
+                np.asarray(g(x))
+                self.samples.append(
+                    (s0, (time.perf_counter() - s0) * 1e3)
+                )
+                # Clamp instead of fixed-schedule catch-up: a long stall
+                # must NOT be followed by a burst of back-to-back samples
+                # (the detection-probability correction assumes uniform-
+                # period sampling, and the burst would deflate p50).
+                nxt = max(nxt + period, time.perf_counter())
+                dt = nxt - time.perf_counter()
+                if dt > 0:
+                    self._stop.wait(dt)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+        return self
+
+    def result(self, t_origin: float):
+        """Stop and summarise.  Snapshots the sample list FIRST: a prober
+        blocked inside a stalled dispatch can outlive join(timeout) and
+        append concurrently with this summary."""
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2)
+        samples = list(self.samples)
+        if not samples:
+            return None
+        pr = np.asarray([m for _, m in samples])
+        return {
+            "hz": self.hz,
+            "n": len(samples),
+            "p50_ms": round(float(np.percentile(pr, 50)), 1),
+            "p95_ms": round(float(np.percentile(pr, 95)), 1),
+            "max_ms": round(float(pr.max()), 1),
+            "samples": [[round(s0 - t_origin, 3), round(ms, 1)]
+                        for s0, ms in samples],
+        }
+
+
 def bench_mimi(batch: int, steps: int) -> dict:
     import jax
     import jax.numpy as jnp
@@ -323,29 +399,8 @@ def bench_server_sustained(batch: int, seconds: float,
         np.asarray(f(x))
     rtt = (time.perf_counter() - t0) / 5
 
-    # Concurrent RTT probe (VERDICT r4 #6): an independent low-rate null
-    # dispatch sampled THROUGHOUT the run.  Late engine steps that coincide
-    # with probe-RTT spikes are tunnel/environment stalls, not engine
-    # defects; tools/tail_correlation.py computes the overlap vs a control
-    # (spike overlap over ALL steps).  Opt-in per leg — the probe shares
-    # the tunnel it measures.
-    probe_hz = float(os.environ.get("DSM_RTT_PROBE_HZ", "0") or 0)
-    probe_samples: list = []
-    probe_stop = threading.Event()
-
-    def prober():
-        g = jax.jit(lambda a: a * 2)
-        np.asarray(g(x))  # compile outside the sampled window
-        period = 1.0 / probe_hz
-        nxt = time.perf_counter()
-        while not probe_stop.is_set():
-            s0 = time.perf_counter()
-            np.asarray(g(x))
-            probe_samples.append((s0, (time.perf_counter() - s0) * 1e3))
-            nxt += period
-            dt = nxt - time.perf_counter()
-            if dt > 0:
-                probe_stop.wait(dt)
+    # Concurrent RTT probe (VERDICT r4 #6): shared _RttProber.
+    prober = _RttProber()
 
     per_slot_events = [[] for _ in range(batch)]
     markers_seen = [False] * batch
@@ -393,10 +448,7 @@ def bench_server_sustained(batch: int, seconds: float,
     feed_thread = threading.Thread(target=feeder, daemon=True)
     t_start = time.perf_counter()
     feed_thread.start()
-    probe_thread = None
-    if probe_hz > 0:
-        probe_thread = threading.Thread(target=prober, daemon=True)
-        probe_thread.start()
+    prober.start()
     time.sleep(seconds)
     stop.set()
     feed_thread.join(timeout=2)
@@ -413,9 +465,7 @@ def bench_server_sustained(batch: int, seconds: float,
         time.sleep(0.05)
     wall = time.perf_counter() - t_start
     engine.stop()
-    if probe_thread is not None:
-        probe_stop.set()
-        probe_thread.join(timeout=2)
+    rtt_probe = prober.result(t_start)
 
     steps_per_slot = [len(ev) for ev in per_slot_events]
     expected = seconds / 0.080
@@ -552,17 +602,8 @@ def bench_server_sustained(batch: int, seconds: float,
             late_key="step_ms",
         ),
     }
-    if probe_samples:
-        pr = np.asarray([m for _, m in probe_samples])
-        result["rtt_probe"] = {
-            "hz": probe_hz,
-            "n": len(probe_samples),
-            "p50_ms": round(float(np.percentile(pr, 50)), 1),
-            "p95_ms": round(float(np.percentile(pr, 95)), 1),
-            "max_ms": round(float(pr.max()), 1),
-            "samples": [[round(s0 - t_start, 3), round(ms, 1)]
-                        for s0, ms in probe_samples],
-        }
+    if rtt_probe is not None:
+        result["rtt_probe"] = rtt_probe
     return result
 
 
@@ -672,23 +713,7 @@ def bench_tts_sustained(batch: int, seconds: float, engine=None,
     # gather stall reproduced UNCHANGED under gc.freeze — the gather
     # phase uploads script state through the tunnel, so a stall window
     # there is indistinguishable from host work without this probe).
-    probe_hz = float(os.environ.get("DSM_RTT_PROBE_HZ", "0") or 0)
-    probe_samples: list = []
-    probe_stop = threading.Event()
-
-    def prober():
-        g = jax.jit(lambda a: a * 2)
-        np.asarray(g(x))  # compile outside the sampled window
-        period = 1.0 / probe_hz
-        nxt = time.perf_counter()
-        while not probe_stop.is_set():
-            s0 = time.perf_counter()
-            np.asarray(g(x))
-            probe_samples.append((s0, (time.perf_counter() - s0) * 1e3))
-            nxt += period
-            dt = nxt - time.perf_counter()
-            if dt > 0:
-                probe_stop.wait(dt)
+    prober = _RttProber()
 
     phases: list = []
     t_origin = time.perf_counter()
@@ -697,10 +722,7 @@ def bench_tts_sustained(batch: int, seconds: float, engine=None,
     )
     engine.warmup()  # compile outside the timed window
     engine.start()
-    probe_thread = None
-    if probe_hz > 0:
-        probe_thread = threading.Thread(target=prober, daemon=True)
-        probe_thread.start()
+    prober.start()
 
     lock = threading.Lock()
     finished = []  # (audio_s, wall_s, ttfb_s)
@@ -745,9 +767,7 @@ def bench_tts_sustained(batch: int, seconds: float, engine=None,
     while live and time.time() < t_end:
         time.sleep(0.2)
     engine.stop()
-    if probe_thread is not None:
-        probe_stop.set()
-        probe_thread.join(timeout=2)
+    rtt_probe = prober.result(t_origin)
 
     # (t, gather, dispatch, fetch, post) rows in ms for attribution/events.
     # The fused engine appends gather sub-phase detail (lock wait/hold,
@@ -777,24 +797,22 @@ def bench_tts_sustained(batch: int, seconds: float, engine=None,
                      for k, v in r.items() if k != "t"}} for r in rows], f
             )
     if not finished:
-        return {"batch": batch, "sessions_completed": 0, "error": "none finished"}
+        # Keep the attribution evidence (probe + tick timeline) — a
+        # stall-dominated failed run is exactly when it matters most.
+        return {
+            "batch": batch, "sessions_completed": 0,
+            "error": "none finished",
+            **({"rtt_probe": rtt_probe} if rtt_probe else {}),
+            "tick_ms_p50": (
+                round(float(np.percentile([sum(p[1:5]) for p in phases], 50))
+                      * 1e3, 1) if phases else None
+            ),
+            "n_ticks": len(phases),
+        }
     audio = np.asarray([f[0] for f in finished])
     wall = np.asarray([f[1] for f in finished])
     ttfb = np.asarray([f[2] for f in finished if f[2] is not None])
     rtf = audio / wall
-    rtt_probe = None
-    if probe_samples:
-        pr = np.asarray([m for _, m in probe_samples])
-        rtt_probe = {
-            "hz": probe_hz,
-            "n": len(probe_samples),
-            "p50_ms": round(float(np.percentile(pr, 50)), 1),
-            "p95_ms": round(float(np.percentile(pr, 95)), 1),
-            "max_ms": round(float(pr.max()), 1),
-            # offsets share t_origin with the tick phase rows above.
-            "samples": [[round(s0 - t_origin, 3), round(ms, 1)]
-                        for s0, ms in probe_samples],
-        }
     return {
         **({"rtt_probe": rtt_probe} if rtt_probe else {}),
         "batch": batch,
@@ -947,6 +965,7 @@ def bench_duplex_sustained(batch: int, seconds: float,
     engine.tick_observer = tick_obs
     engine.warmup()
     engine.start()
+    prober = _RttProber().start()
 
     per_slot_audio = [0.0] * batch
     per_slot_frames = [0] * batch
@@ -986,6 +1005,7 @@ def bench_duplex_sustained(batch: int, seconds: float,
         time.sleep(0.2)
     engine.stop()
     wall = time.perf_counter() - t0
+    rtt_probe = prober.result(t0)
 
     if events_path:
         import json as _json
@@ -1034,6 +1054,7 @@ def bench_duplex_sustained(batch: int, seconds: float,
         ),
         "n_events": len(events),
         "pipeline_depth": engine.pipeline_depth,
+        **({"rtt_probe": rtt_probe} if rtt_probe else {}),
     }
 
 

@@ -138,6 +138,7 @@ class BatchedAsrEngine:
         mesh=None,
         session_logger=None,
         fill_gate_frac: float = 0.2,
+        pcm_wire_int16: Optional[bool] = None,
     ):
         """``mesh``: optional jax.sharding.Mesh (dp[, tp]) — shards the
         continuous batch across chips over ICI and (optionally) attention
@@ -212,9 +213,15 @@ class BatchedAsrEngine:
             # on input audio that mostly arrived as int16/opus anyway, but
             # it perturbs tokens at the ulp level, so it is NOT default —
             # token-exactness tests and goldens run the f32 wire.
-            pcm_int16 = mesh is None and _os.environ.get(
-                "DSM_PCM_INT16", "0"
-            ) not in ("0", "", "false")
+            # Constructor arg (TOML pcm_wire via the builder) takes
+            # precedence over the DSM_PCM_INT16 env knob — config must
+            # not be silently overridden by ambient process state.
+            pcm_int16 = mesh is None and (
+                pcm_wire_int16
+                if pcm_wire_int16 is not None
+                else _os.environ.get("DSM_PCM_INT16", "0")
+                not in ("0", "", "false")
+            )
             self._pcm_wire_int16 = pcm_int16
             if pcm_int16:
                 # Device-side dequant prologue in its OWN tiny jit: the

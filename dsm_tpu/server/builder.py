@@ -106,16 +106,19 @@ def build_batched_asr(mod: CFG.ModuleConfig) -> BatchedAsrEngine:
     mesh = build_mesh_from_config(mod)
     # TOML `pcm_wire = "int16"` enables the measured low-latency upload
     # profile (docs/SUSTAINED_r04_pipe2_i16.json: p50/p95 60.3/76.2 ms at
-    # B=128 with pipeline_depth=2) — engine reads DSM_PCM_INT16 at
-    # construction, so translate the config key to the env knob here.
-    if str(mod.raw.get("pcm_wire", "")).lower() == "int16":
-        os.environ.setdefault("DSM_PCM_INT16", "1")
+    # B=128 with pipeline_depth=2).  Passed as a constructor arg so the
+    # TOML value wins over ambient DSM_PCM_INT16 and never leaks into
+    # other modules built in the same process.
+    wire = str(mod.raw.get("pcm_wire", "")).lower()
     engine = BatchedAsrEngine(
         asr_cfg, params, batch_size=batch, mesh=mesh,
         pipeline_depth=int(mod.raw.get(
             "pipeline_depth", os.environ.get("DSM_ASR_PIPELINE", "1")
         )),
         fill_gate_frac=float(mod.raw.get("fill_gate_frac", 0.2)),
+        pcm_wire_int16={"int16": True, "f32": False, "float32": False}.get(
+            wire
+        ),
     )
     tok_path = (
         CFG.resolve_path(mod.text_tokenizer_file) if mod.text_tokenizer_file else None
@@ -253,10 +256,9 @@ def build_tts(mod: CFG.ModuleConfig) -> TtsEngine:
         from .tts_batched import BatchedTtsEngine
 
         # TOML `pcm_wire = "int16"` enables the int16 audio download wire
-        # (halves the per-tick device->host fetch) — same translation as
-        # the ASR builder; engine reads DSM_TTS_PCM_I16 at construction.
-        if str(mod.raw.get("pcm_wire", "")).lower() == "int16":
-            os.environ.setdefault("DSM_TTS_PCM_I16", "1")
+        # (halves the per-tick device->host fetch) — constructor arg, same
+        # precedence rule as the ASR builder.
+        tts_wire = str(mod.raw.get("pcm_wire", "")).lower()
 
         engine = BatchedTtsEngine(
             tts_cfg, {"lm": lm_params}, mimi_cfg, mimi_params, tokenizer,
@@ -281,6 +283,8 @@ def build_tts(mod: CFG.ModuleConfig) -> TtsEngine:
             pipeline_depth=int(mod.raw.get(
                 "pipeline_depth", os.environ.get("DSM_TTS_PIPELINE", "1")
             )),
+            pcm_wire_int16={"int16": True, "f32": False,
+                            "float32": False}.get(tts_wire),
         )
         engine.voices = resolver
         engine.condition_provider = cond_provider

@@ -144,6 +144,7 @@ class BatchedTtsEngine:
         fuse_ticks: int = 1,
         script_cap: int = 1024,
         pipeline_depth: int = 1,
+        pcm_wire_int16: Optional[bool] = None,
     ):
         """``mesh``: optional jax Mesh (dp[, tp]) — session state (and the
         doubled CFG rows) shard over dp; with tp > 1 the LM weights take
@@ -349,8 +350,15 @@ class BatchedTtsEngine:
         # the fused scan; docs/chipq/tts_i16_leg_attempt.json).
         import os as _os
 
-        pcm_wire_i16 = _os.environ.get("DSM_TTS_PCM_I16", "0") not in (
-            "0", "", "false"
+        # Constructor arg (TOML pcm_wire via the builder) beats the
+        # DSM_TTS_PCM_I16 env knob, same precedence rule as every other
+        # preset key.
+        pcm_wire_i16 = (
+            pcm_wire_int16
+            if pcm_wire_int16 is not None
+            else _os.environ.get("DSM_TTS_PCM_I16", "0") not in (
+                "0", "", "false"
+            )
         )
         self._pcm_wire_i16 = pcm_wire_i16
 

@@ -194,6 +194,10 @@ def main() -> None:
         summary = json.load(f)
     with open(args.events) as f:
         events = json.load(f)
+    # Duplex --events files are a dict {"events": [...], "ticks": [...]};
+    # the per-tick phase rows live under "ticks".
+    if isinstance(events, dict):
+        events = events.get("ticks") or events.get("events") or []
     # TTS/duplex event rows carry per-phase columns instead of step_ms;
     # synthesize the tick wall time so the same correlation applies
     # (budget for a fused TTS tick is fuse_ticks * 80 — pass --budget-ms).
