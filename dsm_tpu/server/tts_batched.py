@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import threading
 import time
 from collections import deque
@@ -258,6 +259,40 @@ class BatchedTtsEngine:
                 }
 
             self._ca_write_q = jax.jit(_wq, donate_argnums=(0,))
+
+            def _zq(bufs, slots):
+                # Batched zero-write: one scatter over a slot-index vector
+                # (padded with an out-of-range index, mode="drop").  A
+                # session-completion WAVE otherwise issues one tunneled
+                # dispatch PER reopened slot — measured as the 1.4 s
+                # gather stall at B=64 (gw_voice_ms 1417 with n_voice 64,
+                # docs/SUSTAINED_TTS_r05_b64_subphase_events.json).
+                # Scatter the QUANTISED zero voice (q=0 rows with the
+                # quantiser's eps scale) so the buffers stay bit-identical
+                # to the per-slot _ca_write_q path.
+                zq = T.quantize_ca_kv(
+                    (self._zero_voice, self._zero_voice), s_len=self.ca_len
+                )
+                return {
+                    "k": bufs["k"].at[:, slots].set(zq["k"], mode="drop"),
+                    "v": bufs["v"].at[:, slots].set(zq["v"], mode="drop"),
+                    "ks": bufs["ks"].at[:, slots].set(
+                        zq["ks"], mode="drop"
+                    ),
+                    "vs": bufs["vs"].at[:, slots].set(
+                        zq["vs"], mode="drop"
+                    ),
+                    "s_len": bufs["s_len"],
+                }
+
+            self._ca_zero_q = jax.jit(_zq, donate_argnums=(0,))
+        self._ca_zero = jax.jit(
+            lambda ca, slots: ca.at[:, slots].set(0, mode="drop"),
+            donate_argnums=(0,),
+        )
+        # Zero-write slot vectors are padded to a few bucket sizes so the
+        # batched path compiles O(1) variants, not O(batch).
+        self._zero_buckets = tuple(sorted({8, self.rows}))
         # Voice writes are queued and applied ON THE ENGINE LOOP THREAD at
         # the top of tick(): _ca_write donates the CA buffer in place, and
         # donating from the WS thread could race an in-flight step that is
@@ -604,16 +639,49 @@ class BatchedTtsEngine:
                 pending, self._pending_voice = self._pending_voice, []
         if not pending:
             return
+        # Coalesce to the LAST write per slot (each entry is a full-slot
+        # overwrite, so earlier ones in the same batch are dead), then
+        # batch all zero-writes into ONE scatter dispatch per bucket —
+        # a completion wave otherwise costs one tunneled dispatch per
+        # reopened slot (the measured 1.4 s B=64 gather stall).
+        last: dict = {}
+        for slot, k, v in pending:
+            last[slot] = (k, v)
+        zero_slots = np.asarray(
+            [s for s, (k, _) in last.items() if k is None], np.int32
+        )
+        data = [(s, k, v) for s, (k, v) in last.items() if k is not None]
+        if os.environ.get("DSM_TTS_BATCH_VOICE", "1") in ("0", "false"):
+            # A/B lever: fall back to one dispatch per slot.
+            zero_slots = np.asarray([], np.int32)
+            data = [(s, k, v) for s, (k, v) in last.items()]
         if self.ca_quant:
             bufs = self._ca_raw
-            for slot, k, v in pending:
+            if zero_slots.size:
+                for off in range(0, zero_slots.size, self._zero_buckets[-1]):
+                    chunk = zero_slots[off : off + self._zero_buckets[-1]]
+                    n = next(b for b in self._zero_buckets
+                             if b >= chunk.size)
+                    # Pad with an out-of-range slot; mode="drop" skips it.
+                    padded = np.full(n, self.rows, np.int32)
+                    padded[: chunk.size] = chunk
+                    bufs = self._ca_zero_q(bufs, padded)
+            for slot, k, v in data:
                 if k is None:
                     k = v = self._zero_voice
                 bufs = self._ca_write_q(bufs, k, v, slot)
             self._ca_raw = bufs
             return
         ck, cv = self._ca_raw
-        for slot, k, v in pending:
+        if zero_slots.size:
+            for off in range(0, zero_slots.size, self._zero_buckets[-1]):
+                chunk = zero_slots[off : off + self._zero_buckets[-1]]
+                n = next(b for b in self._zero_buckets if b >= chunk.size)
+                padded = np.full(n, self.rows, np.int32)
+                padded[: chunk.size] = chunk
+                ck = self._ca_zero(ck, padded)
+                cv = self._ca_zero(cv, padded)
+        for slot, k, v in data:
             if k is None:
                 ck = self._ca_write(ck, self._zero_voice, slot)
                 cv = self._ca_write(cv, self._zero_voice, slot)
@@ -712,6 +780,19 @@ class BatchedTtsEngine:
                         z(b, np.int32), z(b, np.int32),
                     )
                 jax.block_until_ready(self._mstate)
+            # Precompile the batched zero-voice scatters (both buckets):
+            # the first session-completion wave otherwise pays XLA
+            # compile inside a serving tick.
+            for b in self._zero_buckets:
+                padded = np.full(b, self.rows, np.int32)  # all dropped
+                if self.ca_quant:
+                    self._ca_raw = self._ca_zero_q(self._ca_raw, padded)
+                else:
+                    ck, cv = self._ca_raw
+                    self._ca_raw = (
+                        self._ca_zero(ck, padded), self._ca_zero(cv, padded)
+                    )
+            jax.block_until_ready(self._ca_raw)
             if self._wire_fn is not None:
                 # The wire-format conversion is its own tiny jit (keeps
                 # the big program cache-stable); compile it here too — it
@@ -723,9 +804,10 @@ class BatchedTtsEngine:
         except Exception:
             metrics.WARMUP_FAILURE.inc()
             raise
-        # Freeze the post-warmup heap: a gen2 GC sweep over the jax-trace
-        # object graph measured as a 1.4 s gather stall mid-serving
-        # (utils/gc_tune.py has the full story).
+        # Freeze the post-warmup heap (serving hygiene; utils/gc_tune.py.
+        # NOTE: the 1.4 s gather stall first blamed on GC was actually
+        # per-slot voice-write dispatches at a session-completion wave —
+        # see _apply_voice_writes' batched zero path).
         from ..utils.gc_tune import freeze_after_warmup
 
         freeze_after_warmup()

@@ -193,3 +193,60 @@ def test_ca_int8_cfg_enabled_warmup():
     pcm, words = eng.synthesize("hi there")
     assert pcm.ndim == 1 and pcm.size > 0
     assert eng.used_slots() == 0
+
+
+def _voice_equal(a, b):
+    import jax
+
+    fa = jax.tree_util.tree_leaves(a)
+    fb = jax.tree_util.tree_leaves(b)
+    assert len(fa) == len(fb)
+    for x, y in zip(fa, fb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def _run_voice_batching_case(mk):
+    """Batched zero-scatter voice writes vs the per-slot path: identical
+    device buffers for mixed zero+data pendings, including same-slot
+    coalescing (last write wins).  The batched path exists because a
+    session-completion wave measured as one tunneled dispatch per
+    reopened slot — a 1.4 s gather stall at B=64
+    (docs/SUSTAINED_TTS_r05_b64_subphase_events.json)."""
+    import os
+
+    pendings = []
+    for seed, slots in ((7, (0, 2)), (9, (1,))):
+        pass
+    eng_a, cfg = mk(batch=4)
+    eng_b, _ = mk(batch=4)
+    kv0 = make_voice(cfg, 11)
+    kv1 = make_voice(cfg, 13)
+    # slot2: data write then zero (coalesces to zero); slot3: zero then
+    # data (coalesces to data).
+    pending = [
+        (0, None, None),
+        (1, kv0[0], kv0[1]),
+        (2, kv1[0], kv1[1]),
+        (2, None, None),
+        (3, None, None),
+        (3, kv0[0], kv0[1]),
+    ]
+    eng_a._apply_voice_writes(list(pending))
+    saved = os.environ.get("DSM_TTS_BATCH_VOICE")
+    os.environ["DSM_TTS_BATCH_VOICE"] = "0"
+    try:
+        eng_b._apply_voice_writes(list(pending))
+    finally:
+        if saved is None:
+            os.environ.pop("DSM_TTS_BATCH_VOICE", None)
+        else:
+            os.environ["DSM_TTS_BATCH_VOICE"] = saved
+    _voice_equal(eng_a._ca_raw, eng_b._ca_raw)
+
+
+def test_voice_write_batching_equivalent_bf16():
+    _run_voice_batching_case(make_engine)
+
+
+def test_voice_write_batching_equivalent_int8():
+    _run_voice_batching_case(make_engine_q)
