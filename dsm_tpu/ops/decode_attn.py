@@ -764,19 +764,32 @@ def fused_commit_supported(q, k_cache, plan) -> bool:
         return False
     if plan["w"].shape[0] != 1:
         return False
-    return _mono_ok(h, c, dh, False)
+    if not _mono_ok(h, c, dh, False):
+        return False
+    if _legacy_4d(h, dh):
+        return True
+    # Head-major body (Dh=64 / h>16): bit-exact but measured SLOWER than
+    # the split pipeline (15.17 vs 9.48 ms at stt-2.6b shapes,
+    # docs/chipq/fused_probe_26b_b8.json) — explicit opt-in only.
+    return os.environ.get("DSM_FUSED_ATTN") == "1"
 
 
 def fused_commit_enabled() -> bool:
-    """Opt-in switch for the fused commit+attend kernel
-    (``DSM_FUSED_ATTN=1``); requires the ring + decode kernels enabled.
-    Off by default until the on-chip A/B lands (tools/chip_queue_r05b)."""
+    """Fused commit+attend kernel gate.  DEFAULT ON since the on-chip
+    A/B at both measurement scales: bit-exact (tokens, rings, logits)
+    and faster at the 4-D stt-1b shapes — 12.62 vs 13.16 ms at B=128
+    (docs/chipq/lm_fused_b128.json) and 698.8 vs 672.6 headline streams
+    at B=224 (docs/chipq/headline_b224_fused.json).  ``DSM_FUSED_ATTN=0``
+    opts out; shape support (fused_commit_supported) keeps the
+    measured-slower head-major presets on the split pipeline."""
     from . import ring_kernels as _rk
 
     if _rk.kernels_override() is not None and not _rk.kernels_override():
         return False
     env = os.environ.get("DSM_FUSED_ATTN")
-    return env is not None and env not in ("0", "false", "")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return True
 
 
 def decode_attend_commit(
